@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Determinism helpers for DuckDB-oracle parity (SURVEY.md §5.3).
+  *
+  * `SUM(double)` is addition-order dependent and Spark's partial/final
+  * aggregation order never matches DuckDB's, so every money/measure sum is
+  * computed in decimal: the double→decimal cast is deterministic (the
+  * fixture doubles carry ≤2 true decimal digits; products of two/three such
+  * values carry ≤4/6, below the scale used here), decimal addition is
+  * exact, and the final decimal→double cast is deterministic. Means are
+  * `decimal_sum / count` evaluated in IEEE double — identical inputs,
+  * identical single operation, identical result in both engines. Variance /
+  * covariance are reconstructed from exact decimal moment sums the same
+  * way. No `round()` of an order-dependent double ever reaches a compared
+  * column.
+  *
+  * At scale this costs one extra cast per row inside the partial aggregate —
+  * still whole-stage-codegen'd, still a two-phase hash aggregate; the
+  * shuffle carries decimal(28,6) instead of double.
+  */
+object dsl {
+  val Money: DecimalType = DecimalType(18, 6)
+  /** Wider type for row-level products (price*discount*tax ~ 1e10) summed
+    * over many rows. */
+  val Wide: DecimalType = DecimalType(30, 6)
+
+  /** Exact, engine-independent sum of a ≤6-decimal-digit double column. */
+  def dsum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
+  def dsumWide(c: Column): Column = sum(c.cast(Wide)).cast(DoubleType)
+  /** Deterministic mean: exact decimal sum, one double division. */
+  def dmean(c: Column): Column = dsum(c) / count(lit(1))
+  /** Deterministic sample variance from exact moment sums. */
+  def dvar(c: Column): Column = {
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = dsum(c)
+    val sxx = dsumWide(c * c)
+    (sxx - sx * sx / n) / (n - lit(1.0))
+  }
+  def dstddev(c: Column): Column = sqrt(dvar(c))
+  /** Deterministic sample covariance from exact moment sums. */
+  def dcov(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast(DoubleType)
+    (dsumWide(x * y) - dsum(x) * dsum(y) / n) / (n - lit(1.0))
+  }
+
+  // ---- DuckDB-side twins (string builders for oracle SQL) ----
+  def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+  def dsumWideSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+  def dmeanSql(e: String): String = s"(${dsumSql(e)} / COUNT(*))"
+  def dvarSql(e: String): String =
+    s"((${dsumWideSql(s"($e)*($e)")} - ${dsumSql(e)} * ${dsumSql(e)} / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0))"
+  def dstddevSql(e: String): String = s"SQRT(${dvarSql(e)})"
+  def dcovSql(x: String, y: String): String =
+    s"((${dsumWideSql(s"($x)*($y)")} - ${dsumSql(x)} * ${dsumSql(y)} / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0))"
+}

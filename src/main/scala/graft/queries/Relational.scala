@@ -1,0 +1,372 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: SURVEY.md §2.2 (projection/filter), §2.3 (joins),
+  * §2.4 (aggregations), §2.6 (sort/limit/top-k), §2.7 (set ops).
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame plan —
+  * filters and projections push into the parquet scan, aggregates run as
+  * partial/final hash aggregates (map-side combine before the shuffle),
+  * dimension joins (region/nation/supplier/part) are broadcast so the fact
+  * table never shuffles for them, and top-k compiles to
+  * TakeOrderedAndProject (per-partition heap + driver merge, no full sort).
+  */
+object Relational extends Q.Module {
+
+  // --- q01: flagship scan→filter→agg→sort (TPC-H Q1 pattern; Dask
+  //     groupby→mean flagship). Ops: S2,P2,A1,A2,A3,O1.
+  private val q01 = Q(
+    "q01_flagship_agg",
+    "S2 parquet scan, P2 filter, A1-A3 grouped multi-agg, O1 sort",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          dmean(col("l_quantity")).as("avg_qty"),
+          dmean(col("l_extendedprice")).as("avg_price"),
+          dmean(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${dsumSql("l_quantity")} AS sum_qty,
+      ${dsumSql("l_extendedprice")} AS sum_base_price,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${dsumWideSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+      ${dmeanSql("l_quantity")} AS avg_qty,
+      ${dmeanSql("l_extendedprice")} AS avg_price,
+      ${dmeanSql("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  // --- q02: projection + derived columns. Ops: P1,P3,P4,P6.
+  private val q02 = Q(
+    "q02_project_derive",
+    "P1 select, P3 derived column, P4 rename, P6 cast",
+    (s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        concat_ws("/", col("p_type"), col("p_brand")).as("type_brand"),
+        // true value has ≤3 decimals (2-dec price × 1.1) so decimal(18,4)
+        // is exact in both engines — never round() a near-half double
+        (col("p_retailprice") * lit(1.1)).cast("decimal(18,4)").cast("double").as("uplift_price"),
+        floor(col("p_retailprice")).as("price_floor"),
+        (col("p_size") + lit(10)).as("size_adj"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, upper(p_brand) AS brand_uc,
+      concat_ws('/', p_type, p_brand) AS type_brand,
+      CAST(CAST(p_retailprice * 1.1 AS DECIMAL(18,4)) AS DOUBLE) AS uplift_price,
+      CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+      p_size + 10 AS size_adj
+    FROM part ORDER BY p_partkey"""))
+
+  // --- q03: compound predicate filter. Ops: P2.
+  private val q03 = Q(
+    "q03_filter_compound",
+    "P2 boolean-mask filter with AND/OR/NOT/IN/BETWEEN",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(10, 20)
+          && col("l_discount") > 0.05
+          && col("l_returnflag").isin("A", "R")
+          && !(col("l_linestatus") === "F") || col("l_quantity") > 49)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+      AND l_returnflag IN ('A','R') AND NOT (l_linestatus = 'F') OR l_quantity > 49
+    ORDER BY l_orderkey, l_linenumber"""))
+
+  // --- q04: conditional expressions. Ops: P8, §2.8 conditional family.
+  private val q04 = Q(
+    "q04_conditional",
+    "P8 when/otherwise, coalesce, nullif, greatest/least",
+    (s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+          .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+          .otherwise("low").as("priority_class"),
+        least(greatest(floor(col("o_totalprice") / 50000), lit(0L)), lit(5L)).as("value_bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING")).as("status_adj"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+           WHEN o_orderpriority = '3-MEDIUM' THEN 'mid' ELSE 'low' END AS priority_class,
+      least(greatest(CAST(floor(o_totalprice / 50000) AS BIGINT), 0), 5) AS value_bucket,
+      coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_adj
+    FROM orders ORDER BY o_orderkey"""))
+
+  // --- q05: date/time functions. Ops: §2.8 date family.
+  private val q05 = Q(
+    "q05_date_funcs",
+    "year/month/day/quarter/dayofweek/date_trunc/date_add/datediff",
+    (s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        // DATE parquet output reads back as pandas `object` while DuckDB
+        // yields datetime64 — keep every date-ish output as TIMESTAMP_NTZ
+        // so the driver-side dtypes line up.
+        date_trunc("day", col("o_orderdate")).cast("timestamp_ntz").as("od"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+        (date_add(col("o_orderdate").cast("date"), 30)).cast("timestamp_ntz").as("due_date"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("age_days"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, date_trunc('day', o_orderdate) AS od,
+      CAST(year(o_orderdate) AS INT) AS y,
+      CAST(month(o_orderdate) AS INT) AS m,
+      CAST(day(o_orderdate) AS INT) AS dom,
+      CAST(quarter(o_orderdate) AS INT) AS qtr,
+      CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow,
+      date_trunc('month', o_orderdate) AS month_start,
+      CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+      CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days
+    FROM orders ORDER BY o_orderkey"""))
+
+  // --- q06: string functions. Ops: §2.8 string family.
+  private val q06 = Q(
+    "q06_string_funcs",
+    "lower/upper/length/substring/replace/trim/concat/instr/regexp_extract/like",
+    (s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        lower(col("c_name")).as("name_lc"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        instr(col("c_name"), "1").as("pos_one"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        col("c_name").like("%5").as("ends_five"),
+        trim(concat_ws(" ", col("c_mktsegment"), col("c_name"))).as("seg_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, lower(c_name) AS name_lc,
+      CAST(length(c_name) AS INT) AS name_len,
+      substring(c_name, 1, 8) AS name_pfx,
+      regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+      CAST(strpos(c_name, '1') AS INT) AS pos_one,
+      regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+      c_name LIKE '%5' AS ends_five,
+      trim(concat_ws(' ', c_mktsegment, c_name)) AS seg_name
+    FROM customer ORDER BY c_custkey"""))
+
+  // --- q07: inner equi-join + agg. Ops: J1,A1.
+  private val q07 = Q(
+    "q07_join_inner",
+    "J1 shuffle equi-join orders⋈customer, grouped agg",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"),
+          dmean(col("o_totalprice")).as("avg_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      ${dsumSql("o_totalprice")} AS revenue,
+      ${dmeanSql("o_totalprice")} AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // --- q08: multi-way star join with broadcast dims. Ops: J1,J3.
+  private val q08 = Q(
+    "q08_join_star_broadcast",
+    "J3 broadcast dim joins: lineitem⋈orders⋈customer⋈nation⋈region",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some(s"""SELECT r_name, n_name,
+      ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE year(o_orderdate) = 1996
+    GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  // --- q09: left outer join + count histogram. Ops: J2.
+  private val q09 = Q(
+    "q09_join_left_hist",
+    "J2 left outer join: orders-per-customer histogram (incl. zero)",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_orders"))
+    },
+    Some("""SELECT n_orders, COUNT(*) AS n_customers FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+    GROUP BY n_orders ORDER BY n_orders"""))
+
+  // --- q10: full outer join with null-producing side. Ops: J2.
+  private val q10 = Q(
+    "q10_join_full_outer",
+    "J2 full outer join nation⋈(filtered) region",
+    (s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_regionkey") < 3)
+      n.join(r, n("n_regionkey") === r("r_regionkey"), "full")
+        .select(coalesce(col("n_name"), lit("?")).as("nation"),
+          coalesce(col("r_name"), lit("?")).as("region"))
+        .orderBy(col("nation"), col("region"))
+    },
+    Some("""SELECT coalesce(n_name, '?') AS nation, coalesce(r_name, '?') AS region
+    FROM nation FULL OUTER JOIN (SELECT * FROM region WHERE r_regionkey < 3) r
+      ON n_regionkey = r_regionkey
+    ORDER BY nation, region"""))
+
+  // --- q11/q12: semi / anti joins. Ops: J6.
+  private val q11 = Q(
+    "q11_join_semi",
+    "J6 left-semi join: customers with ≥1 order in 1995",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+    ORDER BY c_custkey"""))
+
+  private val q12 = Q(
+    "q12_join_anti",
+    "J6 left-anti join: customers with no orders at all",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""))
+
+  // --- q13: non-equi (range) join against an inline dimension. Ops: J7,S4.
+  private val q13 = Q(
+    "q13_join_range",
+    "J7 non-equi range join: events bucketed by value bands (inline dim, S4)",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val bands = s.createDataFrame(Seq(
+        (0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")))
+        .toDF("lo", "hi", "band")
+      e.join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("band"))
+    },
+    Some(s"""SELECT band, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+    FROM events JOIN (VALUES (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'), (20.0, 1000000000.0, 'high'))
+      bands(lo, hi, band) ON value >= lo AND value < hi
+    GROUP BY band ORDER BY band"""))
+
+  // --- q14-q17: set operations. Ops: U1-U4, J8.
+  private val q14 = Q(
+    "q14_union_all",
+    "U1 unionByName keeps duplicates (overlapping slices)",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val hi = o.filter(col("o_totalprice") > 150000).select(col("o_orderkey"), col("o_totalprice")).withColumn("src", lit("hi"))
+      val lo = o.filter(col("o_totalprice") < 160000).select(col("o_orderkey"), col("o_totalprice")).withColumn("src", lit("lo"))
+      hi.unionByName(lo).orderBy(col("src"), col("o_orderkey"))
+    },
+    Some("""SELECT * FROM (
+      SELECT o_orderkey, o_totalprice, 'hi' AS src FROM orders WHERE o_totalprice > 150000
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'lo' AS src FROM orders WHERE o_totalprice < 160000)
+    ORDER BY src, o_orderkey"""))
+
+  private val q15 = Q(
+    "q15_union_distinct",
+    "U2 union + distinct of customer keys from two year slices",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      a.union(b).distinct().orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      UNION
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      ORDER BY o_custkey"""))
+
+  private val q16 = Q(
+    "q16_intersect",
+    "U3 intersect: customers ordering in both 1995 and 1996",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      ORDER BY o_custkey"""))
+
+  private val q17 = Q(
+    "q17_except",
+    "U4 except: customers ordering in 1995 but not 1996",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val b = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      a.except(b).orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      ORDER BY o_custkey"""))
+
+  def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17)
+}
