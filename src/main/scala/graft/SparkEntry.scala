@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def modules: Seq[Q.Module] = Seq(
-    graft.queries.Relational)
+    graft.queries.Relational,
+    graft.queries.Windows,
+    graft.queries.Aggs)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.defs)

@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dsl._
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Advanced aggregations: SURVEY.md §2.4 (A4-A14).
+  *
+  * Scale notes (100 TB): distinct counts run as Spark's two-phase
+  * expand+hash aggregate; approx_count_distinct is HLL++ with constant
+  * per-group state (the only sane form at 1e12 rows); rollup/cube expand
+  * partial aggregates map-side so the shuffle carries pre-combined groups;
+  * the typed Aggregator ships a tiny buffer per key, not rows. The
+  * flatMapGroups variant (q31) exists for API coverage — its window twin
+  * (q22) is the plan you'd run at scale because it keeps codegen.
+  */
+object Aggs extends Q.Module {
+
+  // --- q23: exact distinct counts. Ops: A4.
+  private val q23 = Q(
+    "q23_agg_distinct",
+    "A4 nunique: exact distinct counts, grouped + multi-distinct",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_orderkey) AS n_orders,
+      COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // --- q24: approximate distinct (HLL++). Ops: A5. The sketch estimate is
+  //     engine-specific, so no DuckDB oracle — driver records rows>0.
+  private val q24 = Q(
+    "q24_agg_approx_distinct",
+    "A5 nunique_approx: HyperLogLog++ distinct per group (no oracle: sketch)",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_linestatus"))
+    },
+    None)
+
+  // --- q25: value_counts / frequencies. Ops: A6, A14.
+  private val q25 = Q(
+    "q25_agg_value_counts",
+    "A6/A14 value_counts: frequency table ordered by count desc",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+    GROUP BY o_orderpriority ORDER BY cnt DESC, o_orderpriority"""))
+
+  // --- q26: quantiles/median. Ops: A9. Exact percentile with linear
+  //     interpolation matches DuckDB quantile_cont on integral doubles.
+  private val q26 = Q(
+    "q26_agg_quantile",
+    "A9 quantile: exact percentiles + median of l_quantity per returnflag",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.25) AS p25,
+      quantile_cont(l_quantity, 0.5) AS p50,
+      quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // --- q27: dispersion + correlation from exact moment sums. Ops: A1, A10.
+  private val q27 = Q(
+    "q27_agg_stats",
+    "A1/A10 std/var/corr/cov via deterministic decimal moment sums",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          dvar(col("l_quantity")).as("var_qty"),
+          dstddev(col("l_quantity")).as("std_qty"),
+          dcov(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price"),
+          (dcov(col("l_quantity"), col("l_extendedprice"))
+            / (dstddev(col("l_quantity")) * dstddev(col("l_extendedprice")))).as("corr_qty_price"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some(s"""SELECT l_linestatus,
+      ${dvarSql("l_quantity")} AS var_qty,
+      ${dstddevSql("l_quantity")} AS std_qty,
+      ${dcovSql("l_quantity", "l_extendedprice")} AS cov_qty_price,
+      (${dcovSql("l_quantity", "l_extendedprice")}
+        / (${dstddevSql("l_quantity")} * ${dstddevSql("l_extendedprice")})) AS corr_qty_price
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  // --- q28: rollup with grouping indicators. Ops: A11.
+  private val q28 = Q(
+    "q28_agg_rollup",
+    "A11 rollup: year × mktsegment revenue with subtotal rows",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .rollup(col("yr"), col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          grouping(col("yr")).as("g_yr"),
+          grouping(col("c_mktsegment")).as("g_seg"))
+        .orderBy(col("g_yr"), col("g_seg"), col("yr"), col("c_mktsegment"))
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, c_mktsegment,
+      ${dsumSql("o_totalprice")} AS revenue,
+      CAST(GROUPING(yr) AS TINYINT) AS g_yr,
+      CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_seg
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY ROLLUP(yr, c_mktsegment)
+    ORDER BY g_yr, g_seg, yr, c_mktsegment"""))
+
+  // --- q29: cube. Ops: A11.
+  private val q29 = Q(
+    "q29_agg_cube",
+    "A11 cube: returnflag × linestatus counts over all subtotal combos",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      CAST(GROUPING(l_returnflag) AS TINYINT) AS g_rf,
+      CAST(GROUPING(l_linestatus) AS TINYINT) AS g_ls
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""))
+
+  // --- q30: deduplication, deterministic "keep first by explicit order".
+  //     Ops: A8. (`dropDuplicates(keys)` keeps an arbitrary row — the
+  //     row_number idiom is the deterministic, oracle-checkable form.)
+  private val q30 = Q(
+    "q30_dedup_first_per_key",
+    "A8 drop_duplicates: earliest order per customer (deterministic keep)",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    ORDER BY o_custkey"""))
+
+  // --- q31: exact-duplicate removal on a projection. Ops: A8.
+  private val q31 = Q(
+    "q31_dedup_distinct_rows",
+    "A8 distinct(): exact duplicate row removal on a projection",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority"""))
+
+  // --- q32: describe/summary equivalent from explicit aggs. Ops: A3, A7.
+  private val q32 = Q(
+    "q32_agg_describe",
+    "A7 describe: global count/mean/std/min/max for two measures",
+    (s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        dmean(col("l_quantity")).as("mean_qty"),
+        dstddev(col("l_quantity")).as("std_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        dmean(col("l_extendedprice")).as("mean_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    },
+    Some(s"""SELECT COUNT(*) AS n,
+      ${dmeanSql("l_quantity")} AS mean_qty,
+      ${dstddevSql("l_quantity")} AS std_qty,
+      MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      ${dmeanSql("l_extendedprice")} AS mean_price,
+      MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+    FROM lineitem"""))
+
+  // --- q33: arbitrary per-group function via the typed API. Ops: A12.
+  //     Per-customer order-date span + spend, computed in flatMapGroups.
+  private val q33 = Q(
+    "q33_typed_flatmapgroups",
+    "A12 groupby.apply: per-group fn via groupByKey.flatMapGroups",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("ots"),
+          col("o_totalprice").cast(Money).as("price"))
+        .as[(Long, Long, Long, BigDecimal)]
+      rows.groupByKey(_._1)
+        .flatMapGroups { (k, it) =>
+          var n = 0L; var lo = Long.MaxValue; var hi = Long.MinValue
+          var spend = BigDecimal(0)
+          it.foreach { case (_, _, ts, p) =>
+            n += 1; if (ts < lo) lo = ts; if (ts > hi) hi = ts; spend += p
+          }
+          Iterator((k, n, (hi - lo) / 86400, spend.doubleValue))
+        }
+        .toDF("o_custkey", "n_orders", "span_days", "total_spend")
+        .orderBy(col("o_custkey"))
+    },
+    Some(s"""SELECT o_custkey, COUNT(*) AS n_orders,
+      CAST((CAST(epoch(MAX(o_orderdate)) AS BIGINT) - CAST(epoch(MIN(o_orderdate)) AS BIGINT)) / 86400
+        AS BIGINT) AS span_days,
+      ${dsumSql("o_totalprice")} AS total_spend
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  // --- q34: custom typed Aggregator (foldby-style reduction). Ops: A13.
+  //     Discount-weighted mean price per ship mode from a single buffer.
+  private val q34 = Q(
+    "q34_typed_aggregator",
+    "A13 foldby: custom Aggregator[IN,BUF,OUT] weighted mean",
+    (s, d) => {
+      import s.implicits._
+      // (sum(price_cents*disc_cents), sum(disc_cents)) folded per partition
+      // and merged exactly in Long — same tree-reduction shape as Dask
+      // foldby. Integer cents (prices/discounts carry ≤2 true decimals)
+      // keep every intermediate exactly representable, so the single final
+      // double division is bit-identical in any engine. A decimal-sum →
+      // CAST(AS DOUBLE) ratio is NOT: DuckDB's wide-decimal→double cast
+      // rounds twice and drifts 1 ulp from Java's correctly-rounded one.
+      val wmean = new Aggregator[(Long, Long), (Long, Long), Double] {
+        def zero = (0L, 0L)
+        def reduce(b: (Long, Long), a: (Long, Long)) =
+          (b._1 + a._1 * a._2, b._2 + a._2)
+        def merge(x: (Long, Long), y: (Long, Long)) =
+          (x._1 + y._1, x._2 + y._2)
+        def finish(b: (Long, Long)) =
+          if (b._2 == 0) 0.0 else b._1.toDouble / (100.0 * b._2.toDouble)
+        def bufferEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        def outputEncoder = Encoders.scalaDouble
+      }
+      val cents: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => (c.cast("decimal(18,2)") * lit(100)).cast("long")
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("pc"),
+          cents(col("l_discount")).as("dc"))
+        .as[(String, Long, Long)]
+      rows.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(wmean.toColumn.name("wmean_price"))
+        .toDF("l_returnflag", "wmean_price")
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+        / (100.0 * CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE))
+        AS wmean_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ordered-frame functions: SURVEY.md §2.5 (W1-W6).
+  *
+  * Scale notes (100 TB): every window here partitions by a high-cardinality
+  * key (customer), so a window is one shuffle on that key followed by a
+  * partition-local sort — no global sort, no driver materialization. Running
+  * sums are computed over decimal-cast values: window frames define a total
+  * order, but engines may still regroup double additions (segment trees for
+  * sliding frames), so decimal is the only way to stay engine-independent.
+  */
+object Windows extends Q.Module {
+
+  private def wCust = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  // --- q18: cumulative per-group running aggregates. Ops: W1, W5.
+  private val q18 = Q(
+    "q18_window_cumulative",
+    "W1 cumsum/cummax, W5 cumcount per customer order history",
+    (s, d) => {
+      val w = wCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum(col("o_totalprice").cast(Money)).over(w).cast("double").as("cum_spend"),
+        max(col("o_totalprice")).over(w).as("cum_max_price"),
+        (row_number().over(wCust) - lit(1)).as("cum_prior_orders"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
+      MAX(o_totalprice)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_max_price,
+      CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1 AS INT)
+        AS cum_prior_orders
+    FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // --- q19: rolling frames, row-count and time-range. Ops: W2, W3.
+  private val q19 = Q(
+    "q19_window_rolling",
+    "W2 3-row moving avg, W3 30-day range-frame sum per customer",
+    (s, d) => {
+      val wRows = wCust.rowsBetween(-2, Window.currentRow)
+      val wRange = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        (sum(col("o_totalprice").cast(Money)).over(wRows).cast("double")
+          / count(lit(1)).over(wRows)).as("mavg3_price"),
+        sum(col("o_totalprice").cast(Money)).over(wRange).cast("double").as("sum_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    // DuckDB RANGE frames need an orderable numeric: use epoch seconds on
+    // both sides. Ties on (date) inside a RANGE frame include all peers on
+    // both engines (ANSI), so results agree even with same-day orders.
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg3_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+    FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // --- q20: lag/lead offsets. Ops: W4.
+  private val q20 = Q(
+    "q20_window_lag_lead",
+    "W4 diff/shift: gap in days to previous/next order per customer",
+    (s, d) => {
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(wCust)).as("days_since_prev"),
+        datediff(lead(col("o_orderdate"), 1).over(wCust), col("o_orderdate")).as("days_to_next"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(wCust))
+          .cast("decimal(18,6)").cast("double").as("price_delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(date_diff('day',
+        LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        o_orderdate) AS INT) AS days_since_prev,
+      CAST(date_diff('day', o_orderdate,
+        LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS INT)
+        AS days_to_next,
+      CAST(CAST(o_totalprice - LAG(o_totalprice, 1)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        AS DECIMAL(18,6)) AS DOUBLE) AS price_delta
+    FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // --- q21: ranking family. Ops: W6.
+  private val q21 = Q(
+    "q21_window_rank",
+    "W6 rank/dense_rank/percent_rank/ntile/first/last per customer by price",
+    (s, d) => {
+      val wPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wAll = wPrice.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(wPrice).as("rnk"),
+        dense_rank().over(wPrice).as("drnk"),
+        percent_rank().over(wPrice).as("prnk"),
+        ntile(4).over(wPrice).as("quartile"),
+        first(col("o_orderkey")).over(wAll).as("best_order"),
+        last(col("o_orderkey")).over(wAll).as("worst_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(RANK() OVER w AS INT) AS rnk,
+      CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      PERCENT_RANK() OVER w AS prnk,
+      CAST(NTILE(4) OVER w AS INT) AS quartile,
+      FIRST_VALUE(o_orderkey) OVER
+        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_order,
+      LAST_VALUE(o_orderkey) OVER
+        (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS worst_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""))
+
+  // --- q22: top-k per group via window (the distributed nlargest-per-key
+  //     idiom; O3 at group granularity).
+  private val q22 = Q(
+    "q22_window_topk_per_group",
+    "O3/W6 top-2 orders per customer (row_number filter)",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 2
+    ORDER BY o_custkey, rn"""))
+
+  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22)
+}
