@@ -11,7 +11,9 @@ object SparkEntry {
   private def modules: Seq[Q.Module] = Seq(
     graft.queries.Relational,
     graft.queries.Windows,
-    graft.queries.Aggs)
+    graft.queries.Aggs,
+    graft.queries.Events,
+    graft.queries.Vectors)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.defs)

@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semi-structured + event-time analytics over the `events` stream table:
+  * SURVEY.md §2.8 (json family), §2.9 ST1-ST3 in batch form, §2.3 J5
+  * (as-of join).
+  *
+  * Timestamp parity: the parquet column is INT64 TIMESTAMP(NANOS). Spark
+  * (with `nanosAsLong`) sees nanoseconds since epoch as BIGINT; DuckDB 1.x
+  * truncates to microsecond TIMESTAMP on read. All event-time math therefore
+  * runs on `ts div 1000` microseconds — the shared precision — and
+  * timestamps surface as TIMESTAMP_NTZ(µs) on both sides.
+  *
+  * Scale notes (100 TB): bucketing is pure integer arithmetic inside the
+  * scan projection (no shuffle until the aggregate); sessionization and
+  * as-of attribution are one shuffle on user_id + a partition-local sort —
+  * the streaming-equivalent state machine expressed as a window, which AQE
+  * can still skew-split. Nothing materializes per-event state on the driver.
+  */
+object Events extends Q.Module {
+
+  // Integer division — `ts / 1000` would round through double and land
+  // 1 µs off on half-boundaries; DuckDB truncates ns→µs on read.
+  private def micros = expr("ts div 1000")
+
+  // --- q35: JSON extraction from the props column. Ops: §2.8 json.
+  private val q35 = Q(
+    "q35_json_extract",
+    "json: get_json_object k-value stats per event_type",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+      MIN(CAST(props->>'k' AS INT)) AS min_k,
+      MAX(CAST(props->>'k' AS INT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // --- q36: tumbling event-time window aggregation (ST1, batch).
+  private val q36 = Q(
+    "q36_window_tumbling",
+    "ST1 tumbling 10-min window agg per event_type",
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("etime", timestamp_micros(micros))
+        .groupBy(window(col("etime"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("ws"),
+          col("window.end").cast("timestamp_ntz").as("we"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+    Some(s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+      time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS we,
+      event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+    FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
+
+  // --- q37: sliding event-time window (ST2, batch). Each event lands in
+  //     width/slide = 2 windows; the oracle materializes both candidates.
+  private val q37 = Q(
+    "q37_window_sliding",
+    "ST2 sliding 10-min/5-min window counts",
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("etime", timestamp_micros(micros))
+        .groupBy(window(col("etime"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("ws"),
+          col("n"), col("total_value"))
+        .orderBy(col("ws"))
+    },
+    Some(s"""WITH cand AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events)
+    SELECT ws, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+    FROM cand GROUP BY ws ORDER BY ws"""))
+
+  // --- q38: sessionization via the gap-and-running-sum idiom (ST3 in its
+  //     oracle-checkable batch form; q40 shows the session_window builtin).
+  private val q38 = Q(
+    "q38_sessionize",
+    "ST3 sessionization: 30-min-gap sessions per user (lag+cumsum idiom)",
+    (s, d) => {
+      val gapUs = 30L * 60 * 1000000
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), micros.as("us"), col("value"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(wOrd) > gapUs
+            || lag(col("us"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(wCum))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          timestamp_micros(min(col("us"))).cast("timestamp_ntz").as("sess_start"),
+          timestamp_micros(max(col("us"))).cast("timestamp_ntz").as("sess_end"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+    Some(s"""WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+          OR LAG(epoch_us(ts), 1)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    t2 AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM t)
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+      make_timestamp(MIN(us)) AS sess_start,
+      make_timestamp(MAX(us)) AS sess_end,
+      ${dsumSql("value")} AS total_value
+    FROM t2 GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
+
+  // --- q39: as-of join (J5): attribute each purchase to the latest view
+  //     at-or-before it for the same user. Spark has no asof builtin; the
+  //     scalable pattern is union-tag + last(ignoreNulls) over one ordered
+  //     window — a single shuffle on user_id, no range-join blowup.
+  private val q39 = Q(
+    "q39_asof_join",
+    "J5 merge_asof: purchase → most recent prior view per user",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), micros.as("us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), lit(0).as("kind"),
+          col("event_id"), col("event_id").as("view_id"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("view_id"))
+      // At equal timestamps a view sorts before the purchase (kind 0<1), so
+      // `ts <=` semantics hold; among equal-ts views the later event_id wins.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purch)
+        .withColumn("attr_view", last(col("view_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("attr_view"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+      (SELECT v.event_id FROM events v
+       WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+       ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS attr_view
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id"""))
+
+  // --- q40: session_window builtin (ST3). Session end/gap semantics are
+  //     Spark-specific, so no oracle — driver records rows>0.
+  private val q40 = Q(
+    "q40_session_window_builtin",
+    "ST3 session_window builtin demo (no oracle: Spark-specific end bounds)",
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("etime", timestamp_micros(micros))
+        .groupBy(col("user_id"), session_window(col("etime"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"), col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+    None)
+
+  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40)
+}

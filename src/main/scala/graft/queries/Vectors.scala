@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Array / vector operations over `embeddings.embedding: ARRAY<FLOAT>`:
+  * SURVEY.md §2.8 (array family), §2.11 similarity search (exact kNN here;
+  * the LSH-bucketed scale path lives in the dedup/similarity module).
+  *
+  * Float determinism: every arithmetic op is an explicit CAST-to-double
+  * higher-order function — `aggregate`/`zip_with` fold sequentially
+  * left-to-right, and DuckDB's `list_sum(list_transform(...))` does the
+  * same, so dot products and cosines are bit-identical across engines
+  * (verified empirically on the fixtures). Native engine kernels
+  * (`list_cosine_similarity`) and float→decimal casts are NOT bit-stable
+  * across engines and are never used in oracle-checked queries.
+  *
+  * Scale notes (100 TB): per-row array ops are whole-stage-codegen'd
+  * projections — no shuffle, no UDF. Exact kNN broadcasts the (small) query
+  * set and streams the candidate side; per-query top-k runs as one window
+  * on the score. At a billion candidates you'd switch to the LSH variant;
+  * the brute-force plan is still the correctness baseline.
+  */
+object Vectors extends Q.Module {
+
+  /** Sequential left-to-right double dot product of two float arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** DuckDB twin of `dot` (same sequential fold). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def norm2Sql(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (SQRT(${norm2Sql(a)}) * SQRT(${norm2Sql(b)})))"
+
+  // --- q41: element-level array functions. Ops: §2.8 array family.
+  private val q41 = Q(
+    "q41_array_funcs",
+    "array: size/element_at/min/max/filter/exists on embeddings",
+    (s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        element_at(col("embedding"), 1).as("first_val"),
+        array_min(col("embedding")).as("vmin"),
+        array_max(col("embedding")).as("vmax"),
+        size(filter(col("embedding"), _ > lit(0.0f))).cast("long").as("n_pos"),
+        exists(col("embedding"), _ > lit(0.5f)).as("has_big"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, len(embedding) AS n_dims,
+      embedding[1] AS first_val,
+      list_min(embedding) AS vmin, list_max(embedding) AS vmax,
+      len(list_filter(embedding, x -> x > 0.0)) AS n_pos,
+      len(list_filter(embedding, x -> x > 0.5)) > 0 AS has_big
+    FROM embeddings ORDER BY vec_id"""))
+
+  // --- q42: norms + per-label norm stats. Ops: array arithmetic (dask.array
+  //     elementwise + reduction).
+  private val q42 = Q(
+    "q42_vector_norms",
+    "array reductions: L2 norm per vector, extremes per label",
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), sqrt(norm2(col("embedding"))).as("l2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(col("l2")).as("min_l2"),
+          max(col("l2")).as("max_l2"))
+        .orderBy(col("label"))
+    },
+    Some(s"""SELECT label, COUNT(*) AS n,
+      MIN(SQRT(${norm2Sql("embedding")})) AS min_l2,
+      MAX(SQRT(${norm2Sql("embedding")})) AS max_l2
+    FROM embeddings GROUP BY label ORDER BY label"""))
+
+  // --- q43: pairwise cosine along consecutive ids (zip_with / dot).
+  private val q43 = Q(
+    "q43_cosine_pairs",
+    "array: bit-deterministic cosine between consecutive vectors",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      a.join(b, col("idb") === col("ida") + 1)
+        .select(col("ida"), col("idb"),
+          dot(col("ea"), col("eb")).as("dot_ab"),
+          cosine(col("ea"), col("eb")).as("cos_ab"))
+        .orderBy(col("ida"))
+    },
+    Some(s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
+      ${dotSql("a.embedding", "b.embedding")} AS dot_ab,
+      ${cosineSql("a.embedding", "b.embedding")} AS cos_ab
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    ORDER BY ida"""))
+
+  // --- q44: exact brute-force kNN: top-5 cosine neighbors for 20 query
+  //     vectors. Ops: §2.11 similarity search (exact baseline), J9.
+  private val q44 = Q(
+    "q44_knn_exact",
+    "similarity search: exact cosine top-5 neighbors for 20 queries",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("int").as("rank"), col("cid"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""SELECT qid, CAST(rank AS INT) AS rank, cid, score FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+        ${cosineSql("q.embedding", "c.embedding")} AS score,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 20)
+    WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  // --- q45: per-label centroid (mean vector). Row-order-dependent double
+  //     sums across rows → no cross-engine oracle; driver records rows>0.
+  //     Plan shape: posexplode → (label, dim) partial/final agg →
+  //     sorted re-assembly; scales as sum, not as collect.
+  private val q45 = Q(
+    "q45_vector_centroid",
+    "array: per-label mean embedding via posexplode (no oracle: fp sums)",
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("mean_v"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
+        .select(col("label"), transform(col("pairs"), p => p("mean_v")).as("centroid"))
+        .orderBy(col("label"))
+    },
+    None)
+
+  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45)
+}
