@@ -13,7 +13,10 @@ object SparkEntry {
     graft.queries.Windows,
     graft.queries.Aggs,
     graft.queries.Events,
-    graft.queries.Vectors)
+    graft.queries.Vectors,
+    graft.queries.Dedup,
+    graft.queries.TextAnalysis,
+    graft.queries.Multimodal)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.defs)

@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents`: SURVEY.md §2.11 ✦ — exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+  * near-dup.
+  *
+  * Determinism across engines: every similarity is integer set arithmetic
+  * (shingle counts) or a single double division at the end; every hash is
+  * md5/sha2 of a string, which both engines print as identical lowercase
+  * hex. At production scale you would swap md5-string mins for xxhash64
+  * (8 bytes, no string churn) — the algorithms below are hash-agnostic,
+  * md5 is chosen so the DuckDB oracle can recompute the identical value.
+  *
+  * Scale notes (100 TB): the shingle inverted index is the one shuffle;
+  * candidate generation joins on shingle/band/bucket keys only — never an
+  * all-pairs product. Hot shingles (stopword trigrams) are the skew risk:
+  * at scale you drop shingles with document frequency above a cutoff
+  * before the join (standard MinHash practice), which bounds the join
+  * fan-out; AQE skew-join splitting covers the remainder.
+  */
+object Dedup extends Q.Module {
+
+  /** (doc_id, shingle) rows: distinct word-3-gram shingles per document. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(w) - 2),
+            i => concat_ws(" ", slice(w, i, lit(3)))))).as("shingle"))
+  }
+
+  private val shinglesSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    iw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
+    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM iw)"""
+
+  /** Exact-Jaccard pairs from the shingle inverted index (no all-pairs). */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("shingle"))
+    val b = sh.select(col("doc_id").as("db"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jacc",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+  }
+
+  private val jaccardPairsSql =
+    """sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+    pr AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+           FROM sh a JOIN sh b USING(shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jp AS (SELECT da, db, inter, sa.n na, sb.n nb,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jacc
+           FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)"""
+
+  // --- q46: exact dedup by content hash. The corpus doubles every 10th doc
+  //     under a shifted id so there is something to deduplicate.
+  private val q46 = Q(
+    "q46_dedup_exact",
+    "✦ exact dedup: sha2 content hash, keep min doc_id per group",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      corpus
+        .withColumn("h", sha2(col("text"), 256))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_copies"))
+        .select(col("kept_id"), col("n_copies"), col("h"))
+        .orderBy(col("kept_id"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
+    SELECT MIN(doc_id) AS kept_id, COUNT(*) AS n_copies, sha256(text) AS h
+    FROM corpus GROUP BY sha256(text) ORDER BY kept_id"""))
+
+  // --- q47: exact n-gram Jaccard near-dup via shingle inverted index.
+  private val q47 = Q(
+    "q47_dedup_ngram_jaccard",
+    "✦ n-gram Jaccard near-dup: inverted-index pairs, jacc >= 0.5",
+    (s, d) => {
+      jaccardPairs(shingles(s, d))
+        .filter(col("jacc") >= 0.5)
+        .select(col("da"), col("db"), col("inter"), col("jacc"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH $shinglesSql, $jaccardPairsSql
+    SELECT da, db, inter, jacc FROM jp WHERE jacc >= 0.5 ORDER BY da, db"""))
+
+  // --- q48: MinHash + LSH banding. 8 seeded md5-min signatures, 2 bands of
+  //     4 → candidates on band equality → exact-Jaccard verification.
+  private val q48 = Q(
+    "q48_dedup_minhash_lsh",
+    "✦ MinHash+LSH: band-bucket candidates, verified jacc >= 0.5",
+    (s, d) => {
+      val sh = shingles(s, d)
+      def mh(i: Int): Column =
+        min(md5(concat_ws(":", lit(i), col("shingle")))).as(s"m$i")
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(mh(0), (1 to 7).map(mh): _*)
+      val banded = sig.select(col("doc_id"),
+        explode(array(
+          md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))),
+          md5(concat(col("m4"), col("m5"), col("m6"), col("m7"))))).as("band"))
+      val cand = banded.select(col("doc_id").as("da"), col("band"))
+        .join(banded.select(col("doc_id").as("db"), col("band")), Seq("band"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      // Verify candidates with the exact Jaccard (at scale: verify-only-
+      // candidates; the inverted index is reused here for oracle parity).
+      cand.join(jaccardPairs(sh), Seq("da", "db"))
+        .filter(col("jacc") >= 0.5)
+        .select(col("da"), col("db"), col("jacc"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH $shinglesSql, $jaccardPairsSql,
+    sig AS (SELECT doc_id,
+      MIN(md5('0:' || shingle)) m0, MIN(md5('1:' || shingle)) m1,
+      MIN(md5('2:' || shingle)) m2, MIN(md5('3:' || shingle)) m3,
+      MIN(md5('4:' || shingle)) m4, MIN(md5('5:' || shingle)) m5,
+      MIN(md5('6:' || shingle)) m6, MIN(md5('7:' || shingle)) m7
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, md5(m0 || m1 || m2 || m3) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, md5(m4 || m5 || m6 || m7) FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+             FROM banded a JOIN banded b USING(band) WHERE a.doc_id < b.doc_id)
+    SELECT jp.da AS da, jp.db AS db, jp.jacc AS jacc
+    FROM cand JOIN jp ON jp.da = cand.da AND jp.db = cand.db
+    WHERE jacc >= 0.5 ORDER BY jp.da, jp.db"""))
+
+  // --- q49: SimHash fingerprints + banded Hamming near-dup.
+  //     32-bit fingerprint from md5-derived word hashes weighted by term
+  //     count; 4 bands of 8 bits guarantee (pigeonhole) every pair with
+  //     Hamming distance <= 3 shares a band.
+  private val q49 = Q(
+    "q49_dedup_simhash",
+    "✦ SimHash: 32-bit weighted fingerprint, banded pairs hamming <= 3",
+    (s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h32", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      val fp = wc
+        .select(col("doc_id"), col("cnt"), col("h32"),
+          explode(sequence(lit(0), lit(31))).as("j"))
+        .withColumn("contrib",
+          col("cnt") * (expr("(h32 div CAST(pow(2, j) AS LONG)) % 2") * 2 - 1))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("contrib")).as("sj"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("sj") > 0, expr("CAST(pow(2, j) AS LONG)")).otherwise(0L)).as("fp"))
+      val banded = fp.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bandval", expr("(fp div CAST(pow(2, b * 8) AS LONG)) % 256"))
+      banded.select(col("doc_id").as("da"), col("fp").as("fa"), col("b"), col("bandval"))
+        .join(banded.select(col("doc_id").as("db"), col("fp").as("fb"), col("b"), col("bandval")),
+          Seq("b", "bandval"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"), expr("bit_count(fa ^ fb)").as("hamming")).distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""WITH wc AS (
+      SELECT doc_id, word, COUNT(*) cnt,
+        CAST(list_sum(list_transform(generate_series(1, 8),
+          k -> (strpos('0123456789abcdef', substr(md5(word), k, 1)) - 1)
+               * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) AS h32
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, word),
+    bits AS (SELECT doc_id, j,
+        SUM(cnt * (((h32 // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)) AS sj
+      FROM wc, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j),
+    fp AS (SELECT doc_id,
+        CAST(SUM(CASE WHEN sj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id),
+    banded AS (SELECT doc_id, fp, b, (fp // CAST(power(2, b * 8) AS BIGINT)) % 256 AS bandval
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b))
+    SELECT DISTINCT a.doc_id da, b.doc_id db,
+      CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM banded a JOIN banded b USING(b, bandval)
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+    ORDER BY da, db"""))
+
+  // --- q50: embedding-cosine near-dup, blocked by label (the realistic
+  //     blocking key; the unblocked scale path is LSH — q56).
+  private val q50 = Q(
+    "q50_dedup_embedding_cosine",
+    "✦ embedding near-dup: same-label pairs with cosine >= 0.35",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      def n2(a: Column): Column =
+        aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+      val a = e.select(col("label"), col("vec_id").as("da"), col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("db"), col("embedding").as("eb"))
+      a.join(b, Seq("label")).filter(col("da") < col("db"))
+        .withColumn("score", dot(col("ea"), col("eb"))
+          / (sqrt(n2(col("ea"))) * sqrt(n2(col("eb")))))
+        .filter(col("score") >= 0.35)
+        .select(col("label"), col("da"), col("db"), col("score"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""SELECT a.label, a.vec_id da, b.vec_id db,
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        AS score
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        >= 0.35
+    ORDER BY da, db"""))
+
+  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50)
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: SURVEY.md §2.11 ✦. Media are opaque
+  * `binary` payloads with typed metadata; decode / feature-extract runs as
+  * a typed `mapPartitions` batch over the bytes (the Scala counterpart of
+  * a Pandas-UDF `mapInPandas` stage). No media libraries ship in this
+  * environment, so the "decoder" is a deterministic stub over the payload
+  * bytes — the Spark-side contract (schema, batching, partition-local
+  * execution, no driver collect) is the real, tested part.
+  *
+  * Scale notes (100 TB): payloads never leave their partition; the decode
+  * stage is narrow (no shuffle) and streams an iterator — constant memory
+  * per task regardless of corpus size. Real decoders slot into
+  * `decodeStub` unchanged.
+  */
+object Multimodal extends Q.Module {
+
+  /** Stub "decoder": deterministic features from raw payload bytes. */
+  private def decodeStub(docId: Long, payload: Array[Byte]): (Long, Long, Int, Int, Long) = {
+    val n = payload.length.toLong
+    // Fake dimensions a real image decoder would produce from the header.
+    val w = (n % 640).toInt
+    val h = ((n * 7) % 480).toInt
+    var headSum = 0L
+    var i = 0
+    while (i < 16 && i < payload.length) { headSum += payload(i) & 0xff; i += 1 }
+    (docId, n, w, h, headSum)
+  }
+
+  // --- q55: binary payload ingestion + partition-local feature extraction.
+  private val q55 = Q(
+    "q55_multimodal_decode",
+    "✦ multimodal: binary payload → mapPartitions decode-stub features",
+    (s, d) => {
+      import s.implicits._
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
+        .toDF("doc_id", "n_bytes", "fake_w", "fake_h", "head_sum")
+        .orderBy(col("doc_id"))
+    },
+    // The fixture text is pure ASCII, so byte features are recomputable
+    // from the string in DuckDB: strlen = bytes, ascii(char) = byte value.
+    Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      CAST(strlen(text) % 640 AS INT) AS fake_w,
+      CAST((strlen(text) * 7) % 480 AS INT) AS fake_h,
+      CAST(list_sum(list_transform(generate_series(1, LEAST(16, strlen(text))),
+        k -> ascii(substr(text, k, 1)))) AS BIGINT) AS head_sum
+    FROM documents ORDER BY doc_id"""))
+
+  // --- q56: frame sampling over a binary stream — slice the payload into
+  //     fixed-size "frames", keep every 4th, checksum each kept frame.
+  //     The audio/video analog of q55; pure byte plumbing, fully checked.
+  private val q56 = Q(
+    "q56_multimodal_frames",
+    "✦ multimodal: fixed-size frame split + stride sampling + checksum",
+    (s, d) => {
+      import s.implicits._
+      val frameLen = 64
+      val bin = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions(_.flatMap { case (id, payload) =>
+        payload.grouped(frameLen).zipWithIndex.collect {
+          case (frame, idx) if idx % 4 == 0 =>
+            (id, idx, frame.length, frame.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        }
+      })
+        .toDF("doc_id", "frame_idx", "frame_len", "frame_sum")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""WITH f AS (
+      SELECT doc_id, text, unnest(generate_series(0, (strlen(text) - 1) // 64)) AS frame_idx
+      FROM documents)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      CAST(LEAST(64, strlen(text) - frame_idx * 64) AS INT) AS frame_len,
+      CAST(list_sum(list_transform(
+        generate_series(1, LEAST(64, strlen(text) - frame_idx * 64)),
+        k -> ascii(substr(text, frame_idx * 64 + k, 1)))) AS BIGINT) AS frame_sum
+    FROM f WHERE frame_idx % 4 = 0
+    ORDER BY doc_id, frame_idx"""))
+
+  def defs: Seq[Q] = Seq(q55, q56)
+}

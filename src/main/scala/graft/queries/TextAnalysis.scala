@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents`: SURVEY.md §2.11 ✦ — quality scoring,
+  * language-ID heuristic, token counting, document fingerprinting.
+  *
+  * All metrics are integer counts with at most one final double division,
+  * so Spark and DuckDB agree bit-for-bit. Everything is a codegen'd
+  * projection + one aggregate — no UDFs, no shuffle beyond the final
+  * group-by, which is the shape that survives 100 TB.
+  */
+object TextAnalysis extends Q.Module {
+
+  // --- q51: quality scoring (length/stopword/diversity components).
+  private val q51 = Q(
+    "q51_text_quality",
+    "✦ quality score: word stats, stopword ratio, lexical diversity",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val stop = Seq("the", "a")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        size(filter(w, x => x.isin(stop.map(lit(_)): _*))).cast("long").as("n_stop"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+        .withColumn("diversity", col("n_distinct").cast("double") / col("n_words"))
+        .withColumn("quality", col("diversity") * (lit(1.0) - col("stop_ratio")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, len(text) AS n_chars,
+      len(string_split(text, ' ')) AS n_words,
+      len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' ')) AS stop_ratio,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) AS diversity,
+      (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')))
+      * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' '))) AS quality
+    FROM documents ORDER BY doc_id"""))
+
+  // --- q52: language-ID by marker-word profile (n-gram heuristic family).
+  //     The fixture text is synthetic, so the interesting part is the
+  //     pipeline shape: per-language marker hit counts → argmax → compare
+  //     to the labeled lang.
+  private val q52 = Q(
+    "q52_text_langid",
+    "✦ language-ID heuristic: marker-word hits vs labeled lang",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val en = Seq("the", "a", "value", "fast")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("labeled"),
+        size(filter(w, x => x.isin(en.map(lit(_)): _*))).cast("long").as("n_en_markers"),
+        size(w).cast("long").as("n_words"))
+        .withColumn("en_score", col("n_en_markers").cast("double") / col("n_words"))
+        .withColumn("predicted", when(col("en_score") > 0.05, "en").otherwise("und"))
+        .withColumn("agree", col("predicted") === col("labeled"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang AS labeled,
+      len(list_filter(string_split(text, ' '), x -> x IN ('the','a','value','fast'))) AS n_en_markers,
+      len(string_split(text, ' ')) AS n_words,
+      CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','value','fast'))) AS DOUBLE)
+        / len(string_split(text, ' ')) AS en_score,
+      CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','value','fast'))) AS DOUBLE)
+        / len(string_split(text, ' ')) > 0.05 THEN 'en' ELSE 'und' END AS predicted,
+      (CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','value','fast'))) AS DOUBLE)
+        / len(string_split(text, ' ')) > 0.05 THEN 'en' ELSE 'und' END) = lang AS agree
+    FROM documents ORDER BY doc_id"""))
+
+  // --- q53: token counting — whitespace + regex tokenizers, corpus rollup.
+  private val q53 = Q(
+    "q53_text_tokens",
+    "✦ token counts: whitespace + regex tokenizers, per-lang totals",
+    (s, d) => {
+      Tables.documents(s, d).select(
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("re_tokens")).as("total_re_tokens"),
+          (sum(col("n_chars")).cast("double") / sum(col("ws_tokens"))).as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_re_tokens,
+      CAST(SUM(len(text)) AS DOUBLE) / SUM(len(string_split(text, ' '))) AS chars_per_token
+    FROM documents GROUP BY lang ORDER BY lang"""))
+
+  // --- q54: document fingerprint — position-weighted word-hash mod prime.
+  //     Order-sensitive (a permuted document fingerprints differently),
+  //     portable (single mod of an exact integer sum). A multiplicative
+  //     rolling hash needs a sequential fold, which DuckDB SQL cannot
+  //     express — at scale you'd use xxhash64 + aggregate() HOF in Spark.
+  private val q54 = Q(
+    "q54_text_fingerprint",
+    "✦ fingerprint: position-weighted word-hash mod 1e9+7 per doc",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .withColumn("h32", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(pmod(sum((col("pos") + 1) * col("h32")), lit(1000000007L)).as("fp"),
+          count(lit(1)).as("n_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH iw AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+    h AS (SELECT doc_id, i,
+      CAST(list_sum(list_transform(generate_series(1, 8),
+        k -> (strpos('0123456789abcdef', substr(md5(ws[i]), k, 1)) - 1)
+             * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) AS h32
+      FROM iw)
+    SELECT doc_id, CAST(SUM(i * h32) % 1000000007 AS BIGINT) AS fp, COUNT(*) AS n_words
+    FROM h GROUP BY doc_id ORDER BY doc_id"""))
+
+  def defs: Seq[Q] = Seq(q51, q52, q53, q54)
+}

@@ -151,5 +151,51 @@ object Vectors extends Q.Module {
     },
     None)
 
-  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45)
+  // --- q57: LSH-bucketed ANN — the scale path for q44. Sign-random-
+  //     projection: 4 pseudo-random hyperplanes (md5-derived ±1 coeffs, so
+  //     the oracle can rebuild them), 16 buckets, candidate pairs only
+  //     within a bucket, exact cosine on candidates. At 1e9 vectors the
+  //     all-pairs q44 plan is impossible; this plan is one shuffle on the
+  //     bucket key with per-bucket pair generation.
+  private val q57 = Q(
+    "q57_ann_lsh_buckets",
+    "✦ ANN via sign-random-projection LSH buckets + exact rerank",
+    (s, d) => {
+      // coeff(p, j) = +1 iff first md5 nibble of "p:j" < 8; proj/fold is
+      // sequential so the double accumulation is bit-stable cross-engine.
+      def coeff(p: Column, j: Column): Column =
+        when(conv(substring(md5(concat_ws(":", p, j)), 1, 1), 16, 10) < 8, 1.0)
+          .otherwise(-1.0)
+      def bucket(e: Column): Column =
+        aggregate(sequence(lit(0), lit(3)), lit(0L),
+          (acc, p) => acc + when(
+            aggregate(sequence(lit(0), lit(63)), lit(0.0),
+              (accj, j) => accj + element_at(e, j + 1).cast("double") * coeff(p, j))
+              > 0, pow(lit(2.0), p).cast("long")).otherwise(0L))
+      val eb = Tables.embeddings(s, d)
+        .withColumn("bucket", bucket(col("embedding")))
+      val a = eb.select(col("bucket"), col("vec_id").as("da"), col("embedding").as("ea"))
+      val b = eb.select(col("bucket"), col("vec_id").as("db"), col("embedding").as("eb"))
+      a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+        .withColumn("score", cosine(col("ea"), col("eb")))
+        .filter(col("score") >= 0.3)
+        .select(col("bucket"), col("da"), col("db"), col("score"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH eb AS (
+      SELECT vec_id, embedding,
+        CAST(list_sum(list_transform(generate_series(0, 3), p ->
+          CASE WHEN list_sum(list_transform(generate_series(1, 64), j ->
+              CAST(embedding[j] AS DOUBLE) *
+              (CASE WHEN strpos('01234567', substr(md5(p || ':' || (j - 1)), 1, 1)) > 0
+                    THEN 1.0 ELSE -1.0 END))) > 0
+               THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings)
+    SELECT a.bucket AS bucket, a.vec_id AS da, b.vec_id AS db,
+      ${cosineSql("a.embedding", "b.embedding")} AS score
+    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+    ORDER BY da, db"""))
+
+  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57)
 }
