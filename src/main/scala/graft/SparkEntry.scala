@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Vectors,
     graft.queries.Dedup,
     graft.queries.TextAnalysis,
-    graft.queries.Multimodal)
+    graft.queries.Multimodal,
+    graft.queries.Sources)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.defs)

@@ -85,13 +85,16 @@ object Relational extends Q.Module {
           && !(col("l_linestatus") === "F") || col("l_quantity") > 49)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_discount"), col("l_returnflag"), col("l_linestatus"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order
+        // by every output column so ties cannot reorder across engines.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
     FROM lineitem
     WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
       AND l_returnflag IN ('A','R') AND NOT (l_linestatus = 'F') OR l_quantity > 49
-    ORDER BY l_orderkey, l_linenumber"""))
+    ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus"""))
 
   // --- q04: conditional expressions. Ops: P8, §2.8 conditional family.
   private val q04 = Q(

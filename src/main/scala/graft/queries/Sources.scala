@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources, sinks and null handling: SURVEY.md §2.1 (S1/S3/S6 csv, text,
+  * json-lines round-trips), §2.2 P7 (fillna/dropna), P9 (sample).
+  *
+  * Round-trip queries write a sink under java.io.tmpdir and read it back in
+  * the same plan — exercising the writer/reader pair end-to-end. Doubles
+  * survive CSV round-trips exactly (shortest-round-trip formatting), which
+  * the oracle (reading the ORIGINAL parquet) proves.
+  */
+object Sources extends Q.Module {
+
+  private def tmp(name: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_src_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  // --- q58: CSV sink + glob scan with explicit schema (S1, S6).
+  private val q58 = Q(
+    "q58_source_csv_roundtrip",
+    "S1/S6 csv: write part to CSV, re-read with schema, aggregate",
+    (s, d) => {
+      val path = tmp("csv", d)
+      Tables.part(s, d).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType), StructField("p_name", StringType),
+        StructField("p_brand", StringType), StructField("p_type", StringType),
+        StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+      s.read.option("header", "true").schema(schema).csv(path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""SELECT p_brand, COUNT(*) AS n, ${dsumSql("p_retailprice")} AS total_price
+    FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  // --- q59: text-lines sink/scan, the bag/read_text shape (S3, S6).
+  private val q59 = Q(
+    "q59_source_textlines",
+    "S3 read_text: write document bodies as text lines, re-read, tokenize",
+    (s, d) => {
+      val path = tmp("txt", d)
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(size(split(col("value"), " ")).cast("long").as("n_tokens"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+    },
+    Some("""SELECT COUNT(*) AS n_lines,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+      CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents"""))
+
+  // --- q60: JSON-lines sink/scan (S3/S6; bag-of-dicts shape).
+  private val q60 = Q(
+    "q60_source_jsonlines",
+    "S3 json-lines: write events subset as JSONL, re-read, aggregate",
+    (s, d) => {
+      val path = tmp("json", d)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(path)
+      s.read.json(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // --- q61: fillna over join-produced nulls (P7).
+  private val q61 = Q(
+    "q61_nulls_fillna",
+    "P7 fillna: left join orders-1997, na.fill defaults, isNull flag",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1997)
+        .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("spend_97"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .withColumn("no_orders_97", col("spend_97").isNull)
+        .na.fill(Map("spend_97" -> -1.0))
+        .select(col("c_custkey"), col("no_orders_97"), col("spend_97"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""SELECT c_custkey, spend_97 IS NULL AS no_orders_97,
+      COALESCE(spend_97, -1.0) AS spend_97
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, ${dsumSql("o_totalprice")} AS spend_97
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+    ORDER BY c_custkey"""))
+
+  // --- q62: dropna (P7) — dropping join-produced null rows == inner join.
+  private val q62 = Q(
+    "q62_nulls_dropna",
+    "P7 dropna: na.drop removes customers without 1996 orders",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders_96"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .na.drop(Seq("n_orders_96"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("n_orders_96")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_customers,
+      CAST(SUM(n_orders_96) AS BIGINT) AS n_orders
+    FROM customer JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders_96
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // --- q63: seeded sample + repartition + persist (P9, S7, S8). Sampling
+  //     is engine-specific → no oracle (driver records rows>0). The query
+  //     proves the sample is deterministic per seed by sampling twice and
+  //     intersecting.
+  private val q63 = Q(
+    "q63_sample_repartition",
+    "P9/S7/S8 sample(seed)+persist+repartition (no oracle: engine RNG)",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"))
+      val s1 = li.sample(withReplacement = false, 0.1, seed = 42)
+        .repartition(8).persist()
+      val s2 = li.sample(withReplacement = false, 0.1, seed = 42)
+      // exceptAll, not intersect: (l_orderkey, l_linenumber) is not unique
+      // in the fixture, and intersect would dedup identical sampled rows.
+      val stable = s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0
+      s1.withColumn("pid", spark_partition_id())
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("pid")).as("n_partitions"),
+          lit(stable).as("seed_stable"))
+    },
+    None)
+
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63)
+}
