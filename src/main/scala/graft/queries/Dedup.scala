@@ -117,9 +117,21 @@ object Dedup extends Q.Module {
         .join(banded.select(col("doc_id").as("db"), col("band")), Seq("band"))
         .filter(col("da") < col("db"))
         .select(col("da"), col("db")).distinct()
-      // Verify candidates with the exact Jaccard (at scale: verify-only-
-      // candidates; the inverted index is reused here for oracle parity).
-      cand.join(jaccardPairs(sh), Seq("da", "db"))
+      // Verify ONLY the LSH candidates — never the full pair space. The
+      // candidate set is tiny (near-dups + band collisions), so the exact
+      // Jaccard runs on a broadcast-joinable sliver of the inverted index;
+      // this is what makes MinHash+LSH viable at 1e9 documents where the
+      // full inverted-index self-join (q47) is not.
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= 0.5)
         .select(col("da"), col("db"), col("jacc"))
         .orderBy(col("da"), col("db"))

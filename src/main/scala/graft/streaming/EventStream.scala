@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event after timestamp normalization (µs since epoch → Timestamp).
+  * Top-level: nested/private case classes break codegen'd encoders. */
+case class Ev(user_id: Long, etime: Timestamp, event_type: String, value: Double)
+
+/** One closed session per user. */
+case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+    n_events: Long, total_value: Double)
+
+/** Per-key sessionization state buffer. */
+case class SessState(start: Long, last: Long, n: Long, total: Double)
+
+/** Structured Streaming surface: SURVEY.md §2.9 ST1-ST5 in true streaming
+  * form (the batch twins live in queries/Events.scala, where the DuckDB
+  * oracle can check them).
+  *
+  * Every transform takes a DataFrame/Dataset so tests can feed a
+  * MemoryStream and production can feed `readStream` — the plan is
+  * identical either way, which is the point of Structured Streaming.
+  *
+  * Scale notes: state stores are per-key and incremental (watermark bounds
+  * state size); the file source at 100 TB shards by input split exactly
+  * like the batch scan. Nothing here collects to the driver.
+  */
+object EventStream {
+
+  /** Streaming scan of a directory containing `events.parquet` fixtures
+    * (INT64 nano timestamps), normalized to typed [[Ev]] rows. The file
+    * source needs a directory; `glob` narrows it to the events files. */
+  def fromEventsDir(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): Dataset[Ev] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("etime"),
+        col("event_type"), col("value"))
+      .as[Ev]
+  }
+
+  /** ST1/ST4: watermarked tumbling-window counts — late data beyond the
+    * watermark is dropped, state is bounded. */
+  def windowedCounts(events: DataFrame,
+      window_ : String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("etime", watermark)
+      .groupBy(window(col("etime"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** ST2: watermarked sliding windows. */
+  def slidingCounts(events: DataFrame,
+      window_ : String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("etime", watermark)
+      .groupBy(window(col("etime"), window_, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+
+  /** ST3: built-in session windows with watermark. */
+  def sessionCounts(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("etime", watermark)
+      .groupBy(col("user_id"), session_window(col("etime"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"), col("total_value"))
+
+  /** ST5: custom per-key state machine — gap-based sessionization with
+    * flatMapGroupsWithState. Emits a [[Session]] when the gap closes it.
+    * `timeout=NoTimeout` leaves the in-progress session in state until a
+    * later event closes it (pass ProcessingTimeTimeout in a long-running
+    * deployment to flush trailing sessions; AvailableNow triggers never
+    * quiesce with timeout-driven wakeups, so tests use NoTimeout).
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, timeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.etime.getTime)
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { ev =>
+              val t = ev.etime.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.total + ev.value))
+                case Some(s) =>
+                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessState(t, t, 1, ev.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, ev.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (useTimeout) state.setTimeoutDuration(gapMs)
+              case None =>
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Wire a streaming result to an in-memory table and run it to
+    * completion of the currently-available data (test/demo harness). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow self-terminates once the snapshot is processed.
+    q.awaitTermination()
+  }
+}

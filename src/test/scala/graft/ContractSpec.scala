@@ -1,0 +1,50 @@
+package graft
+
+/** Driver-contract invariants: the registry is well-formed, the flagship
+  * smoke query returns rows, and every registered query executes on the
+  * smallest fixture. */
+class ContractSpec extends SparkSuite {
+
+  test("query names are unique and oracle keys are a subset") {
+    val names = SparkEntry.queries.keySet
+    assert(names.nonEmpty)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names),
+      s"orphan oracle keys: ${SparkEntry.oracleSql.keySet -- names}")
+  }
+
+  test("entry (t1 smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle SQL mentions only fixture tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // FROM/JOIN targets must be fixture tables or inline subqueries.
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) =>
+        val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        // CTE names and aliases resolve before tables; only flag unknown
+        // refs that are not defined as CTEs in the same statement.
+        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+        name -> (refs -- tables -- ctes)
+    }.filter(_._2.nonEmpty)
+    // Inline VALUES/derived-table aliases are fine; just surface surprises.
+    val unknown = bad.filterNot { case (_, refs) =>
+      refs.forall(r => Set("t", "t2", "o", "r", "bands", "cand", "jp",
+        "sh", "sz", "pr", "sig", "banded", "wc", "bits", "fp", "iw", "h",
+        "w", "f", "eb", "e2", "cond").contains(r))
+    }
+    assert(unknown.isEmpty, unknown.mkString("\n"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Property-style tests (seeded random cases): distributed operators must
+  * agree with their obvious single-node Scala-collection semantics.
+  * (Plain seeded Random rather than scalatest+scalacheck bridging — the
+  * offline build resolves only scalatest and scalacheck themselves.) */
+class OperatorPropertySpec extends SparkSuite {
+
+  private def cases(n: Int)(body: Seq[(Int, Int)] => Unit): Unit = {
+    val rng = new Random(42)
+    (1 to n).foreach { _ =>
+      val xs = Seq.fill(20 + rng.nextInt(60))((rng.nextInt(10), rng.nextInt(2001) - 1000))
+      body(xs)
+    }
+  }
+
+  test("top-k (orderBy.limit) == sort-then-take") {
+    val rng = new Random(7)
+    cases(5) { xs =>
+      import spark.implicits._
+      val k = 1 + rng.nextInt(20)
+      val got = xs.toDF("key", "v").orderBy(col("v").desc, col("key"))
+        .limit(k).as[(Int, Int)].collect().toSeq
+      val want = xs.sortBy { case (key, v) => (-v, key) }.take(k)
+      assert(got == want, s"k=$k xs=$xs")
+    }
+  }
+
+  test("groupBy sum == Scala groupBy sum") {
+    cases(5) { xs =>
+      import spark.implicits._
+      val got = xs.toDF("key", "v").groupBy("key")
+        .agg(sum(col("v")).as("s")).as[(Int, Long)].collect().toMap
+      val want = xs.groupBy(_._1).map { case (k, g) => k -> g.map(_._2.toLong).sum }
+      assert(got == want)
+    }
+  }
+
+  test("except/intersect/union-distinct match set algebra") {
+    cases(3) { xs =>
+      val ys = xs.map { case (k, v) => (k, v ^ 3) }
+      import spark.implicits._
+      val a = xs.map(_._2).toDF("v")
+      val b = ys.map(_._2).toDF("v")
+      val sa = xs.map(_._2).toSet
+      val sb = ys.map(_._2).toSet
+      assert(a.intersect(b).as[Int].collect().toSet == (sa & sb))
+      assert(a.except(b).as[Int].collect().toSet == (sa -- sb))
+      assert(a.union(b).distinct().as[Int].collect().toSet == (sa | sb))
+    }
+  }
+
+  test("window cumulative sum == scanLeft") {
+    cases(3) { xs =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val df = xs.zipWithIndex.map { case ((k, v), i) => (k, i, v) }
+        .toDF("key", "idx", "v")
+      val w = Window.partitionBy("key").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.withColumn("cs", sum(col("v")).over(w))
+        .select("key", "idx", "cs").as[(Int, Int, Long)]
+        .collect().map { case (k, i, cs) => (k, i) -> cs }.toMap
+      val want = xs.zipWithIndex.groupBy(_._1._1).flatMap { case (k, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._1._2.toLong).tail)
+          .map { case (((_, _), i), cs) => (k, i) -> cs }
+      }
+      assert(got == want)
+    }
+  }
+
+  test("dot product HOF == local fold") {
+    import spark.implicits._
+    val rng = new Random(11)
+    val vs = Seq.fill(10)((Array.fill(16)(rng.nextFloat() - 0.5f),
+      Array.fill(16)(rng.nextFloat() - 0.5f)))
+    val df = vs.toDF("a", "b")
+    val got = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).as[Double].collect()
+    val want = vs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble } }
+    assert(got.toSeq == want)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Ev, EventStream, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Structured Streaming behavior through MemoryStream feeds: the streaming
+  * plans must agree with their batch twins over the same data. */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowedCounts over a stream == batch groupBy over same rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      Ev(1, ts(0), "view", 1.0), Ev(1, ts(3), "view", 2.0),
+      Ev(2, ts(11), "click", 3.0), Ev(1, ts(12), "view", 4.0),
+      Ev(2, ts(25), "click", 5.0))
+    val mem = MemoryStream[Ev]
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc_stream")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    // Append emits only watermark-closed windows; a far-future event
+    // advances the watermark past every real window.
+    mem.addData(Ev(9, ts(10000), "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wc_stream")
+      .filter(col("event_type") =!= "flush")
+      .select("ws", "event_type", "n").as[(Timestamp, String, Long)]
+      .collect().toSet
+    val want = evs.toDF()
+      .groupBy(window(col("etime"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessionize emits closed sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1: two events 5 min apart (one session), then a 90-min gap
+    // opens a second session -> first session must be emitted closed.
+    mem.addData(
+      Ev(1, ts(0), "view", 1.0), Ev(1, ts(5), "view", 2.0),
+      Ev(1, ts(95), "view", 3.0),
+      Ev(2, ts(1), "click", 9.0))
+    val out = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60000L)
+    val q = out.toDF().writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val closed = spark.table("sessions").as[Session].collect()
+    assert(closed.length == 1)
+    val s = closed.head
+    assert(s.user_id == 1 && s.n_events == 2 && s.total_value == 3.0)
+    assert(s.start == ts(0) && s.end == ts(5))
+  }
+
+  test("streaming file source over the events fixture produces rows") {
+    val ds = EventStream.fromEventsDir(spark, sfDir)
+    EventStream.runToMemory(
+      EventStream.windowedCounts(ds.toDF(), watermark = "0 seconds"),
+      "file_stream", OutputMode.Complete)
+    assert(spark.table("file_stream").count() > 0)
+  }
+}
