@@ -24,10 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends Q.Module {
 
-  /** (doc_id, shingle) rows: distinct word-3-gram shingles per document. */
+  /** (doc_id, shingle) rows: distinct word-3-gram shingles per document.
+    *
+    * The repartition is load-bearing: the fixture is one small parquet
+    * file → one input split, and the nested-HOF shingle construction runs
+    * in the interpreted evaluator (HigherOrderFunction nodes don't take
+    * part in whole-stage codegen) — without it the heaviest per-row work
+    * of the dedup family runs on a single core. Callers persist the
+    * result because 3-6 downstream subplans consume it. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(array_distinct(
           transform(sequence(lit(1), size(w) - 2),
@@ -39,18 +47,34 @@ object Dedup extends Q.Module {
     iw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
     sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM iw)"""
 
-  /** Exact-Jaccard pairs from the shingle inverted index (no all-pairs). */
+  /** Exact-Jaccard pairs from the shingle inverted index (no all-pairs).
+    *
+    * The pair self-join is explicitly a sort-merge join: Catalyst's size
+    * estimate after explode+distinct is unreliable and can pick a
+    * broadcast of the full inverted index — wasteful here, impossible at
+    * 100 TB. SMJ shuffles both sides by shingle and spills gracefully. */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("da"), col("shingle"))
-    val b = sh.select(col("doc_id").as("db"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+    // Join on xxhash64(shingle), not the ~30-char string: the shuffle
+    // carries 8 bytes/key and the join compares longs. Distinct shingles
+    // per doc → a 64-bit collision would need two different shingles in
+    // the same document pair to collide (~2^-40 over the whole fixture).
+    val a = sh.select(col("doc_id").as("da"), xxhash64(col("shingle")).as("sid"))
+    val b = sh.select(col("doc_id").as("db"), xxhash64(col("shingle")).as("sid"))
+    a.join(b.hint("shuffle_hash"), Seq("sid")).filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       .withColumn("jacc",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
   }
+
+  /** DuckDB twin of `conv(substring(h,1,12),16,10)`: digit-weighted parse
+    * of 12 hex chars; every partial sum < 2^53 so the doubles are exact. */
+  private def hex12Sql(h: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 12), " +
+      s"k -> (strpos('0123456789abcdef', substr($h, k, 1)) - 1) " +
+      s"* CAST(power(16, 12 - k) AS BIGINT))) AS BIGINT)"
 
   private val jaccardPairsSql =
     """sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
@@ -90,7 +114,7 @@ object Dedup extends Q.Module {
     "q47_dedup_ngram_jaccard",
     "✦ n-gram Jaccard near-dup: inverted-index pairs, jacc >= 0.5",
     (s, d) => {
-      jaccardPairs(shingles(s, d))
+      jaccardPairs(shingles(s, d).persist())
         .filter(col("jacc") >= 0.5)
         .select(col("da"), col("db"), col("inter"), col("jacc"))
         .orderBy(col("da"), col("db"))
@@ -98,21 +122,32 @@ object Dedup extends Q.Module {
     Some(s"""WITH $shinglesSql, $jaccardPairsSql
     SELECT da, db, inter, jacc FROM jp WHERE jacc >= 0.5 ORDER BY da, db"""))
 
-  // --- q48: MinHash + LSH banding. 8 seeded md5-min signatures, 2 bands of
-  //     4 → candidates on band equality → exact-Jaccard verification.
+  // --- q48: MinHash + LSH banding. 8 seeded 48-bit minhash signatures,
+  //     2 bands of 4 → candidates on band equality → exact-Jaccard
+  //     verification of candidates only.
+  //
+  //     Numeric minhashes matter: min(STRING) falls back to SortAggregate
+  //     (no fixed-width agg buffer), min(LONG) stays in HashAggregate.
+  //     48 bits = 12 hex chars — the widest slice whose digit-weighted
+  //     oracle-side parse keeps every double partial sum exact (< 2^53).
+  //     The shared shingle/signature frames are persisted: the band
+  //     self-join and candidate verification would otherwise recompute the
+  //     scan→explode→aggregate pipeline up to six times.
   private val q48 = Q(
     "q48_dedup_minhash_lsh",
     "✦ MinHash+LSH: band-bucket candidates, verified jacc >= 0.5",
     (s, d) => {
-      val sh = shingles(s, d)
+      val sh = shingles(s, d).persist()
       def mh(i: Int): Column =
-        min(md5(concat_ws(":", lit(i), col("shingle")))).as(s"m$i")
+        min(conv(substring(md5(concat_ws(":", lit(i), col("shingle"))), 1, 12), 16, 10)
+          .cast("long")).as(s"m$i")
       val sig = sh.groupBy(col("doc_id"))
         .agg(mh(0), (1 to 7).map(mh): _*)
+        .persist()
       val banded = sig.select(col("doc_id"),
         explode(array(
-          md5(concat(col("m0"), col("m1"), col("m2"), col("m3"))),
-          md5(concat(col("m4"), col("m5"), col("m6"), col("m7"))))).as("band"))
+          md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3"))),
+          md5(concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7"))))).as("band"))
       val cand = banded.select(col("doc_id").as("da"), col("band"))
         .join(banded.select(col("doc_id").as("db"), col("band")), Seq("band"))
         .filter(col("da") < col("db"))
@@ -124,8 +159,9 @@ object Dedup extends Q.Module {
       // full inverted-index self-join (q47) is not.
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
-        .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
-        .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+        .join(sh.select(col("doc_id").as("da"), xxhash64(col("shingle")).as("sid")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), xxhash64(col("shingle")).as("sid"))
+          .hint("shuffle_hash"), Seq("db", "sid"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       inter
         .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
@@ -138,15 +174,12 @@ object Dedup extends Q.Module {
     },
     Some(s"""WITH $shinglesSql, $jaccardPairsSql,
     sig AS (SELECT doc_id,
-      MIN(md5('0:' || shingle)) m0, MIN(md5('1:' || shingle)) m1,
-      MIN(md5('2:' || shingle)) m2, MIN(md5('3:' || shingle)) m3,
-      MIN(md5('4:' || shingle)) m4, MIN(md5('5:' || shingle)) m5,
-      MIN(md5('6:' || shingle)) m6, MIN(md5('7:' || shingle)) m7
+      ${(0 to 7).map(i => s"MIN(${hex12Sql(s"md5('$i:' || shingle)")}) m$i").mkString(", ")}
       FROM sh GROUP BY doc_id),
     banded AS (
-      SELECT doc_id, md5(m0 || m1 || m2 || m3) AS band FROM sig
+      SELECT doc_id, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band FROM sig
       UNION ALL
-      SELECT doc_id, md5(m4 || m5 || m6 || m7) FROM sig),
+      SELECT doc_id, md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) FROM sig),
     cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
              FROM banded a JOIN banded b USING(band) WHERE a.doc_id < b.doc_id)
     SELECT jp.da AS da, jp.db AS db, jp.jacc AS jacc
@@ -162,6 +195,7 @@ object Dedup extends Q.Module {
     "✦ SimHash: 32-bit weighted fingerprint, banded pairs hamming <= 3",
     (s, d) => {
       val wc = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
         .withColumn("h32", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
@@ -213,17 +247,13 @@ object Dedup extends Q.Module {
     "q50_dedup_embedding_cosine",
     "✦ embedding near-dup: same-label pairs with cosine >= 0.35",
     (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-      def n2(a: Column): Column =
-        aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
       val a = e.select(col("label"), col("vec_id").as("da"), col("embedding").as("ea"))
       val b = e.select(col("label"), col("vec_id").as("db"), col("embedding").as("eb"))
       a.join(b, Seq("label")).filter(col("da") < col("db"))
-        .withColumn("score", dot(col("ea"), col("eb"))
-          / (sqrt(n2(col("ea"))) * sqrt(n2(col("eb")))))
+        .withColumn("score",
+          graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")))
         .filter(col("score") >= 0.35)
         .select(col("label"), col("da"), col("db"), col("score"))
         .orderBy(col("da"), col("db"))

@@ -110,6 +110,9 @@ object Vectors extends Q.Module {
     "q44_knn_exact",
     "similarity search: exact cosine top-5 neighbors for 20 queries",
     (s, d) => {
+      // Fused codegen'd kernel on the hot path (bit-identical to the HOF
+      // form — see graft.functions.CosineSimilarity).
+      graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -117,7 +120,8 @@ object Vectors extends Q.Module {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cid"))
       broadcast(q).join(c, col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("score"))
+        .select(col("qid"), col("cid"),
+          graft.functions.CosineSimilarity.cosineSim(col("qe"), col("ce")).as("score"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank").cast("int").as("rank"), col("cid"), col("score"))
@@ -161,23 +165,18 @@ object Vectors extends Q.Module {
     "q57_ann_lsh_buckets",
     "✦ ANN via sign-random-projection LSH buckets + exact rerank",
     (s, d) => {
-      // coeff(p, j) = +1 iff first md5 nibble of "p:j" < 8; proj/fold is
-      // sequential so the double accumulation is bit-stable cross-engine.
-      def coeff(p: Column, j: Column): Column =
-        when(conv(substring(md5(concat_ws(":", p, j)), 1, 1), 16, 10) < 8, 1.0)
-          .otherwise(-1.0)
-      def bucket(e: Column): Column =
-        aggregate(sequence(lit(0), lit(3)), lit(0L),
-          (acc, p) => acc + when(
-            aggregate(sequence(lit(0), lit(63)), lit(0.0),
-              (accj, j) => accj + element_at(e, j + 1).cast("double") * coeff(p, j))
-              > 0, pow(lit(2.0), p).cast("long")).otherwise(0L))
+      // coeff(p, j) = +1 iff first md5 nibble of "p:j" < 8 — the fused
+      // codegen'd SignLshBucket expression; the oracle rebuilds the same
+      // coefficients from md5 and folds in the same order.
+      graft.functions.CosineSimilarity.register(s)
+      graft.functions.SignLshBucket.register(s)
       val eb = Tables.embeddings(s, d)
-        .withColumn("bucket", bucket(col("embedding")))
+        .withColumn("bucket", graft.functions.SignLshBucket.lshBucket(col("embedding")))
       val a = eb.select(col("bucket"), col("vec_id").as("da"), col("embedding").as("ea"))
       val b = eb.select(col("bucket"), col("vec_id").as("db"), col("embedding").as("eb"))
       a.join(b, Seq("bucket")).filter(col("da") < col("db"))
-        .withColumn("score", cosine(col("ea"), col("eb")))
+        .withColumn("score",
+          graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")))
         .filter(col("score") >= 0.3)
         .select(col("bucket"), col("da"), col("db"), col("score"))
         .orderBy(col("da"), col("db"))
