@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Dedup,
     graft.queries.TextAnalysis,
     graft.queries.Multimodal,
-    graft.queries.Sources)
+    graft.queries.Sources,
+    graft.queries.Extras)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.defs)

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dsl._
+import org.apache.spark.sql.functions._
+
+/** Remaining surface: spark.ml LSH integration, TF-IDF, pivot, map ops.
+  */
+object Extras extends Q.Module {
+
+  // --- q64: spark.ml MinHashLSH integration (the library-provided scale
+  //     path for fuzzy dedup; q48 is the from-scratch equivalent). Model
+  //     hashes are seed-fixed but Spark-specific → no oracle.
+  private val q64 = Q(
+    "q64_ml_minhash_lsh",
+    "✦ spark.ml MinHashLSH approxSimilarityJoin demo (no oracle: ml hashes)",
+    (s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+      val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+        .setNumFeatures(1 << 14).setBinary(true)
+      val featured = tf.transform(tok.transform(docs))
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(featured)
+      model.approxSimilarityJoin(featured, featured, 0.5, "jaccard_dist")
+        .select(col("datasetA.doc_id").as("da"), col("datasetB.doc_id").as("db"),
+          col("jaccard_dist"))
+        .filter(col("da") < col("db"))
+        .orderBy(col("da"), col("db"))
+    },
+    None)
+
+  // --- q65: TF-IDF-style term weighting. The idf uses the rational form
+  //     N/df instead of ln(N/df): ln() is not guaranteed to round
+  //     identically across engines' libm, while division and
+  //     multiplication of exact integers are single correctly-rounded
+  //     IEEE ops. Top-3 terms per doc for 20 docs.
+  private val q65 = Q(
+    "q65_text_tfidf",
+    "✦ TF-IDF: term weights (rational idf), top-3 terms per doc",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val n = docs.count() // corpus size: one job, scalar — fine at scale
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word"))
+      tf.join(df, Seq("word"))
+        .withColumn("tfidf", col("tf") * (lit(n.toDouble) / col("df")))
+        .filter(col("doc_id") < 20)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("word"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some("""WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, word, tf, df,
+        tf * (CAST((SELECT n FROM n) AS DOUBLE) / df) AS tfidf
+      FROM tf JOIN df USING(word) WHERE doc_id < 20),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+      FROM scored)
+    SELECT doc_id, CAST(rnk AS INT) AS rnk, word, tf, df, tfidf
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  // --- q66: pivot — wide-format aggregation with an explicit column list
+  //     (the only scalable form: an implicit pivot needs a distinct-value
+  //     scan first). Oracle mirrors with conditional aggregation.
+  private val q66 = Q(
+    "q66_pivot",
+    "pivot: yearly revenue per market segment as wide columns",
+    (s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy(col("yr"))
+        .pivot("c_mktsegment", segs)
+        .agg(dsum(col("o_totalprice")))
+        .na.fill(0.0)
+        .orderBy(col("yr"))
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      ${Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY").map(seg =>
+        s"COALESCE(CAST(SUM(CASE WHEN c_mktsegment = '$seg' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS \"$seg\"").mkString(",\n      ")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY yr ORDER BY yr"""))
+
+  // --- q67: map-typed column ops — parse props JSON to MAP<STRING,INT>,
+  //     explode entries, aggregate per key.
+  private val q67 = Q(
+    "q67_map_ops",
+    "map: from_json to MAP, map_keys/explode entries, per-key stats",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.DataType
+            .fromDDL("MAP<STRING, INT>")).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("k", "v")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("k"))
+    },
+    Some("""SELECT k, COUNT(*) AS n,
+      CAST(SUM(CAST(props->>k AS INT)) AS BIGINT) AS sum_v,
+      MIN(CAST(props->>k AS INT)) AS min_v,
+      MAX(CAST(props->>k AS INT)) AS max_v
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k ORDER BY k"""))
+
+  def defs: Seq[Q] = Seq(q64, q65, q66, q67)
+}
