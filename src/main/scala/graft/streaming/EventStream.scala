@@ -129,6 +129,17 @@ object EventStream {
       }
   }
 
+  /** Streaming deduplication with bounded state: duplicates arriving
+    * within the watermark horizon are dropped, state for older keys is
+    * reclaimed — the streaming twin of exact dedup (q46), and the only
+    * dedup shape with O(watermark-window) state at unbounded input. */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("etime", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Wire a streaming result to an in-memory table and run it to
     * completion of the currently-available data (test/demo harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSuite {
     assert(s.start == ts(0) && s.end == ts(5))
   }
 
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // Keep event times well above epoch 0: a row whose etime equals the
+    // initial watermark is treated as late and silently dropped.
+    mem.addData(
+      Ev(1, ts(600), "view", 1.0), Ev(1, ts(600), "view", 1.0), // dup
+      Ev(1, ts(602), "view", 2.0),
+      Ev(2, ts(601), "click", 3.0), Ev(2, ts(601), "click", 3.0)) // dup
+    val out = EventStream.dedupWithinWatermark(mem.toDF(), Seq("user_id", "etime"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dedup_stream")
+      .select("user_id", "etime").as[(Long, Timestamp)].collect().toSeq
+    assert(rows.size == 3)
+    assert(rows.toSet == Set((1L, ts(600)), (1L, ts(602)), (2L, ts(601))))
+  }
+
   test("streaming file source over the events fixture produces rows") {
     val ds = EventStream.fromEventsDir(spark, sfDir)
     EventStream.runToMemory(
