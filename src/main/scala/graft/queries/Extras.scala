@@ -123,5 +123,61 @@ object Extras extends Q.Module {
     FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
     GROUP BY k ORDER BY k"""))
 
-  def defs: Seq[Q] = Seq(q64, q65, q66, q67)
+  // --- q68: argmax/argmin via max_by/min_by (idxmax in the reference
+  //     surface) — single-pass, no window needed.
+  private val q68 = Q(
+    "q68_argmax",
+    "argmax: per-segment order with max/min total price via max_by/min_by",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      // Deterministic tie-break via one composite BIGINT comparator:
+      // exact price cents (<= ~6e7) scaled by 1e7 plus the order key
+      // (< 1e7) — identical in both engines, unlike struct comparators
+      // (DuckDB arg_max takes no STRUCT) or bare double prices (ties).
+      val cmp = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .multiply(lit(10000000L)) + col("o_orderkey")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("o_orderkey"), cmp).as("best_order"),
+          min_by(col("o_orderkey"), cmp).as("worst_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment,
+      arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + o_orderkey) AS best_order,
+      arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + o_orderkey) AS worst_order,
+      MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // --- q69: unpivot/melt — long-format from wide columns.
+  private val q69 = Q(
+    "q69_unpivot_melt",
+    "melt: lineitem measures to long format, per-measure stats",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .orderBy(col("measure"))
+    },
+    Some(s"""SELECT measure, COUNT(*) AS n, ${dsumSql("value")} AS total,
+      MIN(value) AS vmin, MAX(value) AS vmax
+    FROM (
+      SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+    GROUP BY measure ORDER BY measure"""))
+
+  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69)
 }
