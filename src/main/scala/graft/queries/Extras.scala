@@ -15,18 +15,28 @@ object Extras extends Q.Module {
     "q64_ml_minhash_lsh",
     "✦ spark.ml MinHashLSH approxSimilarityJoin demo (no oracle: ml hashes)",
     (s, d) => {
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, Tokenizer}
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"))
+      // Featurize on word 3-grams, not unigrams: the synthetic vocabulary
+      // is ~40 words, so unigram binary vectors are near-identical across
+      // the corpus, every minhash bucket holds every document, and the
+      // LSH join degenerates to a spilling cartesian product. Trigrams
+      // (same shingles as q47/q48) are discriminative.
       val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
-      val tf = new HashingTF().setInputCol("words").setOutputCol("features")
-        .setNumFeatures(1 << 14).setBinary(true)
-      val featured = tf.transform(tok.transform(docs))
+      val ng = new NGram().setN(3).setInputCol("words").setOutputCol("grams")
+      val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val featured = tf.transform(ng.transform(tok.transform(docs)))
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)
       val model = lsh.fit(featured)
-      model.approxSimilarityJoin(featured, featured, 0.5, "jaccard_dist")
+      // Query-against-index shape: a bounded query set probes the full
+      // corpus — the deployment pattern at scale (the symmetric self-join
+      // is q48's job).
+      val queries = featured.filter(col("doc_id") < 500)
+      model.approxSimilarityJoin(queries, featured, 0.5, "jaccard_dist")
         .select(col("datasetA.doc_id").as("da"), col("datasetB.doc_id").as("db"),
           col("jaccard_dist"))
         .filter(col("da") < col("db"))
