@@ -84,6 +84,38 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSet == Set((1L, ts(600)), (1L, ts(602)), (2L, ts(601))))
   }
 
+  test("streaming sessionize == batch lag+cumsum sessionization (q38)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Batch twin: the oracle-checked q38 with the same 30-minute gap.
+    val batch = SparkEntry.queries("q38_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect()
+      .map { case (u, st, en, n) => (u, st.getTime, en.getTime, n) }.toSet
+    // Streaming emits a session only when a later event closes it, so the
+    // final (still-open) session per user never appears — drop those from
+    // the batch side before comparing.
+    val lastPerUser = batch.groupBy(_._1).map { case (_, g) => g.maxBy(_._2) }.toSet
+    val closedBatch = batch -- lastPerUser
+
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("etime"),
+        col("event_type"), col("value"))
+      .as[Ev].collect()
+    val mem = MemoryStream[Ev]
+    mem.addData(evs.toIndexedSeq: _*)
+    val out = EventStream.sessionize(mem.toDS(), gapMs = 30 * 60000L)
+    val q = out.toDF().writeStream.format("memory").queryName("sess_equiv")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_equiv").as[Session].collect()
+      .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events)).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == closedBatch)
+  }
+
   test("streaming file source over the events fixture produces rows") {
     val ds = EventStream.fromEventsDir(spark, sfDir)
     EventStream.runToMemory(
