@@ -129,6 +129,43 @@ object EventStream {
       }
   }
 
+  /** One running per-user tally emitted per input row (transformWithState
+    * demo output). */
+  case class UserTally(user_id: Long, n_events: Long, total_value: Double)
+
+  /** ST5 on the Spark 4.x arbitrary-state v2 API: a StatefulProcessor
+    * with a ValueState running tally per user — the modern replacement
+    * for flatMapGroupsWithState (explicit state variables, TTL support,
+    * state schema evolution). Emits the updated tally for every batch's
+    * rows per key. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`): the v2 API keeps each state
+    * variable in its own column family, which HDFS-backed stores lack.
+    */
+  def runningTally(events: Dataset[Ev]): Dataset[UserTally] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig}
+    // Standalone encoder val: resolving it through the Dataset's implicits
+    // inside the processor would close over the Dataset itself, which
+    // cannot be shipped to executors (SPARK-28702).
+    val stateEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble)
+    val processor = new StatefulProcessor[Long, Ev, UserTally] {
+      @transient private var tally: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        tally = getHandle.getValueState[(Long, Double)]("tally", stateEnc, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[Ev],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTally] = {
+        var (n, tot) = if (tally.exists()) tally.get() else (0L, 0.0)
+        rows.foreach { ev => n += 1; tot += ev.value }
+        tally.update((n, tot))
+        Iterator(UserTally(key, n, tot))
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append)
+  }
+
   /** Streaming deduplication with bounded state: duplicates arriving
     * within the watermark horizon are dropped, state for older keys is
     * reclaimed — the streaming twin of exact dedup (q46), and the only

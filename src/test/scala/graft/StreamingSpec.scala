@@ -84,6 +84,29 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSet == Set((1L, ts(600)), (1L, ts(602)), (2L, ts(601))))
   }
 
+  test("transformWithState running tally accumulates across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // The v2 state API needs column families → RocksDB provider.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val out = EventStream.runningTally(mem.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("tally")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Ev(1, ts(600), "view", 1.0), Ev(1, ts(601), "view", 2.0),
+      Ev(2, ts(600), "click", 5.0))
+    q.processAllAvailable()
+    mem.addData(Ev(1, ts(602), "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tally")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // batch 1 emits the post-batch tallies; batch 2 emits user 1 updated.
+    assert(rows == Set((1L, 2L, 3.0), (2L, 1L, 5.0), (1L, 3L, 7.0)))
+  }
+
   test("streaming sessionize == batch lag+cumsum sessionization (q38)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
