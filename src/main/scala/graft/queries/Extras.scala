@@ -189,5 +189,37 @@ object Extras extends Q.Module {
       UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
     GROUP BY measure ORDER BY measure"""))
 
-  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69)
+  // --- q70: five-way star join over the remaining dimension paths
+  //     (part, supplier) — TPC-H Q9's shape: profit by nation and year.
+  private val q70 = Q(
+    "q70_join_profit",
+    "J1/J3 five-way join: profit by supplier nation and order year",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_type").isin("PROMO", "STANDARD"))
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(p, li("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy(col("n_name"), col("yr"))
+        .agg(dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("yr"))
+    },
+    Some(s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+      ${dsumWideSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type IN ('PROMO', 'STANDARD')
+    GROUP BY n_name, yr ORDER BY n_name, yr"""))
+
+  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70)
 }

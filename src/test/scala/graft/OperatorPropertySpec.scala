@@ -74,6 +74,21 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("dsl.dvar/dstddev agree with Spark's var_samp/stddev_samp") {
+    import graft.dsl
+    import spark.implicits._
+    val rng = new Random(5)
+    // 2-decimal "money" doubles, the shape dsl is built for.
+    val xs = Seq.fill(500)(math.round(rng.nextDouble() * 1e5) / 100.0)
+    val df = xs.toDF("x")
+    val got = df.agg(dsl.dvar(col("x")).as("v"), dsl.dstddev(col("x")).as("s"))
+      .as[(Double, Double)].head()
+    val want = df.agg(var_samp(col("x")), stddev_samp(col("x")))
+      .as[(Double, Double)].head()
+    assert(math.abs(got._1 - want._1) / want._1 < 1e-9)
+    assert(math.abs(got._2 - want._2) / want._2 < 1e-9)
+  }
+
   test("dot product HOF == local fold") {
     import spark.implicits._
     val rng = new Random(11)
