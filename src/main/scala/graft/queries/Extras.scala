@@ -221,5 +221,25 @@ object Extras extends Q.Module {
     WHERE p_type IN ('PROMO', 'STANDARD')
     GROUP BY n_name, yr ORDER BY n_name, yr"""))
 
-  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70)
+  // --- q71: grouped list aggregation (groupby.agg(list)). collect_list
+  //     order is partition-arbitrary, so the checked form sorts the array
+  //     — the only deterministic contract for list aggregation in any
+  //     distributed engine.
+  private val q71 = Q(
+    "q71_collect_list",
+    "A2/A12 grouped list agg: sorted distinct order-years per customer",
+    (s, d) => {
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",", array_sort(collect_set(col("yr")))).as("years"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey,
+      array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INT)))), ',') AS years,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70, q71)
 }
