@@ -142,5 +142,23 @@ object Sources extends Q.Module {
     },
     None)
 
-  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63)
+  // --- q72: ORC sink + scan round-trip (second columnar format; same
+  //     pushdown/pruning machinery as parquet via the vectorized reader).
+  private val q72 = Q(
+    "q72_source_orc_roundtrip",
+    "S2/S6 orc: write supplier to ORC, re-read with pushdown, aggregate",
+    (s, d) => {
+      val path = tmp("orc", d)
+      Tables.supplier(s, d).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some(s"""SELECT s_nationkey, COUNT(*) AS n, ${dsumSql("s_acctbal")} AS total_bal
+    FROM supplier WHERE s_acctbal > 0
+    GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72)
 }
