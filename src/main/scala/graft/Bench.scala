@@ -21,7 +21,7 @@ object Bench {
       // microVM and single runs show sporadic multi-x noise spikes that
       // say nothing about the plan (SPARK_GRAFT_BENCH_RUNS overrides).
       val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
@@ -30,15 +30,26 @@ object Bench {
             System.err.println(s"===== $name ====="); df.explain("formatted")
           }
           df.count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}")
+          None
+        }
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only; -1 means every run failed (a query
+      // that failed once but succeeded once still reports its valid time).
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Output stays a single SHORT line: the driver keeps only a bounded
+    // tail of stdout, and round 1's full-name 9-decimal line (~2.4 KB) got
+    // truncated past parseability. qNN prefixes are unique per query (full
+    // names in SparkEntry/COVERAGE.md); 3 decimals ≈ ms resolution.
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

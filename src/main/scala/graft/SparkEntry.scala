@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.TextAnalysis,
     graft.queries.Multimodal,
     graft.queries.Sources,
-    graft.queries.Extras)
+    graft.queries.Extras,
+    graft.queries.Scale)
 
   private lazy val all: Seq[Q] = {
     val qs = modules.flatMap(_.defs)

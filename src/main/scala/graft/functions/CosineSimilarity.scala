@@ -31,6 +31,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // Nullable regardless of child nullability: empty inputs yield NULL (the
+  // SQL convention — DuckDB's list_sum over an empty list is NULL), not
+  // the 0/0 = NaN the raw fold would produce. Zero-NORM (but non-empty)
+  // vectors still yield NaN in both engines, matching the HOF form.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
@@ -46,6 +52,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
     val n = math.min(xa.numElements(), xb.numElements())
+    if (n == 0) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -68,13 +75,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = (double) $a.getFloat($i);
-          double $y = (double) $b.getFloat($i);
-          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        if ($n == 0) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = (double) $a.getFloat($i);
+            double $y = (double) $b.getFloat($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

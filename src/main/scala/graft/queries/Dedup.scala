@@ -34,8 +34,13 @@ object Dedup extends Q.Module {
     * result because 3-6 downstream subplans consume it. */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     val w = split(col("text"), " ")
+    // size(w) >= 3 guard: Spark's sequence(1, size-2) counts DOWN when
+    // size-2 < 1 (sequence(1,0) = [1,0]) and slice(w, 0, 3) throws, while
+    // the oracle's generate_series(1, 0) is empty. Filtering <3-word docs
+    // out up front gives both engines the same "no shingles" semantics.
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
+      .filter(size(w) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(
           transform(sequence(lit(1), size(w) - 2),
@@ -69,12 +74,13 @@ object Dedup extends Q.Module {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
   }
 
-  /** DuckDB twin of `conv(substring(h,1,12),16,10)`: digit-weighted parse
-    * of 12 hex chars; every partial sum < 2^53 so the doubles are exact. */
-  private def hex12Sql(h: String): String =
-    s"CAST(list_sum(list_transform(generate_series(1, 12), " +
-      s"k -> (strpos('0123456789abcdef', substr($h, k, 1)) - 1) " +
-      s"* CAST(power(16, 12 - k) AS BIGINT))) AS BIGINT)"
+  /** DuckDB twin of `conv(substring(h,off,8),16,10)`: digit-weighted parse
+    * of 8 hex chars at 1-based offset; partial sums < 2^32·16 stay exact
+    * in doubles. */
+  private def hex8Sql(h: String, off: Int): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 8), " +
+      s"k -> (strpos('0123456789abcdef', substr($h, ${off - 1} + k, 1)) - 1) " +
+      s"* CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT)"
 
   private val jaccardPairsSql =
     """sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
@@ -122,14 +128,16 @@ object Dedup extends Q.Module {
     Some(s"""WITH $shinglesSql, $jaccardPairsSql
     SELECT da, db, inter, jacc FROM jp WHERE jacc >= 0.5 ORDER BY da, db"""))
 
-  // --- q48: MinHash + LSH banding. 8 seeded 48-bit minhash signatures,
-  //     2 bands of 4 → candidates on band equality → exact-Jaccard
-  //     verification of candidates only.
+  // --- q48: MinHash + LSH banding. 8 32-bit minhash signatures sliced
+  //     from TWO md5 digests per shingle (md5 is 128 bits = 4 independent
+  //     32-bit slices; two seeded digests give 8 hash functions for a
+  //     quarter of the hashing cost of 8 separate md5 calls — hashing the
+  //     shingle stream dominated this query's round-1 profile). 2 bands
+  //     of 4 → candidates on band equality → exact-Jaccard verification
+  //     of candidates only.
   //
   //     Numeric minhashes matter: min(STRING) falls back to SortAggregate
   //     (no fixed-width agg buffer), min(LONG) stays in HashAggregate.
-  //     48 bits = 12 hex chars — the widest slice whose digit-weighted
-  //     oracle-side parse keeps every double partial sum exact (< 2^53).
   //     The shared shingle/signature frames are persisted: the band
   //     self-join and candidate verification would otherwise recompute the
   //     scan→explode→aggregate pipeline up to six times.
@@ -138,11 +146,16 @@ object Dedup extends Q.Module {
     "✦ MinHash+LSH: band-bucket candidates, verified jacc >= 0.5",
     (s, d) => {
       val sh = shingles(s, d).persist()
-      def mh(i: Int): Column =
-        min(conv(substring(md5(concat_ws(":", lit(i), col("shingle"))), 1, 12), 16, 10)
-          .cast("long")).as(s"m$i")
-      val sig = sh.groupBy(col("doc_id"))
-        .agg(mh(0), (1 to 7).map(mh): _*)
+      // One projection computes both digests once (CSE), then the min-agg
+      // runs over plain LONG slices in a fixed-width HashAggregate buffer.
+      val h = Seq(md5(col("shingle")), md5(concat(lit("x:"), col("shingle"))))
+      val sliced = sh.select(col("doc_id") +:
+        (0 to 7).map(i =>
+          conv(substring(h(i / 4), 1 + 8 * (i % 4), 8), 16, 10)
+            .cast("long").as(s"s$i")): _*)
+      val sig = sliced.groupBy(col("doc_id"))
+        .agg(min(col("s0")).as("m0"),
+          (1 to 7).map(i => min(col(s"s$i")).as(s"m$i")): _*)
         .persist()
       val banded = sig.select(col("doc_id"),
         explode(array(
@@ -174,7 +187,10 @@ object Dedup extends Q.Module {
     },
     Some(s"""WITH $shinglesSql, $jaccardPairsSql,
     sig AS (SELECT doc_id,
-      ${(0 to 7).map(i => s"MIN(${hex12Sql(s"md5('$i:' || shingle)")}) m$i").mkString(", ")}
+      ${(0 to 7).map { i =>
+        val digest = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"MIN(${hex8Sql(digest, 1 + 8 * (i % 4))}) m$i"
+      }.mkString(", ")}
       FROM sh GROUP BY doc_id),
     banded AS (
       SELECT doc_id, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band FROM sig

@@ -29,13 +29,17 @@ object Extras extends Q.Module {
       val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
       val featured = tf.transform(ng.transform(tok.transform(docs)))
+      // 4 single-hash tables, not 8: spark.ml bands are single-hash (pure
+      // OR-amplification), so candidate volume — and the dominant cost,
+      // the per-candidate jaccard on sparse vectors — grows linearly with
+      // tables. 4 keeps recall high at half the candidate work.
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
+        .setNumHashTables(4).setSeed(42L)
       val model = lsh.fit(featured)
       // Query-against-index shape: a bounded query set probes the full
       // corpus — the deployment pattern at scale (the symmetric self-join
       // is q48's job).
-      val queries = featured.filter(col("doc_id") < 500)
+      val queries = featured.filter(col("doc_id") < 250)
       model.approxSimilarityJoin(queries, featured, 0.5, "jaccard_dist")
         .select(col("datasetA.doc_id").as("da"), col("datasetB.doc_id").as("db"),
           col("jaccard_dist"))

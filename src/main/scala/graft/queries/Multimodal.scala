@@ -36,7 +36,10 @@ object Multimodal extends Q.Module {
     "✦ multimodal: binary payload → mapPartitions decode-stub features",
     (s, d) => {
       import s.implicits._
+      // repartition: one fixture parquet file = one split; the typed
+      // decode stage must fan out across cores (round-1 bench: 10 s).
       val bin = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       bin.mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
@@ -62,6 +65,7 @@ object Multimodal extends Q.Module {
       import s.implicits._
       val frameLen = 64
       val bin = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       bin.mapPartitions(_.flatMap { case (id, payload) =>

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.dsl._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-path storage + retrieval patterns: SURVEY.md §2.1 (S6 sinks) and
+  * §2.11 ✦ similarity search, exercised the way a 100 TB deployment would
+  * lay data out.
+  *
+  * - q73: hive-style partitioned parquet sink + partition-PRUNED scan —
+  *   the filter on the partition column never touches non-matching files
+  *   (`.explain` shows it under PartitionFilters, not PushedFilters).
+  * - q74: IVF-style ANN — assign every vector to its nearest of K sampled
+  *   centroids (broadcast K×N assignment, one narrow pass), then search
+  *   only within the query's cell. The standard middle ground between
+  *   brute force (q44) and sign-LSH buckets (q57).
+  * - q75: bucketed tables co-located join — both sides pre-bucketed on the
+  *   join key into the same bucket count join WITHOUT a shuffle
+  *   (`.explain` shows SortMergeJoin with no Exchange). At 100 TB this is
+  *   the difference between re-shuffling the fact table per query and
+  *   reading co-located buckets.
+  */
+object Scale extends Q.Module {
+
+  private def tmp(name: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_scale_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  // Sequential-fold cosine twins (same op order as CosineSimilarity and
+  // the DuckDB list_sum fold — bit-identical across engines).
+  private def cosineSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+
+  // --- q73: partitioned parquet sink, then a scan that prunes partitions.
+  private val q73 = Q(
+    "q73_source_partitioned_pruning",
+    "S6 partitioned parquet sink + partition-pruned scan (yr=1997 only)",
+    (s, d) => {
+      val path = tmp("ppart", d)
+      Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(path)
+      s.read.parquet(path)
+        .filter(col("yr") === 1997) // PartitionFilters: directory-level prune
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+    FROM orders WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // --- q74: IVF ANN — deterministic centroid sample (vec_id % 50), nearest-
+  //     centroid assignment via broadcast, top-3 search within the cell.
+  private val q74 = Q(
+    "q74_ann_ivf_cells",
+    "✦ ANN via IVF cells: broadcast centroid assign, in-cell top-3 rerank",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val cos = graft.functions.CosineSimilarity.cosineSim _
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      // Assignment: K centroids broadcast against N vectors — one narrow
+      // codegen'd pass, no shuffle of the big side.
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cid"))
+      val cell = e.crossJoin(broadcast(cents))
+        .withColumn("cs", cos(col("embedding"), col("ce")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val q = cell.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+      val wRank = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("nid"))
+      q.join(cell.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cid")),
+          Seq("cid"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("score", cos(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("int").as("rank"),
+          col("nid"), col("score"), col("cid").as("cell"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH c AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+    asn AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN c),
+    cell AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
+    cand AS (
+      SELECT q.vec_id AS qid, x.vec_id AS nid, q.cid AS cell,
+        ${cosineSql("q.embedding", "x.embedding")} AS score
+      FROM cell q JOIN cell x ON q.cid = x.cid AND q.vec_id != x.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+      FROM cand)
+    SELECT qid, CAST(rank AS INT) AS rank, nid, score, cell
+    FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  // --- q75: bucketed co-located join — both sides written bucketBy(8, key)
+  //     as external datasource tables; the join plans with NO Exchange.
+  private val q75 = Q(
+    "q75_bucketed_join",
+    "S6/J1 bucketed tables: shuffle-free SortMergeJoin on pre-bucketed key",
+    (s, d) => {
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", tmp("orders_b", d)).saveAsTable(s"g_orders_b_$tag")
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", tmp("customer_b", d)).saveAsTable(s"g_customer_b_$tag")
+      val o = s.table(s"g_orders_b_$tag")
+      val c = s.table(s"g_customer_b_$tag")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      ${dsumSql("o_totalprice")} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  def defs: Seq[Q] = Seq(q73, q74, q75)
+}

@@ -10,8 +10,18 @@ import org.apache.spark.sql.functions._
   * so Spark and DuckDB agree bit-for-bit. Everything is a codegen'd
   * projection + one aggregate — no UDFs, no shuffle beyond the final
   * group-by, which is the shape that survives 100 TB.
+  *
+  * Every query repartitions the scan first: the fixture is ONE parquet
+  * file → one input split, and the per-row work here (HOF filters, regex
+  * extraction, per-word md5) is the heaviest in the library — without the
+  * repartition it all runs on a single core (round-1 bench: q53 11 s,
+  * q54 23 s). On a real multi-file lake the scan parallelism comes from
+  * splits and the repartition collapses into a no-op-sized shuffle.
   */
 object TextAnalysis extends Q.Module {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
   // --- q51: quality scoring (length/stopword/diversity components).
   private val q51 = Q(
@@ -20,7 +30,7 @@ object TextAnalysis extends Q.Module {
     (s, d) => {
       val w = split(col("text"), " ")
       val stop = Seq("the", "a")
-      Tables.documents(s, d).select(
+      docs(s, d).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(w).cast("long").as("n_words"),
@@ -55,7 +65,7 @@ object TextAnalysis extends Q.Module {
     (s, d) => {
       val w = split(col("text"), " ")
       val en = Seq("the", "a", "value", "fast")
-      Tables.documents(s, d).select(
+      docs(s, d).select(
         col("doc_id"), col("lang").as("labeled"),
         size(filter(w, x => x.isin(en.map(lit(_)): _*))).cast("long").as("n_en_markers"),
         size(w).cast("long").as("n_words"))
@@ -80,7 +90,7 @@ object TextAnalysis extends Q.Module {
     "q53_text_tokens",
     "✦ token counts: whitespace + regex tokenizers, per-lang totals",
     (s, d) => {
-      Tables.documents(s, d).select(
+      docs(s, d).select(
         col("lang"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("re_tokens"),
@@ -107,7 +117,7 @@ object TextAnalysis extends Q.Module {
     "q54_text_fingerprint",
     "✦ fingerprint: position-weighted word-hash mod 1e9+7 per doc",
     (s, d) => {
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
         .withColumn("h32", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
         .groupBy(col("doc_id"))

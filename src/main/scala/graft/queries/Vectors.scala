@@ -138,8 +138,13 @@ object Vectors extends Q.Module {
 
   // --- q45: per-label centroid (mean vector). Row-order-dependent double
   //     sums across rows → no cross-engine oracle; driver records rows>0.
-  //     Plan shape: posexplode → (label, dim) partial/final agg →
-  //     sorted re-assembly; scales as sum, not as collect.
+  //     Output stays in (label, pos, mean_v) long format — all-scalar
+  //     columns the rows-only check can sort and hash (an ARRAY<DOUBLE>
+  //     column crashed the harness's pandas sort in round 1). The array
+  //     re-assembly is one extra groupBy(label) + array_sort(collect_list)
+  //     when a caller wants the packed vector.
+  //     Plan shape: posexplode → (label, dim) partial/final agg; scales as
+  //     sum, not as collect.
   private val q45 = Q(
     "q45_vector_centroid",
     "array: per-label mean embedding via posexplode (no oracle: fp sums)",
@@ -148,10 +153,8 @@ object Vectors extends Q.Module {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
         .agg(avg(col("v").cast("double")).as("mean_v"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("pairs"))
-        .select(col("label"), transform(col("pairs"), p => p("mean_v")).as("centroid"))
-        .orderBy(col("label"))
+        .select(col("label"), col("pos").cast("int").as("pos"), col("mean_v"))
+        .orderBy(col("label"), col("pos"))
     },
     None)
 
