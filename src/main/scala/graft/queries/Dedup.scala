@@ -288,5 +288,105 @@ object Dedup extends Q.Module {
         >= 0.35
     ORDER BY da, db"""))
 
-  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50)
+  // --- q76: near-dup CLUSTERING + canonical selection — the step after
+  //     pair generation in every production dedup pipeline: connected
+  //     components over the near-dup graph, keep min doc_id per component.
+  //
+  //     Implementation is the standard distributed CC loop (min-label
+  //     propagation): each iteration is one join + min-aggregate, and the
+  //     iteration count is the graph diameter — tiny for near-dup
+  //     clusters (dup groups are near-cliques). Convergence is detected
+  //     by the monotonically decreasing label sum, one scalar action per
+  //     iteration. This is exactly how you run it at 1e9 docs; the DuckDB
+  //     oracle instead computes the true transitive closure recursively,
+  //     so the fixpoint is cross-checked, not assumed.
+  private val q76 = Q(
+    "q76_dedup_cluster_canonical",
+    "✦ near-dup clusters: connected components over jacc>=0.5, canonical doc",
+    (s, d) => {
+      val pairs = jaccardPairs(shingles(s, d).persist())
+        .filter(col("jacc") >= 0.5)
+        .select(col("da"), col("db")).persist()
+      val edges = pairs.unionByName(
+        pairs.select(col("db").as("da"), col("da").as("db")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id")).persist()
+      var prevSum = Option.empty[Long]
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 10) {
+        // Explicit aliases: labels derives from edges, so after the first
+        // iteration attribute-based resolution turns ambiguous.
+        val prop = labels.as("l").join(edges.as("e"), col("l.doc_id") === col("e.src"))
+          .select(col("e.dst").as("doc_id"), col("l.cluster").as("cluster"))
+        val next = labels.unionByName(prop)
+          .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+          .persist()
+        val row = next.agg(sum(col("cluster"))).first()
+        val s0 = if (row.isNullAt(0)) 0L else row.getLong(0)
+        converged = prevSum.contains(s0)
+        prevSum = Some(s0)
+        labels = next
+        iter += 1
+      }
+      labels
+        .select(col("cluster"), col("doc_id"),
+          (col("doc_id") === col("cluster")).as("canonical"))
+        .orderBy(col("cluster"), col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $shinglesSql, $jaccardPairsSql,
+    prc AS (SELECT da, db FROM jp WHERE jacc >= 0.5),
+    edges AS (SELECT da AS src, db AS dst FROM prc
+              UNION SELECT db, da FROM prc),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+            FROM reach GROUP BY src)
+    SELECT cluster, doc_id, doc_id = cluster AS canonical
+    FROM lab ORDER BY cluster, doc_id"""))
+
+  // --- q78: edit-distance near-dup — (lang, source)-blocked pairs,
+  //     levenshtein over 40-char prefixes. Blocking bounds the pair space
+  //     (the all-pairs product is impossible at scale); levenshtein is
+  //     exact integer DP in both engines. Corpus doubled like q46 so the
+  //     fixture is guaranteed to contain distance-0 pairs.
+  private val q78 = Q(
+    "q78_dedup_levenshtein",
+    "✦ edit-distance near-dup: blocked levenshtein on 40-char prefixes",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            col("lang"), col("source"), col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          substring(col("text"), 1, 40).as("head"))
+      val a = corpus.select(col("lang"), col("source"),
+        col("doc_id").as("da"), col("head").as("ha"))
+      val b = corpus.select(col("lang"), col("source"),
+        col("doc_id").as("db"), col("head").as("hb"))
+      a.join(b, Seq("lang", "source")).filter(col("da") < col("db"))
+        .withColumn("lev", levenshtein(col("ha"), col("hb")))
+        .filter(col("lev") <= 8)
+        .select(col("lang"), col("source"), col("da"), col("db"), col("lev"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, lang, source, substr(text, 1, 40) AS head FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, lang, source, substr(text, 1, 40)
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT a.lang, a.source, a.doc_id AS da, b.doc_id AS db,
+      CAST(levenshtein(a.head, b.head) AS INT) AS lev
+    FROM corpus a JOIN corpus b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 8
+    ORDER BY da, db"""))
+
+  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78)
 }

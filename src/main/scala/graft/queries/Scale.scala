@@ -122,7 +122,13 @@ object Scale extends Q.Module {
         .option("path", tmp("customer_b", d)).saveAsTable(s"g_customer_b_$tag")
       val o = s.table(s"g_orders_b_$tag")
       val c = s.table(s"g_customer_b_$tag")
-      o.join(c, o("o_custkey") === c("c_custkey"))
+      // merge hint: at fixture scale Catalyst would broadcast the small
+      // side and never touch the bucket layout; at 100 TB neither side is
+      // broadcastable and the bucketed SMJ — both scans reading matching
+      // buckets with NO Exchange — is exactly the plan this query proves
+      // out (.explain: "Bucketed: true", "SelectedBucketsCount: 8 out of
+      // 8", no Exchange under the join).
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy(col("c_mktsegment"))

@@ -151,5 +151,37 @@ object Windows extends Q.Module {
       FROM orders) WHERE rn <= 2
     ORDER BY o_custkey, rn"""))
 
-  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22)
+  // --- q77: distribution ranks — ntile / percent_rank / cume_dist over
+  //     per-customer spend within segment. percent_rank = (rank-1)/(n-1)
+  //     and cume_dist = peers/n are each ONE double division of exact
+  //     integers, so both engines agree bitwise; the compound (spend,
+  //     custkey) order makes every rank deterministic under ties.
+  private val q77 = Q(
+    "q77_window_distribution",
+    "W6 ntile/percent_rank/cume_dist of customer spend within segment",
+    (s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("spend"))
+      val c = Tables.customer(s, d)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("spend"), col("c_custkey"))
+      c.join(spend, c("c_custkey") === spend("o_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("spend"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some(s"""WITH spend AS (
+      SELECT o_custkey, ${dsumSql("o_totalprice")} AS spend
+      FROM orders GROUP BY o_custkey)
+    SELECT c_mktsegment, c_custkey, spend,
+      CAST(NTILE(4) OVER w AS INT) AS quartile,
+      PERCENT_RANK() OVER w AS pct_rank,
+      CUME_DIST() OVER w AS cdist
+    FROM customer JOIN spend ON c_custkey = o_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)
+    ORDER BY c_mktsegment, c_custkey"""))
+
+  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77)
 }

@@ -177,6 +177,31 @@ object EventStream {
       .withWatermark("etime", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval JOIN with bounded state: each purchase is
+    * attributed to the same user's clicks within the preceding
+    * `windowMinutes`. Both sides carry watermarks and the join condition
+    * bounds event-time distance, so Spark can reclaim join state as the
+    * watermark advances — the only join shape that runs indefinitely on
+    * two unbounded streams. Append-mode inner join; rows emit once both
+    * watermarks pass the match window. */
+  def attributedPurchases(events: DataFrame,
+      windowMinutes: Int = 30,
+      watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("etime").as("c_time"))
+      .withWatermark("c_time", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("etime").as("p_time"),
+        col("value").as("p_value"))
+      .withWatermark("p_time", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_time") <= col("p_time") &&
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("p_time"), col("p_value"),
+        col("c_time"))
+  }
+
   /** Wire a streaming result to an in-memory table and run it to
     * completion of the currently-available data (test/demo harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

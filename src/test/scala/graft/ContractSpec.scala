@@ -34,8 +34,9 @@ class ContractSpec extends SparkSuite {
         val refs = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         // CTE names and aliases resolve before tables; only flag unknown
-        // refs that are not defined as CTEs in the same statement.
-        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+        // refs that are not defined as CTEs in the same statement. A CTE
+        // may carry a column list (recursive form: `reach(src, dst) AS (`).
+        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         name -> (refs -- tables -- ctes)
     }.filter(_._2.nonEmpty)

@@ -139,6 +139,34 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == closedBatch)
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val evs = Seq(
+      Ev(1, ts(600), "click", 0.0),
+      Ev(1, ts(610), "purchase", 9.0),  // 10 min after click -> attributed
+      Ev(2, ts(600), "click", 0.0),
+      Ev(2, ts(700), "purchase", 5.0),  // 100 min after -> outside window
+      Ev(3, ts(650), "purchase", 7.0))  // no click at all
+    mem.addData(evs: _*)
+    val out = EventStream.attributedPurchases(mem.toDF(), windowMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // advance both watermarks so the joined row flushes in append mode
+    mem.addData(Ev(9, ts(10000), "click", 0.0), Ev(9, ts(10001), "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib").filter(col("user_id") < 9)
+      .select("user_id", "p_value").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 9.0)))
+    // batch twin over the same rows must agree
+    val batch = EventStream.attributedPurchases(evs.toDF())
+      .filter(col("user_id") < 9)
+      .select("user_id", "p_value").as[(Long, Double)].collect().toSet
+    assert(batch == got)
+  }
+
   test("streaming file source over the events fixture produces rows") {
     val ds = EventStream.fromEventsDir(spark, sfDir)
     EventStream.runToMemory(
