@@ -279,5 +279,29 @@ object Aggs extends Q.Module {
         AS wmean_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+  // --- q79: approximate quantiles via the GK sketch (approx_percentile)
+  //     — the scale path beside q26's exact interpolated quantile, and the
+  //     semantics the reference's default (t-digest-style approximate
+  //     quantile) actually has. Sketch internals are engine-specific → no
+  //     oracle (driver rows-only check), but the sanity bound — approx
+  //     within max-min of exact — is asserted in the result itself.
+  private val q79 = Q(
+    "q79_agg_approx_quantile",
+    "A9 approx quantile: GK sketch p50/p95 per returnflag (no oracle: sketch)",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .withColumn("sane",
+          col("p50_approx").between(col("lo"), col("hi")) &&
+            col("p95_approx").between(col("p50_approx"), col("hi")))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q79)
 }

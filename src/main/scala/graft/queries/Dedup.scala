@@ -290,16 +290,13 @@ object Dedup extends Q.Module {
 
   // --- q76: near-dup CLUSTERING + canonical selection — the step after
   //     pair generation in every production dedup pipeline: connected
-  //     components over the near-dup graph, keep min doc_id per component.
-  //
-  //     Implementation is the standard distributed CC loop (min-label
-  //     propagation): each iteration is one join + min-aggregate, and the
-  //     iteration count is the graph diameter — tiny for near-dup
-  //     clusters (dup groups are near-cliques). Convergence is detected
-  //     by the monotonically decreasing label sum, one scalar action per
-  //     iteration. This is exactly how you run it at 1e9 docs; the DuckDB
-  //     oracle instead computes the true transitive closure recursively,
-  //     so the fixpoint is cross-checked, not assumed.
+  //     components over the near-dup graph (graft.operators
+  //     .ConnectedComponents: min-label propagation + pointer doubling,
+  //     O(log diameter) iterations), keep min doc_id per component. The
+  //     DuckDB oracle computes the true transitive closure with a
+  //     recursive CTE, so the distributed fixpoint is cross-checked, not
+  //     assumed; the operator's property test covers long-chain graphs
+  //     the fixture's clique-like clusters never produce.
   private val q76 = Q(
     "q76_dedup_cluster_canonical",
     "✦ near-dup clusters: connected components over jacc>=0.5, canonical doc",
@@ -307,32 +304,9 @@ object Dedup extends Q.Module {
       val pairs = jaccardPairs(shingles(s, d).persist())
         .filter(col("jacc") >= 0.5)
         .select(col("da"), col("db")).persist()
-      val edges = pairs.unionByName(
-        pairs.select(col("db").as("da"), col("da").as("db")))
-        .toDF("src", "dst").persist()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster", col("doc_id")).persist()
-      var prevSum = Option.empty[Long]
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 10) {
-        // Explicit aliases: labels derives from edges, so after the first
-        // iteration attribute-based resolution turns ambiguous.
-        val prop = labels.as("l").join(edges.as("e"), col("l.doc_id") === col("e.src"))
-          .select(col("e.dst").as("doc_id"), col("l.cluster").as("cluster"))
-        val next = labels.unionByName(prop)
-          .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-          .persist()
-        val row = next.agg(sum(col("cluster"))).first()
-        val s0 = if (row.isNullAt(0)) 0L else row.getLong(0)
-        converged = prevSum.contains(s0)
-        prevSum = Some(s0)
-        labels = next
-        iter += 1
-      }
-      labels
-        .select(col("cluster"), col("doc_id"),
-          (col("doc_id") === col("cluster")).as("canonical"))
+      graft.operators.ConnectedComponents.run(pairs)
+        .select(col("cluster"), col("id").as("doc_id"),
+          (col("id") === col("cluster")).as("canonical"))
         .orderBy(col("cluster"), col("doc_id"))
     },
     Some(s"""WITH RECURSIVE $shinglesSql, $jaccardPairsSql,

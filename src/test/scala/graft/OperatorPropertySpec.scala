@@ -89,6 +89,41 @@ class OperatorPropertySpec extends SparkSuite {
     assert(math.abs(got._2 - want._2) / want._2 < 1e-9)
   }
 
+  test("connected components == union-find, incl. long-chain graphs") {
+    import spark.implicits._
+    // Driver-side ground truth: plain union-find with path compression.
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rng = new Random(13)
+    val graphs = Seq(
+      // the doubling trap: a 30-node path — plain propagation needs 29
+      // iterations, pointer-doubling ~5
+      (0L until 29L).map(i => (i, i + 1)),
+      // two cliques bridged by one edge
+      (for (a <- 0 to 4; b <- a + 1 to 4) yield (a.toLong, b.toLong)) ++
+        (for (a <- 10 to 14; b <- a + 1 to 14) yield (a.toLong, b.toLong)) ++
+        Seq((4L, 10L)),
+      // random sparse graph
+      Seq.fill(40)((rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+        .filter { case (a, b) => a != b })
+    graphs.foreach { edges =>
+      val got = graft.operators.ConnectedComponents
+        .run(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(edges), s"edges=$edges")
+    }
+  }
+
   test("dot product HOF == local fold") {
     import spark.implicits._
     val rng = new Random(11)
