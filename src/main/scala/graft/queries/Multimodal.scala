@@ -88,5 +88,35 @@ object Multimodal extends Q.Module {
     FROM f WHERE frame_idx % 4 = 0
     ORDER BY doc_id, frame_idx"""))
 
-  def defs: Seq[Q] = Seq(q55, q56)
+  // --- q81: the multimodal JOIN shape from SURVEY §2.11 — text columns
+  //     and embedding vectors side by side on doc_id = vec_id, with per-
+  //     modality features in one frame (the "multimodal record" a training
+  //     pipeline materializes). Inner join: at sf0.1 embeddings cover only
+  //     part of documents (FIXTURES.md), which is the realistic shape.
+  private val q81 = Q(
+    "q81_multimodal_join",
+    "✦ multimodal record: documents ⋈ embeddings, text + vector features",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          col("label"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, v) => acc + v.cast("double") * v.cast("double"))).as("l2"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang,
+      len(text) AS n_chars,
+      len(string_split(text, ' ')) AS n_words,
+      label, len(embedding) AS n_dims,
+      SQRT(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    ORDER BY doc_id"""))
+
+  def defs: Seq[Q] = Seq(q55, q56, q81)
 }

@@ -183,5 +183,41 @@ object Windows extends Q.Module {
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)
     ORDER BY c_mktsegment, c_custkey"""))
 
-  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77)
+  // --- q80: cumprod + cummin — the W1 forms Spark has no builtin for
+  //     (cumprod) or that q18 didn't cover (cummin). Spark lacks a window
+  //     product aggregate, so cumprod is a sequential left-to-right HOF
+  //     fold over the running frame's collect_list — frame order is the
+  //     window order, so the fold order is total and both engines multiply
+  //     the same doubles in the same sequence (bit-identical; same rule as
+  //     the vector dot products). Growth stays bounded: (1+l_tax) per row,
+  //     ≤ ~60 rows per order.
+  private val q80 = Q(
+    "q80_window_cumprod_cummin",
+    "W1 cumprod (HOF fold over running frame) + cummin per order",
+    (s, d) => {
+      // lineitem has no unique key: (l_orderkey, l_linenumber) repeats, so
+      // the frame order adds l_tax and l_quantity — remaining ties are
+      // rows identical in every consumed column, which contribute equal
+      // factors in either order.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_tax"), col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          aggregate(collect_list(lit(1.0) + col("l_tax")).over(w),
+            lit(1.0), (acc, v) => acc * v).as("cum_tax_factor"),
+          min(col("l_quantity")).over(w).as("cum_min_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("cum_tax_factor"), col("cum_min_qty"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      product(1.0 + l_tax) OVER w AS cum_tax_factor,
+      MIN(l_quantity) OVER w AS cum_min_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_tax, l_quantity
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY l_orderkey, l_linenumber, cum_tax_factor, cum_min_qty"""))
+
+  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80)
 }
