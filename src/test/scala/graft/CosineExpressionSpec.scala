@@ -30,6 +30,22 @@ class CosineExpressionSpec extends SparkSuite {
     }
   }
 
+  test("cosine_sim returns NULL on empty arrays, NaN on zero-norm") {
+    CosineSimilarity.register(spark)
+    // SQL path (interpreted + codegen'd depending on plan) — empty arrays
+    // must yield NULL (SQL convention, matches DuckDB list_sum of []),
+    // zero-norm non-empty arrays keep the IEEE 0/0 = NaN of the HOF fold.
+    val rows = spark.sql(
+      """SELECT
+        cosine_sim(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS empty,
+        cosine_sim(CAST(array(0.0) AS ARRAY<FLOAT>), CAST(array(0.0) AS ARRAY<FLOAT>)) AS zero,
+        cosine_sim(CAST(NULL AS ARRAY<FLOAT>), CAST(array(1.0) AS ARRAY<FLOAT>)) AS nul
+      """).collect().head
+    assert(rows.isNullAt(0))
+    assert(rows.getDouble(1).isNaN)
+    assert(rows.isNullAt(2))
+  }
+
   test("cosine_sim is callable from SQL after registration") {
     CosineSimilarity.register(spark)
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_t")
