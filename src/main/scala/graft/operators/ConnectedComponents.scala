@@ -49,18 +49,23 @@ object ConnectedComponents {
         .select(col("e.dst").as("id"), col("l.cluster").as("cluster"))
       val l1 = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-      // (b) shortcut: follow my label's label (pointer doubling). The
-      // invariant cluster <= id makes the left join total in practice;
-      // coalesce covers the first iteration's self-labels.
-      val l2 = l1.as("x").join(l1.as("y"), col("x.cluster") === col("y.id"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.cluster"),
-            coalesce(col("y.cluster"), col("x.cluster"))).as("cluster"))
+      // (b) shortcut: follow my label's label (pointer doubling). A no-op
+      // on the first iteration (labels are still identity), so start at
+      // iter 1. The invariant cluster <= id makes the left join total in
+      // practice; coalesce covers nodes whose label is already a root.
+      val l2 = (if (iter == 0) l1
+        else l1.as("x").join(l1.as("y"), col("x.cluster") === col("y.id"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.cluster"),
+              coalesce(col("y.cluster"), col("x.cluster"))).as("cluster")))
         .persist()
       val row = l2.agg(sum(col("cluster"))).first()
       val s0 = if (row.isNullAt(0)) 0L else row.getLong(0)
       converged = prevSum.contains(s0)
       prevSum = Some(s0)
+      // Superseded label table is dead from here on — at 1e9 nodes each
+      // generation is executor-memory-sized, so release it eagerly.
+      labels.unpersist()
       labels = l2
       iter += 1
     }
