@@ -245,5 +245,34 @@ object Extras extends Q.Module {
       COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
-  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70, q71)
+  // --- q82: the spark.sql(...) entrypoint + GROUPING SETS with
+  //     grouping_id — the general form behind rollup/cube (q28/q29), and
+  //     proof the SQL surface works end-to-end over registered views
+  //     (every other query drives the DataFrame API). grouping_id uses
+  //     the same bit encoding (Postgres convention) in both engines;
+  //     NULLS FIRST is spelled out because the engines' defaults differ.
+  private val q82 = Q(
+    "q82_sql_grouping_sets",
+    "A11/SQL surface: GROUPING SETS + grouping_id via spark.sql over a view",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82)
 }
