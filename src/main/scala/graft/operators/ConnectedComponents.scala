@@ -34,20 +34,35 @@ object ConnectedComponents {
   def run(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val cols = pairs.columns
     val e0 = pairs.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-    val edges = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).persist()
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    // Self-loops make the propagation join self-contained: each node
+    // receives its own current label through the same join that delivers
+    // its neighbors' labels, so the loop needs no union with the previous
+    // generation (a union of a checkpointed plan with its own derivation
+    // trips Catalyst's constraint rewriting).
+    val nodes = sym.select(col("src")).distinct()
+    val edges = sym.unionByName(
+      nodes.select(col("src"), col("src").as("dst"))).persist()
+    // localCheckpoint (eager), not persist: the shortcut join references
+    // the previous generation TWICE, so without truncation the logical
+    // plan doubles every iteration and analyzer/optimizer time grows
+    // exponentially with iteration count — persist caches data but keeps
+    // the full lineage. Checkpointing materializes AND cuts the plan to a
+    // scan of the cached partitions. (In a fault-tolerant production run,
+    // swap for reliable `checkpoint()` against a checkpoint dir — same
+    // shape, survives executor loss.)
+    var labels = nodes.select(col("src").as("id"))
+      .withColumn("cluster", col("id")).localCheckpoint(true)
     var prevSum = Option.empty[Long]
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // (a) propagate: min over own label and all neighbors' labels.
-      // Aliases are load-bearing: labels derives from edges, and repeated
+      // (a) propagate: min over own label and all neighbors' labels (the
+      // self-loop delivers "own"). Aliases are load-bearing: repeated
       // self-joins otherwise trip the ambiguous-attribute check.
-      val prop = labels.as("l").join(edges.as("e"), col("l.id") === col("e.src"))
+      val l1 = labels.as("l").join(edges.as("e"), col("l.id") === col("e.src"))
         .select(col("e.dst").as("id"), col("l.cluster").as("cluster"))
-      val l1 = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
       // (b) shortcut: follow my label's label (pointer doubling). A no-op
       // on the first iteration (labels are still identity), so start at
@@ -58,14 +73,13 @@ object ConnectedComponents {
           .select(col("x.id").as("id"),
             least(col("x.cluster"),
               coalesce(col("y.cluster"), col("x.cluster"))).as("cluster")))
-        .persist()
+        .localCheckpoint(true)
       val row = l2.agg(sum(col("cluster"))).first()
       val s0 = if (row.isNullAt(0)) 0L else row.getLong(0)
       converged = prevSum.contains(s0)
       prevSum = Some(s0)
-      // Superseded label table is dead from here on — at 1e9 nodes each
-      // generation is executor-memory-sized, so release it eagerly.
-      labels.unpersist()
+      // The superseded generation's blocks are dead from here on; the
+      // ContextCleaner reclaims them once unreferenced.
       labels = l2
       iter += 1
     }
