@@ -323,14 +323,19 @@ object Dedup extends Q.Module {
     FROM lab ORDER BY cluster, doc_id"""))
 
   // --- q78: edit-distance near-dup — (lang, source)-blocked pairs,
-  //     levenshtein over 40-char prefixes. Blocking bounds the pair space
-  //     (the all-pairs product is impossible at scale); levenshtein is
-  //     exact integer DP in both engines. Corpus doubled like q46 so the
-  //     fixture is guaranteed to contain distance-0 pairs.
+  //     threshold-bounded levenshtein over 40-char prefixes. Blocking
+  //     bounds the pair space (the all-pairs product is impossible at
+  //     scale); the bounded_levenshtein expression (Ukkonen band, early
+  //     exit — graft.functions.BoundedLevenshtein) computes O(k·n) per
+  //     pair instead of the built-in's O(n·m) full matrix, and is exact
+  //     for all distances <= k, so the DuckDB oracle keeps using plain
+  //     levenshtein. Corpus doubled like q46 so the fixture is guaranteed
+  //     to contain distance-0 pairs.
   private val q78 = Q(
     "q78_dedup_levenshtein",
-    "✦ edit-distance near-dup: blocked levenshtein on 40-char prefixes",
+    "✦ edit-distance near-dup: blocked bounded-levenshtein on 40-char prefixes",
     (s, d) => {
+      graft.functions.BoundedLevenshtein.register(s)
       val base = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -345,7 +350,8 @@ object Dedup extends Q.Module {
       val b = corpus.select(col("lang"), col("source"),
         col("doc_id").as("db"), col("head").as("hb"))
       a.join(b, Seq("lang", "source")).filter(col("da") < col("db"))
-        .withColumn("lev", levenshtein(col("ha"), col("hb")))
+        .withColumn("lev",
+          graft.functions.BoundedLevenshtein.boundedLev(col("ha"), col("hb"), lit(8)))
         .filter(col("lev") <= 8)
         .select(col("lang"), col("source"), col("da"), col("db"), col("lev"))
         .orderBy(col("da"), col("db"))
