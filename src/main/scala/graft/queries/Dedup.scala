@@ -215,15 +215,19 @@ object Dedup extends Q.Module {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
         .withColumn("h32", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      // One 32-column aggregate instead of explode(0..31): the per-bit
+      // weighted sums all fold in the same HashAggregate pass, so the
+      // word stream is scanned once at 1× volume (the explode form
+      // multiplied it 32-fold — it was the round-2 profile's hot spot).
+      val sjCols = (0 to 31).map { j =>
+        sum(col("cnt") * (shiftright(col("h32"), j) % 2 * 2 - 1)).as(s"sj$j")
+      }
       val fp = wc
-        .select(col("doc_id"), col("cnt"), col("h32"),
-          explode(sequence(lit(0), lit(31))).as("j"))
-        .withColumn("contrib",
-          col("cnt") * (expr("(h32 div CAST(pow(2, j) AS LONG)) % 2") * 2 - 1))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("contrib")).as("sj"))
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("sj") > 0, expr("CAST(pow(2, j) AS LONG)")).otherwise(0L)).as("fp"))
+        .agg(sjCols.head, sjCols.tail: _*)
+        .select(col("doc_id"),
+          (0 to 31).map(j =>
+            when(col(s"sj$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("fp"))
       val banded = fp.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bandval", expr("(fp div CAST(pow(2, b * 8) AS LONG)) % 256"))
