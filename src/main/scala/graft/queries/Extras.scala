@@ -274,5 +274,32 @@ object Extras extends Q.Module {
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
-  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82)
+  // --- q83: spark.ml BucketedRandomProjectionLSH (SURVEY §2.3 J9's named
+  //     library path for Euclidean ANN; the from-scratch sign-LSH twin is
+  //     q57). Model hashes are seed-fixed but Spark-internal → no oracle.
+  private val q83 = Q(
+    "q83_ml_brp_lsh",
+    "✦ spark.ml BucketedRandomProjectionLSH euclidean ANN (no oracle: ml hashes)",
+    (s, d) => {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.embeddings(s, d)
+        .withColumn("fvec", array_to_vector(col("embedding")))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("fvec").setOutputCol("h")
+        .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+      val model = lsh.fit(e)
+      // Query-against-index: bounded query set probes the corpus. Radius
+      // 1.2 is selective on this corpus (typical inter-vector distance
+      // ~1.4): it returns the true near-neighbor tail, not everything.
+      val q = e.filter(col("vec_id") < 10)
+      model.approxSimilarityJoin(q, e, 1.2, "dist")
+        .select(col("datasetA.vec_id").as("qid"),
+          col("datasetB.vec_id").as("nid"), col("dist"))
+        .filter(col("qid") =!= col("nid"))
+        .orderBy(col("qid"), col("nid"))
+    },
+    None)
+
+  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83)
 }
