@@ -327,19 +327,20 @@ object Dedup extends Q.Module {
     FROM lab ORDER BY cluster, doc_id"""))
 
   // --- q78: edit-distance near-dup — (lang, source)-blocked pairs,
-  //     threshold-bounded levenshtein over 40-char prefixes. Blocking
-  //     bounds the pair space (the all-pairs product is impossible at
-  //     scale); the bounded_levenshtein expression (Ukkonen band, early
-  //     exit — graft.functions.BoundedLevenshtein) computes O(k·n) per
-  //     pair instead of the built-in's O(n·m) full matrix, and is exact
-  //     for all distances <= k, so the DuckDB oracle keeps using plain
-  //     levenshtein. Corpus doubled like q46 so the fixture is guaranteed
-  //     to contain distance-0 pairs.
+  //     THRESHOLDED levenshtein over 40-char prefixes. Blocking bounds
+  //     the pair space (the all-pairs product is impossible at scale);
+  //     the 3-arg `levenshtein(a, b, k)` builtin computes a threshold-
+  //     limited distance (banded, early exit — O(k·n) per pair, -1 beyond
+  //     k) instead of the 2-arg form's full O(n·m) matrix. Values in
+  //     [0, k] are the exact distance, so the DuckDB oracle keeps using
+  //     plain levenshtein. Corpus doubled like q46 so the fixture is
+  //     guaranteed to contain distance-0 pairs. (Naive 2-arg filters are
+  //     rewritten to this form automatically by
+  //     graft.plans.ThresholdLevenshteinRule — q84 exercises that path.)
   private val q78 = Q(
     "q78_dedup_levenshtein",
-    "✦ edit-distance near-dup: blocked bounded-levenshtein on 40-char prefixes",
+    "✦ edit-distance near-dup: blocked thresholded levenshtein, 40-char prefixes",
     (s, d) => {
-      graft.functions.BoundedLevenshtein.register(s)
       val base = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -354,9 +355,8 @@ object Dedup extends Q.Module {
       val b = corpus.select(col("lang"), col("source"),
         col("doc_id").as("db"), col("head").as("hb"))
       a.join(b, Seq("lang", "source")).filter(col("da") < col("db"))
-        .withColumn("lev",
-          graft.functions.BoundedLevenshtein.boundedLev(col("ha"), col("hb"), lit(8)))
-        .filter(col("lev") <= 8)
+        .withColumn("lev", levenshtein(col("ha"), col("hb"), 8))
+        .filter(col("lev").between(0, 8)) // thresholded form returns -1 beyond k
         .select(col("lang"), col("source"), col("da"), col("db"), col("lev"))
         .orderBy(col("da"), col("db"))
     },
@@ -372,5 +372,43 @@ object Dedup extends Q.Module {
     WHERE levenshtein(a.head, b.head) <= 8
     ORDER BY da, db"""))
 
-  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78)
+  // --- q84: the NAIVE edit-distance filter, planned efficiently by the
+  //     injected optimizer rule — the query text says `levenshtein(a, b)
+  //     < 6` (full-matrix form); graft.plans.ThresholdLevenshteinRule
+  //     rewrites the Filter to the banded `levenshtein(a, b, 5) >= 0`
+  //     builtin at optimization time (asserted by PlanRuleSpec). Coarser
+  //     blocking than q78 (lang only, 24-char heads) so the rewrite works
+  //     against a ~10× larger pair space.
+  private val q84 = Q(
+    "q84_dedup_levenshtein_rule",
+    "✦ naive levenshtein filter auto-rewritten to thresholded form by rule",
+    (s, d) => {
+      graft.plans.ThresholdLevenshteinRule.install(s)
+      val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 24).as("head"))
+      val a = corpus.select(col("lang"), col("doc_id").as("da"), col("head").as("ha"))
+      val b = corpus.select(col("lang"), col("doc_id").as("db"), col("head").as("hb"))
+      a.join(b, Seq("lang")).filter(col("da") < col("db"))
+        .filter(levenshtein(col("ha"), col("hb")) < 6) // ← naive form; rule rewrites
+        .select(col("lang"), col("da"), col("db"),
+          levenshtein(col("ha"), col("hb")).as("lev"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, lang, substr(text, 1, 24) AS head FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, lang, substr(text, 1, 24)
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT a.lang, a.doc_id AS da, b.doc_id AS db,
+      CAST(levenshtein(a.head, b.head) AS INT) AS lev
+    FROM corpus a JOIN corpus b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) < 6
+    ORDER BY da, db"""))
+
+  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84)
 }
