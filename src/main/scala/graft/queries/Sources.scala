@@ -160,5 +160,29 @@ object Sources extends Q.Module {
     FROM supplier WHERE s_acctbal > 0
     GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
-  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72)
+  // --- q85: XML sink + scan round-trip (built into Spark 4's spark-sql —
+  //     the spark-xml package was merged upstream in 4.0). Explicit schema
+  //     on re-read: XML inference would widen ints.
+  private val q85 = Q(
+    "q85_source_xml_roundtrip",
+    "S3/S6 xml: write nation as XML rows, re-read with schema, aggregate",
+    (s, d) => {
+      val path = tmp("xml", d)
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("rowTag", "nation").format("xml").save(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.option("rowTag", "nation").schema(schema).format("xml").load(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).cast("long").as("sum_keys"))
+        .orderBy(col("n_regionkey"))
+    },
+    Some("""SELECT n_regionkey, COUNT(*) AS n,
+      CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85)
 }
