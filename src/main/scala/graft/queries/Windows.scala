@@ -219,5 +219,33 @@ object Windows extends Q.Module {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY l_orderkey, l_linenumber, cum_tax_factor, cum_min_qty"""))
 
-  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80)
+  // --- q86: first/last/nth over an ordered frame — the W6 value-picking
+  //     functions (first order price, latest price, second order) per
+  //     customer. last_value needs the full-partition frame (the default
+  //     running frame would just echo the current row).
+  private val q86 = Q(
+    "q86_window_first_last_nth",
+    "W6 first_value/last_value/nth_value of order price per customer",
+    (s, d) => {
+      val wRun = wCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = wCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(wRun).as("first_price"),
+        last(col("o_totalprice")).over(wAll).as("latest_price"),
+        nth_value(col("o_totalprice"), 2).over(wAll).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      FIRST_VALUE(o_totalprice) OVER wr AS first_price,
+      LAST_VALUE(o_totalprice) OVER wa AS latest_price,
+      NTH_VALUE(o_totalprice, 2) OVER wa AS second_price
+    FROM orders
+    WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey"""))
+
+  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86)
 }
