@@ -160,6 +160,36 @@ object Sources extends Q.Module {
     FROM supplier WHERE s_acctbal > 0
     GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  // --- q87: stratified sampling — per-stratum fractions via
+  //     stat.sampleBy (the class-rebalancing op of a training-data
+  //     pipeline: downsample dominant languages, keep the tail). Engine
+  //     RNG → no oracle; the result itself carries the checks: per-seed
+  //     determinism (two draws compared) and per-stratum rates in a
+  //     generous tolerance band.
+  private val q87 = Q(
+    "q87_sample_stratified",
+    "P9✦ stratified sampleBy lang: rebalanced corpus (no oracle: engine RNG)",
+    (s, d) => {
+      val fr = Map("en" -> 0.2, "de" -> 0.5, "es" -> 0.5, "fr" -> 1.0, "zh" -> 1.0)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      def draw() = docs.stat.sampleBy("lang", fr, 42L)
+      val s1 = draw().persist()
+      val stable = s1.exceptAll(draw()).count() == 0 &&
+        draw().exceptAll(s1).count() == 0
+      val base = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      s1.groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .join(base, Seq("lang"))
+        .withColumn("target_frac",
+          element_at(typedLit(fr), col("lang")))
+        .withColumn("rate", col("n_sampled").cast("double") / col("n_total"))
+        .withColumn("in_band",
+          (col("rate") - col("target_frac")) <= 0.15 &&
+            (col("target_frac") - col("rate")) <= 0.15)
+        .withColumn("seed_stable", lit(stable))
+        .orderBy(col("lang"))
+    },
+    None)
+
   // --- q85: XML sink + scan round-trip (built into Spark 4's spark-sql —
   //     the spark-xml package was merged upstream in 4.0). Explicit schema
   //     on re-read: XML inference would widen ints.
@@ -184,5 +214,5 @@ object Sources extends Q.Module {
       CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
-  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85)
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87)
 }
