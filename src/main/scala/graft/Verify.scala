@@ -25,6 +25,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release this query's persisted frames: the 90-query single-session
+      // run otherwise accumulates cached blocks (intra-query persists are
+      // load-bearing during the action but dead after it) and the cache
+      // pressure bleeds into every later query's timing/memory.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -83,6 +83,18 @@ object ConnectedComponents {
       labels = l2
       iter += 1
     }
+    // labels is a localCheckpoint scan — it no longer references edges, so
+    // the cached edge blocks are dead the moment the loop exits. Without
+    // this every run() leaks a persisted frame for the session lifetime
+    // (this is a reusable library API; callers can't reach the persist).
+    edges.unpersist(blocking = false)
+    // Reaching maxIter without a fixpoint means labels may be under-merged
+    // (high-diameter graph or too-small maxIter) — surface it instead of
+    // silently returning a wrong clustering.
+    if (!converged)
+      System.err.println(
+        s"[ConnectedComponents] WARNING: no fixpoint after $maxIter iterations — " +
+          "labels may be under-merged; raise maxIter")
     labels
   }
 }

@@ -231,12 +231,17 @@ object Dedup extends Q.Module {
       val banded = fp.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bandval", expr("(fp div CAST(pow(2, b * 8) AS LONG)) % 256"))
+      // Filter BEFORE distinct: bit_count is a one-instruction projection
+      // per banded pair, so applying the hamming cutoff first shrinks the
+      // distinct's shuffle to the (tiny) survivor set instead of deduping
+      // every band collision.
       banded.select(col("doc_id").as("da"), col("fp").as("fa"), col("b"), col("bandval"))
         .join(banded.select(col("doc_id").as("db"), col("fp").as("fb"), col("b"), col("bandval")),
           Seq("b", "bandval"))
         .filter(col("da") < col("db"))
-        .select(col("da"), col("db"), expr("bit_count(fa ^ fb)").as("hamming")).distinct()
+        .select(col("da"), col("db"), expr("bit_count(fa ^ fb)").as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy(col("da"), col("db"))
     },
     Some("""WITH wc AS (

@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Scale extends Q.Module {
 
-  private def tmp(name: String, d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_scale_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+  // pid-discriminated paths + write-once-per-process: see Sinks scaladoc.
+  private def tmp(name: String, d: String): String = Sinks.tmp(s"scale_$name", d)
 
   // Sequential-fold cosine twins (same op order as CosineSimilarity and
   // the DuckDB list_sum fold — bit-identical across engines).
@@ -41,9 +41,11 @@ object Scale extends Q.Module {
     "S6 partitioned parquet sink + partition-pruned scan (yr=1997 only)",
     (s, d) => {
       val path = tmp("ppart", d)
-      Tables.orders(s, d)
-        .withColumn("yr", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("yr").parquet(path)
+      Sinks.once(path) {
+        Tables.orders(s, d)
+          .withColumn("yr", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("yr").parquet(path)
+      }
       s.read.parquet(path)
         .filter(col("yr") === 1997) // PartitionFilters: directory-level prune
         .groupBy(col("o_orderpriority"))
@@ -54,8 +56,9 @@ object Scale extends Q.Module {
     FROM orders WHERE year(o_orderdate) = 1997
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  // --- q74: IVF ANN — deterministic centroid sample (vec_id % 50), nearest-
-  //     centroid assignment via broadcast, top-3 search within the cell.
+  // --- q74: IVF ANN — FIXED centroid budget (K ≈ 64 independent of corpus
+  //     size), nearest-centroid assignment via broadcast, top-3 search
+  //     within the cell.
   private val q74 = Q(
     "q74_ann_ivf_cells",
     "✦ ANN via IVF cells: broadcast centroid assign, in-cell top-3 rerank",
@@ -63,7 +66,16 @@ object Scale extends Q.Module {
       graft.functions.CosineSimilarity.register(s)
       val cos = graft.functions.CosineSimilarity.cosineSim _
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      // Centroid count must NOT scale with N: the earlier `vec_id % 50`
+      // scheme made K = N/50, so the broadcast assignment did N·K = N²/50
+      // cosine evaluations — quadratic in disguise. A fixed target K keeps
+      // assignment O(N·K) with K constant; one scalar count() derives the
+      // stride (same subquery the oracle runs). Production would draw
+      // kmeans||-style sampled centroids; a deterministic stride keeps the
+      // cross-engine oracle exact while preserving the plan shape.
+      val targetK = 64L
+      val stride = math.max(e.count() / targetK, 1L)
+      val cents = e.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       // Assignment: K centroids broadcast against N vectors — one narrow
       // codegen'd pass, no shuffle of the big side.
@@ -89,7 +101,8 @@ object Scale extends Q.Module {
         .orderBy(col("qid"), col("rank"))
     },
     Some(s"""WITH c AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id % GREATEST((SELECT COUNT(*) FROM embeddings) // 64, 1) = 0),
     asn AS (
       SELECT e.vec_id, e.embedding, c.cid,
         ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -114,12 +127,16 @@ object Scale extends Q.Module {
     "S6/J1 bucketed tables: shuffle-free SortMergeJoin on pre-bucketed key",
     (s, d) => {
       val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-      Tables.orders(s, d).write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", tmp("orders_b", d)).saveAsTable(s"g_orders_b_$tag")
-      Tables.customer(s, d).write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", tmp("customer_b", d)).saveAsTable(s"g_customer_b_$tag")
+      Sinks.once(tmp("orders_b", d)) {
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", tmp("orders_b", d)).saveAsTable(s"g_orders_b_$tag")
+      }
+      Sinks.once(tmp("customer_b", d)) {
+        Tables.customer(s, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", tmp("customer_b", d)).saveAsTable(s"g_customer_b_$tag")
+      }
       val o = s.table(s"g_orders_b_$tag")
       val c = s.table(s"g_customer_b_$tag")
       // merge hint: at fixture scale Catalyst would broadcast the small

@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   */
 object Sources extends Q.Module {
 
-  private def tmp(name: String, d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_src_${name}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+  // pid-discriminated paths + write-once-per-process: see Sinks scaladoc.
+  private def tmp(name: String, d: String): String = Sinks.tmp(s"src_$name", d)
 
   // --- q58: CSV sink + glob scan with explicit schema (S1, S6).
   private val q58 = Q(
@@ -24,8 +24,10 @@ object Sources extends Q.Module {
     "S1/S6 csv: write part to CSV, re-read with schema, aggregate",
     (s, d) => {
       val path = tmp("csv", d)
-      Tables.part(s, d).write.mode("overwrite")
-        .option("header", "true").csv(path)
+      Sinks.once(path) {
+        Tables.part(s, d).write.mode("overwrite")
+          .option("header", "true").csv(path)
+      }
       val schema = StructType(Seq(
         StructField("p_partkey", LongType), StructField("p_name", StringType),
         StructField("p_brand", StringType), StructField("p_type", StringType),
@@ -44,8 +46,10 @@ object Sources extends Q.Module {
     "S3 read_text: write document bodies as text lines, re-read, tokenize",
     (s, d) => {
       val path = tmp("txt", d)
-      Tables.documents(s, d).select(col("text"))
-        .write.mode("overwrite").text(path)
+      Sinks.once(path) {
+        Tables.documents(s, d).select(col("text"))
+          .write.mode("overwrite").text(path)
+      }
       s.read.text(path)
         .select(size(split(col("value"), " ")).cast("long").as("n_tokens"))
         .agg(count(lit(1)).as("n_lines"),
@@ -65,9 +69,11 @@ object Sources extends Q.Module {
     "S3 json-lines: write events subset as JSONL, re-read, aggregate",
     (s, d) => {
       val path = tmp("json", d)
-      Tables.events(s, d)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").json(path)
+      Sinks.once(path) {
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").json(path)
+      }
       s.read.json(path)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
@@ -149,7 +155,9 @@ object Sources extends Q.Module {
     "S2/S6 orc: write supplier to ORC, re-read with pushdown, aggregate",
     (s, d) => {
       val path = tmp("orc", d)
-      Tables.supplier(s, d).write.mode("overwrite").orc(path)
+      Sinks.once(path) {
+        Tables.supplier(s, d).write.mode("overwrite").orc(path)
+      }
       s.read.orc(path)
         .filter(col("s_acctbal") > 0)
         .groupBy(col("s_nationkey"))
@@ -198,8 +206,10 @@ object Sources extends Q.Module {
     "S3/S6 xml: write nation as XML rows, re-read with schema, aggregate",
     (s, d) => {
       val path = tmp("xml", d)
-      Tables.nation(s, d).write.mode("overwrite")
-        .option("rowTag", "nation").format("xml").save(path)
+      Sinks.once(path) {
+        Tables.nation(s, d).write.mode("overwrite")
+          .option("rowTag", "nation").format("xml").save(path)
+      }
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType),

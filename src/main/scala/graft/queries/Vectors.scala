@@ -159,44 +159,71 @@ object Vectors extends Q.Module {
     None)
 
   // --- q57: LSH-bucketed ANN — the scale path for q44. Sign-random-
-  //     projection: 4 pseudo-random hyperplanes (md5-derived ±1 coeffs, so
-  //     the oracle can rebuild them), 16 buckets, candidate pairs only
-  //     within a bucket, exact cosine on candidates. At 1e9 vectors the
-  //     all-pairs q44 plan is impossible; this plan is one shuffle on the
-  //     bucket key with per-bucket pair generation.
+  //     projection with 16 pseudo-random hyperplanes (md5-derived ±1
+  //     coeffs, so the oracle can rebuild them) split into TWO 8-bit
+  //     bands: band0 = low byte, band1 = high byte of the 16-bit sketch.
+  //     Candidates are pairs agreeing on EITHER band (256 buckets per
+  //     band bounds in-bucket pair volume at O(N²/256); the second band
+  //     restores recall), deduped, then exact-cosine reranked. Round 2's
+  //     4-plane/16-bucket version left per-bucket population — and thus
+  //     pair volume — unbounded at 1e9 vectors; plane count is the dial
+  //     that must grow with the corpus, and it is a register() parameter.
   private val q57 = Q(
     "q57_ann_lsh_buckets",
-    "✦ ANN via sign-random-projection LSH buckets + exact rerank",
+    "✦ ANN via 16-plane sign-LSH, 2×8-bit bands + exact rerank",
     (s, d) => {
       // coeff(p, j) = +1 iff first md5 nibble of "p:j" < 8 — the fused
       // codegen'd SignLshBucket expression; the oracle rebuilds the same
       // coefficients from md5 and folds in the same order.
       graft.functions.CosineSimilarity.register(s)
-      graft.functions.SignLshBucket.register(s)
-      val eb = Tables.embeddings(s, d)
+      graft.functions.SignLshBucket.register(s, planes = 16)
+      val e = Tables.embeddings(s, d)
+      val eb = e
         .withColumn("bucket", graft.functions.SignLshBucket.lshBucket(col("embedding")))
-      val a = eb.select(col("bucket"), col("vec_id").as("da"), col("embedding").as("ea"))
-      val b = eb.select(col("bucket"), col("vec_id").as("db"), col("embedding").as("eb"))
-      a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+        .select(col("vec_id"),
+          explode(array(
+            struct(lit(0).as("b"), (col("bucket") % 256).as("bandval")),
+            struct(lit(1).as("b"), shiftright(col("bucket"), 8).as("bandval")))).as("band"))
+        .select(col("vec_id"), col("band.b").as("b"), col("band.bandval").as("bandval"))
+      // Dedup candidate PAIRS before the rerank: a pair agreeing on both
+      // bands must be scored once, and the distinct runs on 2 longs — the
+      // embeddings join back in only for the surviving candidates.
+      val cand = eb.select(col("b"), col("bandval"), col("vec_id").as("da"))
+        .join(eb.select(col("b"), col("bandval"), col("vec_id").as("db")),
+          Seq("b", "bandval"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      cand
+        .join(e.select(col("vec_id").as("da"), col("embedding").as("ea")), Seq("da"))
+        .join(e.select(col("vec_id").as("db"), col("embedding").as("eb")), Seq("db"))
         .withColumn("score",
           graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")))
         .filter(col("score") >= 0.3)
-        .select(col("bucket"), col("da"), col("db"), col("score"))
+        .select(col("da"), col("db"), col("score"))
         .orderBy(col("da"), col("db"))
     },
-    Some(s"""WITH eb AS (
-      SELECT vec_id, embedding,
-        CAST(list_sum(list_transform(generate_series(0, 3), p ->
+    Some(s"""WITH sk AS (
+      SELECT vec_id,
+        CAST(list_sum(list_transform(generate_series(0, 15), p ->
           CASE WHEN list_sum(list_transform(generate_series(1, 64), j ->
               CAST(embedding[j] AS DOUBLE) *
               (CASE WHEN strpos('01234567', substr(md5(p || ':' || (j - 1)), 1, 1)) > 0
                     THEN 1.0 ELSE -1.0 END))) > 0
                THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
-      FROM embeddings)
-    SELECT a.bucket AS bucket, a.vec_id AS da, b.vec_id AS db,
-      ${cosineSql("a.embedding", "b.embedding")} AS score
-    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.3
+      FROM embeddings),
+    bands AS (
+      SELECT vec_id, 0 AS b, bucket % 256 AS bandval FROM sk
+      UNION ALL
+      SELECT vec_id, 1 AS b, bucket // 256 AS bandval FROM sk),
+    cand AS (SELECT DISTINCT p.vec_id da, q.vec_id db
+             FROM bands p JOIN bands q USING(b, bandval)
+             WHERE p.vec_id < q.vec_id)
+    SELECT cand.da AS da, cand.db AS db,
+      ${cosineSql("x.embedding", "y.embedding")} AS score
+    FROM cand
+      JOIN embeddings x ON x.vec_id = cand.da
+      JOIN embeddings y ON y.vec_id = cand.db
+    WHERE ${cosineSql("x.embedding", "y.embedding")} >= 0.3
     ORDER BY da, db"""))
 
   def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57)
