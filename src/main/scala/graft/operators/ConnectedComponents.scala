@@ -28,10 +28,15 @@ object ConnectedComponents {
 
   /** @param pairs two-column frame of undirected edges (any numeric id
     *              type); symmetrized internally.
+    * @param strict when true, reaching maxIter without a fixpoint throws
+    *               IllegalStateException instead of only warning — callers
+    *               that must not ship an under-merged clustering (q76) can
+    *               detect non-convergence programmatically rather than
+    *               relying on a stderr line the harness may drop.
     * @return (id, cluster) — cluster is the minimum id reachable from id;
     *         isolated nodes (absent from pairs) are absent here too.
     */
-  def run(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(pairs: DataFrame, maxIter: Int = 25, strict: Boolean = false): DataFrame = {
     val cols = pairs.columns
     val e0 = pairs.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
     val sym = e0.unionByName(
@@ -91,10 +96,12 @@ object ConnectedComponents {
     // Reaching maxIter without a fixpoint means labels may be under-merged
     // (high-diameter graph or too-small maxIter) — surface it instead of
     // silently returning a wrong clustering.
-    if (!converged)
-      System.err.println(
-        s"[ConnectedComponents] WARNING: no fixpoint after $maxIter iterations — " +
-          "labels may be under-merged; raise maxIter")
+    if (!converged) {
+      val msg = s"[ConnectedComponents] no fixpoint after $maxIter iterations — " +
+        "labels may be under-merged; raise maxIter"
+      if (strict) throw new IllegalStateException(msg)
+      System.err.println(s"WARNING: $msg")
+    }
     labels
   }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents`: SURVEY.md §2.11 ✦ — exact
@@ -18,13 +19,20 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): the shingle inverted index is the one shuffle;
   * candidate generation joins on shingle/band/bucket keys only — never an
   * all-pairs product. Hot shingles (stopword trigrams) are the skew risk:
-  * at scale you drop shingles with document frequency above a cutoff
-  * before the join (standard MinHash practice), which bounds the join
-  * fan-out; AQE skew-join splitting covers the remainder.
+  * `shingles()` drops shingles with document frequency above
+  * `maxShingleDf` before any pair join (standard MinHash practice), which
+  * bounds the per-key join fan-out at df²; AQE skew-join splitting covers
+  * the remainder.
   */
 object Dedup extends Q.Module {
 
-  /** (doc_id, shingle) rows: distinct word-3-gram shingles per document.
+  /** Document-frequency cutoff for shingles: a shingle present in more
+    * documents than this is a stopword phrase that contributes df² pairs
+    * to the inverted-index join while carrying no dedup signal. */
+  private val maxShingleDf = 100
+
+  /** (doc_id, shingle) rows: distinct word-3-gram shingles per document,
+    * minus shingles with document frequency above `maxShingleDf`.
     *
     * The repartition is load-bearing: the fixture is one small parquet
     * file → one input split, and the nested-HOF shingle construction runs
@@ -38,19 +46,31 @@ object Dedup extends Q.Module {
     // size-2 < 1 (sequence(1,0) = [1,0]) and slice(w, 0, 3) throws, while
     // the oracle's generate_series(1, 0) is empty. Filtering <3-word docs
     // out up front gives both engines the same "no shingles" semantics.
-    Tables.documents(s, d)
+    val sh0 = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .filter(size(w) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(
           transform(sequence(lit(1), size(w) - 2),
             i => concat_ws(" ", slice(w, i, lit(3)))))).as("shingle"))
+    // Hot-shingle cutoff enforced IN the plan, not just documented: one
+    // count-over-window pass — the same shuffle-by-shingle a separate df
+    // table would need, without scanning the shingle projection twice.
+    // This bounds every downstream shingle-key join at maxShingleDf² pairs
+    // per key, which is what makes the inverted-index family survive a
+    // corpus where "the and of" appears in every document.
+    sh0.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
   }
 
   private val shinglesSql =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     iw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
-    sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM iw)"""
+    sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM iw),
+    sh AS (SELECT doc_id, shingle FROM (
+      SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+      WHERE df <= $maxShingleDf)"""
 
   /** Exact-Jaccard pairs from the shingle inverted index (no all-pairs).
     *
@@ -120,6 +140,10 @@ object Dedup extends Q.Module {
     "q47_dedup_ngram_jaccard",
     "✦ n-gram Jaccard near-dup: inverted-index pairs, jacc >= 0.5",
     (s, d) => {
+      // persist: 3 downstream subplans re-read the shingle index. The
+      // returned frame is lazy, so the query can't release it after its
+      // own action — harness-owned cache: Verify/Bench clearCache after
+      // each query is the paired release.
       jaccardPairs(shingles(s, d).persist())
         .filter(col("jacc") >= 0.5)
         .select(col("da"), col("db"), col("inter"), col("jacc"))
@@ -145,6 +169,8 @@ object Dedup extends Q.Module {
     "q48_dedup_minhash_lsh",
     "✦ MinHash+LSH: band-bucket candidates, verified jacc >= 0.5",
     (s, d) => {
+      // persist pair: harness-owned cache (see q47) — clearCache after
+      // each query is the paired release for both frames.
       val sh = shingles(s, d).persist()
       // One projection computes both digests once (CSE), then the min-agg
       // runs over plain LONG slices in a fixed-width HashAggregate buffer.
@@ -202,35 +228,68 @@ object Dedup extends Q.Module {
     FROM cand JOIN jp ON jp.da = cand.da AND jp.db = cand.db
     WHERE jacc >= 0.5 ORDER BY jp.da, jp.db"""))
 
+  /** (doc_id, fp): 32-bit word-count SimHash of `textCol` — md5-derived
+    * word hashes weighted by term count. One 32-column aggregate instead
+    * of explode(0..31): the per-bit weighted sums all fold in the same
+    * HashAggregate pass, so the word stream is scanned once at 1× volume
+    * (the explode form multiplied it 32-fold — it was the round-2
+    * profile's hot spot). Shared by q49 (whole-text near-dup) and q78/q84
+    * (head-prefix candidate generation). */
+  private def simhashFp(docs: DataFrame, textCol: String): DataFrame = {
+    val wc = docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h32", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+    val sjCols = (0 to 31).map { j =>
+      sum(col("cnt") * (shiftright(col("h32"), j) % 2 * 2 - 1)).as(s"sj$j")
+    }
+    wc.groupBy(col("doc_id"))
+      .agg(sjCols.head, sjCols.tail: _*)
+      .select(col("doc_id"),
+        (0 to 31).map(j =>
+          when(col(s"sj$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("fp"))
+  }
+
+  /** (doc_id, fp, b, bandval): the fingerprint split into 4 bands of 8
+    * bits — pigeonhole guarantees any pair at Hamming distance <= 3
+    * agrees on at least one band. Band-key cardinality (256 values ×
+    * 4 bands per 32 fp bits) is what bounds in-bucket pair volume; the
+    * fingerprint width is the dial that grows with the corpus (64-bit fp
+    * + 16-bit bands at 1e9 docs). */
+  private def simhashBanded(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("fp"), explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bandval", expr("(fp div CAST(pow(2, b * 8) AS LONG)) % 256"))
+
+  /** DuckDB twin of simhashFp + simhashBanded: CTEs wc/bits/fp/banded over
+    * `src`'s (doc_id, `headExpr`) rows. */
+  private def simhashSql(src: String, headExpr: String): String =
+    s"""wc AS (
+      SELECT doc_id, word, COUNT(*) cnt,
+        CAST(list_sum(list_transform(generate_series(1, 8),
+          k -> (strpos('0123456789abcdef', substr(md5(word), k, 1)) - 1)
+               * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) AS h32
+      FROM (SELECT doc_id, unnest(string_split($headExpr, ' ')) AS word FROM $src)
+      GROUP BY doc_id, word),
+    bits AS (SELECT doc_id, j,
+        SUM(cnt * (((h32 // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)) AS sj
+      FROM wc, (SELECT unnest(generate_series(0, 31)) AS j)
+      GROUP BY doc_id, j),
+    fp AS (SELECT doc_id,
+        CAST(SUM(CASE WHEN sj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id),
+    banded AS (SELECT doc_id, fp, b, (fp // CAST(power(2, b * 8) AS BIGINT)) % 256 AS bandval
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b))"""
+
   // --- q49: SimHash fingerprints + banded Hamming near-dup.
-  //     32-bit fingerprint from md5-derived word hashes weighted by term
-  //     count; 4 bands of 8 bits guarantee (pigeonhole) every pair with
-  //     Hamming distance <= 3 shares a band.
+  //     32-bit fingerprint (simhashFp), 4 bands of 8 bits (simhashBanded).
   private val q49 = Q(
     "q49_dedup_simhash",
     "✦ SimHash: 32-bit weighted fingerprint, banded pairs hamming <= 3",
     (s, d) => {
-      val wc = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
-        .withColumn("h32", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
-      // One 32-column aggregate instead of explode(0..31): the per-bit
-      // weighted sums all fold in the same HashAggregate pass, so the
-      // word stream is scanned once at 1× volume (the explode form
-      // multiplied it 32-fold — it was the round-2 profile's hot spot).
-      val sjCols = (0 to 31).map { j =>
-        sum(col("cnt") * (shiftright(col("h32"), j) % 2 * 2 - 1)).as(s"sj$j")
-      }
-      val fp = wc
-        .groupBy(col("doc_id"))
-        .agg(sjCols.head, sjCols.tail: _*)
-        .select(col("doc_id"),
-          (0 to 31).map(j =>
-            when(col(s"sj$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("fp"))
-      val banded = fp.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("b"))
-        .withColumn("bandval", expr("(fp div CAST(pow(2, b * 8) AS LONG)) % 256"))
+      val banded = simhashBanded(simhashFp(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text")), "text"))
       // Filter BEFORE distinct: bit_count is a one-instruction projection
       // per banded pair, so applying the hamming cutoff first shrinks the
       // distinct's shuffle to the (tiny) survivor set instead of deduping
@@ -244,22 +303,7 @@ object Dedup extends Q.Module {
         .distinct()
         .orderBy(col("da"), col("db"))
     },
-    Some("""WITH wc AS (
-      SELECT doc_id, word, COUNT(*) cnt,
-        CAST(list_sum(list_transform(generate_series(1, 8),
-          k -> (strpos('0123456789abcdef', substr(md5(word), k, 1)) - 1)
-               * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) AS h32
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-      GROUP BY doc_id, word),
-    bits AS (SELECT doc_id, j,
-        SUM(cnt * (((h32 // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)) AS sj
-      FROM wc, (SELECT unnest(generate_series(0, 31)) AS j)
-      GROUP BY doc_id, j),
-    fp AS (SELECT doc_id,
-        CAST(SUM(CASE WHEN sj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
-      FROM bits GROUP BY doc_id),
-    banded AS (SELECT doc_id, fp, b, (fp // CAST(power(2, b * 8) AS BIGINT)) % 256 AS bandval
-      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b))
+    Some(s"""WITH ${simhashSql("documents", "text")}
     SELECT DISTINCT a.doc_id da, b.doc_id db,
       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
     FROM banded a JOIN banded b USING(b, bandval)
@@ -267,7 +311,7 @@ object Dedup extends Q.Module {
     ORDER BY da, db"""))
 
   // --- q50: embedding-cosine near-dup, blocked by label (the realistic
-  //     blocking key; the unblocked scale path is LSH — q56).
+  //     blocking key; the unblocked scale path is LSH — q57).
   private val q50 = Q(
     "q50_dedup_embedding_cosine",
     "✦ embedding near-dup: same-label pairs with cosine >= 0.35",
@@ -310,11 +354,19 @@ object Dedup extends Q.Module {
     "q76_dedup_cluster_canonical",
     "✦ near-dup clusters: connected components over jacc>=0.5, canonical doc",
     (s, d) => {
-      val pairs = jaccardPairs(shingles(s, d).persist())
+      val sh = shingles(s, d).persist()
+      val pairs = jaccardPairs(sh)
         .filter(col("jacc") >= 0.5)
         .select(col("da"), col("db")).persist()
-      graft.operators.ConnectedComponents.run(pairs)
-        .select(col("cluster"), col("id").as("doc_id"),
+      // run() iterates eagerly (localCheckpoint per generation), so by the
+      // time it returns, the result references neither pairs nor sh —
+      // release both here instead of leaking them to the session cache.
+      // strict = true: a non-converged clustering must fail the query, not
+      // return an under-merged result behind a stderr line.
+      val cc = graft.operators.ConnectedComponents.run(pairs, strict = true)
+      pairs.unpersist(blocking = false)
+      sh.unpersist(blocking = false)
+      cc.select(col("cluster"), col("id").as("doc_id"),
           (col("id") === col("cluster")).as("canonical"))
         .orderBy(col("cluster"), col("doc_id"))
     },
@@ -331,59 +383,75 @@ object Dedup extends Q.Module {
     SELECT cluster, doc_id, doc_id = cluster AS canonical
     FROM lab ORDER BY cluster, doc_id"""))
 
-  // --- q78: edit-distance near-dup — (lang, source)-blocked pairs,
-  //     THRESHOLDED levenshtein over 40-char prefixes. Blocking bounds
-  //     the pair space (the all-pairs product is impossible at scale);
-  //     the 3-arg `levenshtein(a, b, k)` builtin computes a threshold-
-  //     limited distance (banded, early exit — O(k·n) per pair, -1 beyond
-  //     k) instead of the 2-arg form's full O(n·m) matrix. Values in
-  //     [0, k] are the exact distance, so the DuckDB oracle keeps using
-  //     plain levenshtein. Corpus doubled like q46 so the fixture is
-  //     guaranteed to contain distance-0 pairs. (Naive 2-arg filters are
-  //     rewritten to this form automatically by
-  //     graft.plans.ThresholdLevenshteinRule — q84 exercises that path.)
+  // --- q78: edit-distance near-dup — simhash-BANDED candidate generation
+  //     over 40-char heads, THRESHOLDED levenshtein verify. The blocking
+  //     key is a signature band, not a fixed attribute enum: a (lang,
+  //     source) scheme has O(1) blocks so in-block pair volume grows
+  //     O(N²) (at 1e9 docs the lang='en' block alone is ~1e17 pairs),
+  //     while band-key cardinality scales with fingerprint width — the
+  //     dial that grows with the corpus. Identical heads share all four
+  //     bands, so distance-0 pairs always survive candidate generation;
+  //     recall of distance>0 pairs is the standard LSH trade tuned by
+  //     band width. The 3-arg `levenshtein(a, b, k)` builtin verifies
+  //     candidates with a banded early-exit O(k·n) scan (-1 beyond k)
+  //     instead of the 2-arg form's full O(n·m) matrix. Corpus doubled
+  //     like q46 so the fixture is guaranteed to contain distance-0
+  //     pairs. (Naive 2-arg filters are rewritten to the thresholded form
+  //     automatically by graft.plans.ThresholdLevenshteinRule — q84
+  //     exercises that path.)
   private val q78 = Q(
     "q78_dedup_levenshtein",
-    "✦ edit-distance near-dup: blocked thresholded levenshtein, 40-char prefixes",
+    "✦ edit-distance near-dup: simhash-band candidates, thresholded levenshtein",
     (s, d) => {
       val base = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .select(col("doc_id"), col("text"))
+      // Heads persist: the fingerprint pass and both verify join-backs
+      // consume them (harness-owned cache: Verify/Bench clearCache after
+      // each query releases it).
       val corpus = base.unionByName(
         base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"),
-            col("lang"), col("source"), col("text")))
-        .select(col("doc_id"), col("lang"), col("source"),
-          substring(col("text"), 1, 40).as("head"))
-      val a = corpus.select(col("lang"), col("source"),
-        col("doc_id").as("da"), col("head").as("ha"))
-      val b = corpus.select(col("lang"), col("source"),
-        col("doc_id").as("db"), col("head").as("hb"))
-      a.join(b, Seq("lang", "source")).filter(col("da") < col("db"))
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+        .persist()
+      val banded = simhashBanded(simhashFp(corpus, "head"))
+      val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
+        .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
+          Seq("b", "bandval"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      cand
+        .join(corpus.select(col("doc_id").as("da"), col("head").as("ha")), Seq("da"))
+        .join(corpus.select(col("doc_id").as("db"), col("head").as("hb")), Seq("db"))
         .withColumn("lev", levenshtein(col("ha"), col("hb"), 8))
         .filter(col("lev").between(0, 8)) // thresholded form returns -1 beyond k
-        .select(col("lang"), col("source"), col("da"), col("db"), col("lev"))
+        .select(col("da"), col("db"), col("lev"))
         .orderBy(col("da"), col("db"))
     },
-    Some("""WITH corpus AS (
-      SELECT doc_id, lang, source, substr(text, 1, 40) AS head FROM documents
+    Some(s"""WITH corpus AS (
+      SELECT doc_id, substr(text, 1, 40) AS head FROM documents
       UNION ALL
-      SELECT doc_id + 10000, lang, source, substr(text, 1, 40)
-      FROM documents WHERE doc_id % 10 = 0)
-    SELECT a.lang, a.source, a.doc_id AS da, b.doc_id AS db,
-      CAST(levenshtein(a.head, b.head) AS INT) AS lev
-    FROM corpus a JOIN corpus b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.head, b.head) <= 8
+      SELECT doc_id + 10000, substr(text, 1, 40)
+      FROM documents WHERE doc_id % 10 = 0),
+    ${simhashSql("corpus", "head")},
+    cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+             FROM banded a JOIN banded b USING(b, bandval)
+             WHERE a.doc_id < b.doc_id)
+    SELECT cand.da AS da, cand.db AS db,
+      CAST(levenshtein(x.head, y.head) AS INT) AS lev
+    FROM cand
+      JOIN corpus x ON x.doc_id = cand.da
+      JOIN corpus y ON y.doc_id = cand.db
+    WHERE levenshtein(x.head, y.head) <= 8
     ORDER BY da, db"""))
 
   // --- q84: the NAIVE edit-distance filter, planned efficiently by the
-  //     injected optimizer rule — the query text says `levenshtein(a, b)
-  //     < 6` (full-matrix form); graft.plans.ThresholdLevenshteinRule
-  //     rewrites the Filter to the banded `levenshtein(a, b, 5) >= 0`
-  //     builtin at optimization time (asserted by PlanRuleSpec). Coarser
-  //     blocking than q78 (lang only, 24-char heads) so the rewrite works
-  //     against a ~10× larger pair space.
+  //     injected optimizer rule — same banded candidate generation as q78
+  //     (24-char heads), but the verify step is written as the naive
+  //     2-arg `levenshtein(a, b) < 6` (full-matrix form);
+  //     graft.plans.ThresholdLevenshteinRule rewrites the Filter to the
+  //     banded `levenshtein(a, b, 5) >= 0` builtin at optimization time
+  //     (asserted by PlanRuleSpec).
   private val q84 = Q(
     "q84_dedup_levenshtein_rule",
     "✦ naive levenshtein filter auto-rewritten to thresholded form by rule",
@@ -391,28 +459,42 @@ object Dedup extends Q.Module {
       graft.plans.ThresholdLevenshteinRule.install(s)
       val base = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(col("doc_id"), col("text"))
+      // harness-owned cache (see q78).
       val corpus = base.unionByName(
         base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
-        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 24).as("head"))
-      val a = corpus.select(col("lang"), col("doc_id").as("da"), col("head").as("ha"))
-      val b = corpus.select(col("lang"), col("doc_id").as("db"), col("head").as("hb"))
-      a.join(b, Seq("lang")).filter(col("da") < col("db"))
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+        .persist()
+      val banded = simhashBanded(simhashFp(corpus, "head"))
+      val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
+        .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
+          Seq("b", "bandval"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      cand
+        .join(corpus.select(col("doc_id").as("da"), col("head").as("ha")), Seq("da"))
+        .join(corpus.select(col("doc_id").as("db"), col("head").as("hb")), Seq("db"))
         .filter(levenshtein(col("ha"), col("hb")) < 6) // ← naive form; rule rewrites
-        .select(col("lang"), col("da"), col("db"),
+        .select(col("da"), col("db"),
           levenshtein(col("ha"), col("hb")).as("lev"))
         .orderBy(col("da"), col("db"))
     },
-    Some("""WITH corpus AS (
-      SELECT doc_id, lang, substr(text, 1, 24) AS head FROM documents
+    Some(s"""WITH corpus AS (
+      SELECT doc_id, substr(text, 1, 24) AS head FROM documents
       UNION ALL
-      SELECT doc_id + 10000, lang, substr(text, 1, 24)
-      FROM documents WHERE doc_id % 10 = 0)
-    SELECT a.lang, a.doc_id AS da, b.doc_id AS db,
-      CAST(levenshtein(a.head, b.head) AS INT) AS lev
-    FROM corpus a JOIN corpus b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.head, b.head) < 6
+      SELECT doc_id + 10000, substr(text, 1, 24)
+      FROM documents WHERE doc_id % 10 = 0),
+    ${simhashSql("corpus", "head")},
+    cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+             FROM banded a JOIN banded b USING(b, bandval)
+             WHERE a.doc_id < b.doc_id)
+    SELECT cand.da AS da, cand.db AS db,
+      CAST(levenshtein(x.head, y.head) AS INT) AS lev
+    FROM cand
+      JOIN corpus x ON x.doc_id = cand.da
+      JOIN corpus y ON y.doc_id = cand.db
+    WHERE levenshtein(x.head, y.head) < 6
     ORDER BY da, db"""))
 
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84)
