@@ -178,5 +178,105 @@ object Events extends Q.Module {
     },
     None)
 
-  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40)
+  // --- q89: merge_asof direction="forward" + tolerance (J5 variants):
+  //     attribute each purchase to the EARLIEST view at-or-after it,
+  //     per user, but only within 15 minutes. q39's union-tag pattern
+  //     mirrored: first(ignoreNulls) over a currentRow→unboundedFollowing
+  //     frame — still a single shuffle on user_id. The tolerance is a
+  //     projection-level check on the matched view's timestamp; both
+  //     first() calls read the same frame in the same order, so view id
+  //     and view time come from the same row.
+  private val q89 = Q(
+    "q89_asof_forward_tolerance",
+    "J5 merge_asof forward+tolerance: purchase → next view within 15 min",
+    (s, d) => {
+      val tolUs = 15L * 60 * 1000000
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), micros.as("us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), lit(1).as("kind"),
+          col("event_id"), col("event_id").as("view_id"),
+          col("us").as("view_us"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), lit(0).as("kind"),
+          col("event_id"), lit(null).cast("long").as("view_id"),
+          lit(null).cast("long").as("view_us"))
+      // At equal timestamps the purchase sorts before the view (kind 0<1),
+      // so `ts >=` semantics hold; among equal-ts views the EARLIEST
+      // event_id wins (first over ascending order).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      views.unionByName(purch)
+        .withColumn("next_view", first(col("view_id"), ignoreNulls = true).over(w))
+        .withColumn("next_view_us", first(col("view_us"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("next_view_us") - col("us") <= tolUs, col("next_view"))
+            .as("attr_view"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+      (SELECT v.event_id FROM events v
+       WHERE v.user_id = p.user_id AND v.event_type = 'view'
+         AND epoch_us(v.ts) >= epoch_us(p.ts)
+         AND epoch_us(v.ts) - epoch_us(p.ts) <= 900000000
+       ORDER BY v.ts, v.event_id LIMIT 1) AS attr_view
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id"""))
+
+  // --- q90: merge_asof direction="nearest": the closest view on EITHER
+  //     side of the purchase; the backward (<=) side wins distance ties
+  //     (pandas' rule). Two window passes — backward needs views to sort
+  //     before an equal-ts purchase, forward needs the reverse, so each
+  //     has its own tie column — but both partition on user_id, so
+  //     Catalyst plans ONE Exchange and two partition-local sorts.
+  //     Tie-breaks among equal-distance views on one side (necessarily
+  //     equal-ts): backward keeps the latest event_id (q39's rule),
+  //     forward the earliest (q89's rule); the oracle encodes the same
+  //     with a signed event_id sort key.
+  private val q90 = Q(
+    "q90_asof_nearest",
+    "J5 merge_asof nearest: closest view either side, backward wins ties",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), micros.as("us"))
+      val isView = col("event_type") === "view"
+      val tagged = e.filter(isView || col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"),
+          when(isView, lit(0)).otherwise(lit(1)).as("kb"), // view first at equal ts
+          when(isView, lit(1)).otherwise(lit(0)).as("kf"), // purchase first at equal ts
+          when(isView, col("event_id")).as("view_id"),
+          when(isView, col("us")).as("view_us"))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("kb"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("kf"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn("back_view", last(col("view_id"), ignoreNulls = true).over(wb))
+        .withColumn("back_us", last(col("view_us"), ignoreNulls = true).over(wb))
+        .withColumn("fwd_view", first(col("view_id"), ignoreNulls = true).over(wf))
+        .withColumn("fwd_us", first(col("view_us"), ignoreNulls = true).over(wf))
+        .filter(col("kb") === 1) // keep purchases
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("back_view").isNotNull &&
+              (col("fwd_view").isNull ||
+                col("us") - col("back_us") <= col("fwd_us") - col("us")),
+            col("back_view")).otherwise(col("fwd_view")).as("attr_view"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+      (SELECT v.event_id FROM events v
+       WHERE v.user_id = p.user_id AND v.event_type = 'view'
+       ORDER BY ABS(epoch_us(v.ts) - epoch_us(p.ts)),
+         (epoch_us(v.ts) > epoch_us(p.ts)),
+         CASE WHEN epoch_us(v.ts) <= epoch_us(p.ts)
+              THEN -v.event_id ELSE v.event_id END
+       LIMIT 1) AS attr_view
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id"""))
+
+  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90)
 }

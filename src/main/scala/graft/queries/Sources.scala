@@ -224,5 +224,51 @@ object Sources extends Q.Module {
       CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
-  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87)
+  // --- q88: S5 chunked array creation — the dask.array shape
+  //     (`da.from_array` / `da.random((n, m), chunks=...)`) Spark-native:
+  //     `spark.range(n)` is the partitioned (chunked) id axis — range is
+  //     split across defaultParallelism partitions exactly like dask
+  //     chunks — and a deterministic `transform(sequence(0, m-1),
+  //     i -> f(id, i))` generates the m-wide second axis per row, all
+  //     inside one codegen'd projection (no data is ever materialized on
+  //     the driver). Reductions along BOTH axes: axis 1 (within a row) as
+  //     a HOF fold in the same projection — zero shuffle — and axis 0
+  //     (across rows) as an ordinary grouped aggregate — the one shuffle.
+  //     f(id, i) integer arithmetic, not rand(seed): engine RNG streams
+  //     differ, deterministic arithmetic gives DuckDB an exact twin
+  //     (rand-based creation is exercised RNG-free via seeded sampling in
+  //     q63/q87).
+  private val q88 = Q(
+    "q88_array_generate",
+    "S5 generated arrays: range id axis + transform matrix, reduced along both axes",
+    (s, _) => {
+      val m = 16
+      val mat = s.range(4096).select(col("id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => (col("id") * 31 + i * 17) % 97).as("row"))
+      mat.select(col("id"),
+          aggregate(col("row"), lit(0L), (acc, v) => acc + v).as("row_sum"),
+          array_min(col("row")).as("row_min"),
+          array_max(col("row")).as("row_max"))
+        .groupBy((col("id") % 8).as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("row_sum")).as("sum_all"),
+          min(col("row_min")).as("min_all"),
+          max(col("row_max")).as("max_all"))
+        .orderBy(col("grp"))
+    },
+    Some("""WITH t AS (
+      SELECT id, list_transform(generate_series(0, 15), i -> (id * 31 + i * 17) % 97) AS row
+      FROM range(4096) r(id)),
+    rowred AS (
+      SELECT id, CAST(list_sum(row) AS BIGINT) AS row_sum,
+        CAST(list_min(row) AS BIGINT) AS row_min,
+        CAST(list_max(row) AS BIGINT) AS row_max
+      FROM t)
+    SELECT id % 8 AS grp, COUNT(*) AS n_rows,
+      CAST(SUM(row_sum) AS BIGINT) AS sum_all,
+      MIN(row_min) AS min_all, MAX(row_max) AS max_all
+    FROM rowred GROUP BY grp ORDER BY grp"""))
+
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q88)
 }
