@@ -14,13 +14,19 @@ object Bench {
     // the driver passes none. Queries run in sorted name order so timings
     // are comparable across rounds.
     val only = args.toSet
+    // Three timed executions per query, report the minimum: the host is a
+    // shared microVM where single runs show sporadic multi-x noise spikes
+    // that say nothing about the plan — with 2 runs one contention window
+    // could still define a round's headline number (r3's phantom 32.7 s
+    // tail). SPARK_GRAFT_BENCH_RUNS overrides. NOTE on sink queries
+    // (q58-60/q72/q73/q75/q85): Sinks.once writes once per process, so
+    // with runs>1 the reported min times the READ leg only — the "mode"
+    // field in the output records this so round-over-round deltas on sink
+    // queries aren't misread as plan changes.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
-      // Two timed executions, report the minimum: the host is a shared
-      // microVM and single runs show sporadic multi-x noise spikes that
-      // say nothing about the plan (SPARK_GRAFT_BENCH_RUNS overrides).
-      val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -60,7 +66,7 @@ object Bench {
     // failed count is explicit: total sums only successful queries, so
     // without it the headline would silently IMPROVE when a query breaks.
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"mode":"min-of-runs;sinks-write-once","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

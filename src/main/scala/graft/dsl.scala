@@ -47,6 +47,18 @@ object dsl {
     (dsumWide(x * y) - dsum(x) * dsum(y) / n) / (n - lit(1.0))
   }
 
+  // ---- DuckDB cosine twins (single source of truth; used by the
+  // Vectors / Scale / Dedup oracle builders — one drifting copy of this
+  // fold would silently break a hash match). Same sequential
+  // left-to-right double fold as graft.functions.CosineSimilarity and
+  // the Spark HOF form: bit-identical across engines. ----
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  def norm2Sql(a: String): String =
+    s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (SQRT(${norm2Sql(a)}) * SQRT(${norm2Sql(b)})))"
+
   // ---- DuckDB-side twins (string builders for oracle SQL) ----
   def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
   def dsumWideSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"

@@ -327,18 +327,10 @@ object Dedup extends Q.Module {
         .select(col("label"), col("da"), col("db"), col("score"))
         .orderBy(col("da"), col("db"))
     },
-    Some("""SELECT a.label, a.vec_id da, b.vec_id db,
-      list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-        AS score
+    Some(s"""SELECT a.label, a.vec_id da, b.vec_id db,
+      ${graft.dsl.cosineSql("a.embedding", "b.embedding")} AS score
     FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-        >= 0.35
+    WHERE ${graft.dsl.cosineSql("a.embedding", "b.embedding")} >= 0.35
     ORDER BY da, db"""))
 
   // --- q76: near-dup CLUSTERING + canonical selection — the step after

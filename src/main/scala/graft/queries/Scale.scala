@@ -28,12 +28,8 @@ object Scale extends Q.Module {
   // pid-discriminated paths + write-once-per-process: see Sinks scaladoc.
   private def tmp(name: String, d: String): String = Sinks.tmp(s"scale_$name", d)
 
-  // Sequential-fold cosine twins (same op order as CosineSimilarity and
-  // the DuckDB list_sum fold — bit-identical across engines).
-  private def cosineSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      / (SQRT(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       * SQRT(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"""
+  // Sequential-fold cosine twin: graft.dsl.cosineSql (shared with the
+  // Vectors and Dedup oracle builders), imported via graft.dsl._.
 
   // --- q73: partitioned parquet sink, then a scan that prunes partitions.
   private val q73 = Q(

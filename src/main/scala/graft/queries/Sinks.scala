@@ -1,11 +1,11 @@
 package graft.queries
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch}
 
 /** Shared sink-path plumbing for the round-trip queries (q58-q60, q72,
   * q73, q75, q85).
   *
-  * Two concerns, both harness-level rather than query-level:
+  * Three concerns, all harness-level rather than query-level:
   *
   *  - '''Process isolation''': tmp paths carry the JVM pid, so two
   *    concurrent Verify/Bench processes on the same host can no longer
@@ -15,24 +15,55 @@ import java.util.concurrent.ConcurrentHashMap
   *  - '''Write-once per process''': each sink is written the first time
   *    its query runs and skipped on repeats. Correctness still exercises
   *    the writer→reader pair end-to-end (Verify calls each query once),
-  *    while Bench's min-of-N-runs now measures the READ leg of the plan —
+  *    while Bench's min-of-N-runs measures the READ leg of the plan —
   *    run 1 pays the write, run 2+ skip it — instead of conflating query
   *    timing with tmpdir write throughput.
+  *
+  *  - '''Exit cleanup''': every pid-qualified path handed out is deleted
+  *    by a JVM shutdown hook — without it each Verify/Bench process
+  *    leaves its full sink set (parquet, CSV, JSON, ORC, XML, two
+  *    bucketed tables) in java.io.tmpdir, growing without bound across
+  *    rounds.
   */
 private[queries] object Sinks {
   private val pid = ProcessHandle.current().pid()
 
-  def tmp(name: String, d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${pid}_${name}_" +
+  private val issued = ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    issued.forEach(p => delete(new java.io.File(p)))))
+
+  private def delete(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(delete)
+    f.delete()
+  }
+
+  def tmp(name: String, d: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${pid}_${name}_" +
       d.replaceAll("[^a-zA-Z0-9]", "_")
+    issued.add(p)
+    p
+  }
 
-  private val done = ConcurrentHashMap.newKeySet[String]()
+  // One latch per sink key: the first caller runs the write, concurrent
+  // callers of the same key block until it completes before reading the
+  // path — a loser must never read a path the winner is still writing.
+  private val done = new ConcurrentHashMap[String, CountDownLatch]()
 
-  /** Run `write` the first time `key` is seen in this process; no-op after.
-    * A failed write un-marks the key so a retry actually retries. */
-  def once(key: String)(write: => Unit): Unit =
-    if (done.add(key)) {
-      try write
-      catch { case e: Throwable => done.remove(key); throw e }
-    }
+  /** Run `write` the first time `key` is seen in this process; later (or
+    * concurrent) callers block until that write has finished, then no-op.
+    * A failed write un-marks the key so a retry actually retries (callers
+    * blocked DURING the failed attempt are released and will fail reading
+    * the absent path — the write error itself is the primary failure). */
+  def once(key: String)(write: => Unit): Unit = {
+    val mine = new CountDownLatch(1)
+    val prev = done.putIfAbsent(key, mine)
+    if (prev == null) {
+      try { write; mine.countDown() }
+      catch {
+        case e: Throwable =>
+          done.remove(key, mine); mine.countDown(); throw e
+      }
+    } else prev.await()
+  }
 }

@@ -135,6 +135,9 @@ object Sources extends Q.Module {
     "P9/S7/S8 sample(seed)+persist+repartition (no oracle: engine RNG)",
     (s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"))
+      // persist: consumed by both exceptAll legs AND the returned frame,
+      // which outlives this builder — harness-owned cache (Verify/Bench
+      // clearCache after each query is the paired release).
       val s1 = li.sample(withReplacement = false, 0.1, seed = 42)
         .repartition(8).persist()
       val s2 = li.sample(withReplacement = false, 0.1, seed = 42)
@@ -181,6 +184,8 @@ object Sources extends Q.Module {
       val fr = Map("en" -> 0.2, "de" -> 0.5, "es" -> 0.5, "fr" -> 1.0, "zh" -> 1.0)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       def draw() = docs.stat.sampleBy("lang", fr, 42L)
+      // persist: harness-owned cache (see q63) — the returned frame
+      // outlives this builder.
       val s1 = draw().persist()
       val stable = s1.exceptAll(draw()).count() == 0 &&
         draw().exceptAll(s1).count() == 0

@@ -202,16 +202,22 @@ object Windows extends Q.Module {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("l_tax"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // The compared product is rounded to 6 digits on BOTH engines: the
+      // sequential Spark fold is bit-exact, but DuckDB's product() OVER a
+      // running frame is free to segment-tree-combine, which may differ in
+      // the last ulp on other fixtures/versions — rounding makes the
+      // oracle robust to the combine order (ties in the ORDER BY then see
+      // the same rounded value on both sides).
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          aggregate(collect_list(lit(1.0) + col("l_tax")).over(w),
-            lit(1.0), (acc, v) => acc * v).as("cum_tax_factor"),
+          round(aggregate(collect_list(lit(1.0) + col("l_tax")).over(w),
+            lit(1.0), (acc, v) => acc * v), 6).as("cum_tax_factor"),
           min(col("l_quantity")).over(w).as("cum_min_qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"),
           col("cum_tax_factor"), col("cum_min_qty"))
     },
     Some("""SELECT l_orderkey, l_linenumber,
-      product(1.0 + l_tax) OVER w AS cum_tax_factor,
+      ROUND(product(1.0 + l_tax) OVER w, 6) AS cum_tax_factor,
       MIN(l_quantity) OVER w AS cum_min_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_orderkey

@@ -40,11 +40,12 @@ class ContractSpec extends SparkSuite {
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         name -> (refs -- tables -- ctes)
     }.filter(_._2.nonEmpty)
-    // Inline VALUES/derived-table aliases are fine; just surface surprises.
+    // Inline VALUES/derived-table aliases and generator table functions
+    // (q88's FROM range(n)) are fine; just surface surprises.
     val unknown = bad.filterNot { case (_, refs) =>
       refs.forall(r => Set("t", "t2", "o", "r", "bands", "cand", "jp",
-        "sh", "sz", "pr", "sig", "banded", "wc", "bits", "fp", "iw", "h",
-        "w", "f", "eb", "e2", "cond").contains(r))
+        "sh", "sh0", "sz", "pr", "sig", "banded", "wc", "bits", "fp", "iw", "h",
+        "w", "f", "eb", "e2", "cond", "range", "rowred").contains(r))
     }
     assert(unknown.isEmpty, unknown.mkString("\n"))
   }

@@ -137,4 +137,21 @@ class OperatorPropertySpec extends SparkSuite {
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble } }
     assert(got.toSeq == want)
   }
+
+  // A7 one-call form: q32 reconstructs describe() from explicit aggs for
+  // the oracle; this exercises the actual builtins' stat surface.
+  test("df.summary()/describe() builtins expose the A7 stat rows") {
+    val prices = Tables.orders(spark, sfDir).select(col("o_totalprice"))
+    val sm = summaryOf(prices.summary())
+    assert(sm._1 == Seq("summary", "o_totalprice"))
+    assert(sm._2 == Set("count", "mean", "stddev", "min", "25%", "50%", "75%", "max"))
+    val de = summaryOf(prices.describe())
+    assert(de._2 == Set("count", "mean", "stddev", "min", "max"))
+    // the builtin's count row agrees with the real row count
+    val n = prices.count()
+    assert(prices.summary("count").first().getString(1).toLong == n)
+  }
+
+  private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
+    (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
