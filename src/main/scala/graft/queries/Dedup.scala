@@ -250,19 +250,23 @@ object Dedup extends Q.Module {
           when(col(s"sj$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("fp"))
   }
 
-  /** (doc_id, fp, b, bandval): the fingerprint split into 4 bands of 8
-    * bits — pigeonhole guarantees any pair at Hamming distance <= 3
-    * agrees on at least one band. Band-key cardinality (256 values ×
-    * 4 bands per 32 fp bits) is what bounds in-bucket pair volume; the
-    * fingerprint width is the dial that grows with the corpus (64-bit fp
-    * + 16-bit bands at 1e9 docs). */
-  private def simhashBanded(fp: DataFrame): DataFrame =
-    fp.select(col("doc_id"), col("fp"), explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("bandval", expr("(fp div CAST(pow(2, b * 8) AS LONG)) % 256"))
+  /** (doc_id, fp, b, bandval): the fingerprint split into `bands` bands
+    * of `bits` bits — pigeonhole guarantees any pair at Hamming distance
+    * <= bands-1 agrees on at least one band (and identical fingerprints
+    * agree on all of them). Band geometry is the dial that trades recall
+    * against in-bucket pair volume: q49 uses 4×8 (Hamming<=3 guarantee,
+    * 256 buckets/band), the q78/q84 candidate generators use 2×16
+    * (65536 buckets/band — ~100× fewer band collisions at the same N,
+    * exact-dup recall kept). At 1e9 docs you widen the fingerprint to 64
+    * bits and keep 16-bit bands. */
+  private def simhashBanded(fp: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
+    fp.select(col("doc_id"), col("fp"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bandval", expr(s"(fp div CAST(pow(2, b * $bits) AS LONG)) % ${1L << bits}"))
 
   /** DuckDB twin of simhashFp + simhashBanded: CTEs wc/bits/fp/banded over
     * `src`'s (doc_id, `headExpr`) rows. */
-  private def simhashSql(src: String, headExpr: String): String =
+  private def simhashSql(src: String, headExpr: String,
+      bands: Int = 4, bits: Int = 8): String =
     s"""wc AS (
       SELECT doc_id, word, COUNT(*) cnt,
         CAST(list_sum(list_transform(generate_series(1, 8),
@@ -277,8 +281,8 @@ object Dedup extends Q.Module {
     fp AS (SELECT doc_id,
         CAST(SUM(CASE WHEN sj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
       FROM bits GROUP BY doc_id),
-    banded AS (SELECT doc_id, fp, b, (fp // CAST(power(2, b * 8) AS BIGINT)) % 256 AS bandval
-      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b))"""
+    banded AS (SELECT doc_id, fp, b, (fp // CAST(power(2, b * $bits) AS BIGINT)) % ${1L << bits} AS bandval
+      FROM fp, (SELECT unnest(generate_series(0, ${bands - 1})) AS b))"""
 
   // --- q49: SimHash fingerprints + banded Hamming near-dup.
   //     32-bit fingerprint (simhashFp), 4 bands of 8 bits (simhashBanded).
@@ -381,10 +385,13 @@ object Dedup extends Q.Module {
   //     source) scheme has O(1) blocks so in-block pair volume grows
   //     O(N²) (at 1e9 docs the lang='en' block alone is ~1e17 pairs),
   //     while band-key cardinality scales with fingerprint width — the
-  //     dial that grows with the corpus. Identical heads share all four
-  //     bands, so distance-0 pairs always survive candidate generation;
-  //     recall of distance>0 pairs is the standard LSH trade tuned by
-  //     band width. The 3-arg `levenshtein(a, b, k)` builtin verifies
+  //     dial that grows with the corpus. 2 bands × 16 bits here: 65536
+  //     buckets per band keep band collisions sparse, and identical
+  //     heads share both bands, so distance-0 pairs always survive
+  //     candidate generation; recall of distance>0 pairs is the standard
+  //     LSH trade tuned by band geometry (4×8 would guarantee
+  //     Hamming<=3 at ~100× the candidate volume — see simhashBanded).
+  //     The 3-arg `levenshtein(a, b, k)` builtin verifies
   //     candidates with a banded early-exit O(k·n) scan (-1 beyond k)
   //     instead of the 2-arg form's full O(n·m) matrix. Corpus doubled
   //     like q46 so the fixture is guaranteed to contain distance-0
@@ -395,18 +402,18 @@ object Dedup extends Q.Module {
     "q78_dedup_levenshtein",
     "✦ edit-distance near-dup: simhash-band candidates, thresholded levenshtein",
     (s, d) => {
+      // substring happens IN the scan projection, before any exchange:
+      // every downstream shuffle carries 40-char heads, never full
+      // document text. Heads persist: the fingerprint pass and both
+      // verify join-backs consume them (harness-owned cache: Verify/
+      // Bench clearCache after each query releases it).
       val base = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text"))
-      // Heads persist: the fingerprint pass and both verify join-backs
-      // consume them (harness-owned cache: Verify/Bench clearCache after
-      // each query releases it).
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
       val corpus = base.unionByName(
         base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+          .select((col("doc_id") + 10000).as("doc_id"), col("head")))
         .persist()
-      val banded = simhashBanded(simhashFp(corpus, "head"))
+      val banded = simhashBanded(simhashFp(corpus, "head"), bands = 2, bits = 16)
       val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
         .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
           Seq("b", "bandval"))
@@ -425,7 +432,7 @@ object Dedup extends Q.Module {
       UNION ALL
       SELECT doc_id + 10000, substr(text, 1, 40)
       FROM documents WHERE doc_id % 10 = 0),
-    ${simhashSql("corpus", "head")},
+    ${simhashSql("corpus", "head", bands = 2, bits = 16)},
     cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
              FROM banded a JOIN banded b USING(b, bandval)
              WHERE a.doc_id < b.doc_id)
@@ -449,16 +456,14 @@ object Dedup extends Q.Module {
     "✦ naive levenshtein filter auto-rewritten to thresholded form by rule",
     (s, d) => {
       graft.plans.ThresholdLevenshteinRule.install(s)
+      // scan-level substring + harness-owned cache (see q78).
       val base = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text"))
-      // harness-owned cache (see q78).
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
       val corpus = base.unionByName(
         base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+          .select((col("doc_id") + 10000).as("doc_id"), col("head")))
         .persist()
-      val banded = simhashBanded(simhashFp(corpus, "head"))
+      val banded = simhashBanded(simhashFp(corpus, "head"), bands = 2, bits = 16)
       val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
         .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
           Seq("b", "bandval"))
@@ -477,7 +482,7 @@ object Dedup extends Q.Module {
       UNION ALL
       SELECT doc_id + 10000, substr(text, 1, 24)
       FROM documents WHERE doc_id % 10 = 0),
-    ${simhashSql("corpus", "head")},
+    ${simhashSql("corpus", "head", bands = 2, bits = 16)},
     cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
              FROM banded a JOIN banded b USING(b, bandval)
              WHERE a.doc_id < b.doc_id)
