@@ -24,6 +24,68 @@ class AsofDedupSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("as-of forward+tolerance (q89) matches a naive per-row scan") {
+    import spark.implicits._
+    val tolUs = 15L * 60 * 1000000
+    val got = SparkEntry.queries("q89_asof_forward_tolerance")(spark, sfDir)
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (p, _, v) => p -> v }.toMap
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val views = ev.filter(_._3 == "view")
+    val want = ev.filter(_._3 == "purchase").map { case (pid, user, _, pus) =>
+      val cand = views.filter(v => v._2 == user && v._4 >= pus && v._4 - pus <= tolUs)
+      pid -> (if (cand.isEmpty) None
+              else Some(cand.minBy(v => (v._4, v._1))._1))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("as-of nearest (q90) matches a naive per-row scan, backward wins ties") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q90_asof_nearest")(spark, sfDir)
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (p, _, v) => p -> v }.toMap
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val views = ev.filter(_._3 == "view")
+    val want = ev.filter(_._3 == "purchase").map { case (pid, user, _, pus) =>
+      val cand = views.filter(_._2 == user)
+      pid -> (if (cand.isEmpty) None
+              else {
+                // order: distance, then backward side first, then latest
+                // event_id on the backward side / earliest on the forward
+                val best = cand.minBy { v =>
+                  val fwd = v._4 > pus
+                  ((v._4 - pus).abs, fwd, if (fwd) v._1 else -v._1)
+                }
+                Some(best._1)
+              })
+    }.toMap
+    assert(got == want)
+  }
+
+  test("edit-distance candidates (q78) contain every duplicated head pair") {
+    import spark.implicits._
+    // Every doubled doc (doc_id % 10 == 0 → doc_id + 10000) has an
+    // identical 40-char head, so (id, id+10000) MUST appear with lev=0:
+    // identical fingerprints share all bands, so exact dups cannot be
+    // lost by banding, whatever the band geometry.
+    val got = SparkEntry.queries("q78_dedup_levenshtein")(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").as[Long].collect()
+    ids.foreach { id =>
+      assert(pairs.contains((id, id + 10000)), s"missing exact-dup pair for $id")
+    }
+    assert(got.filter(r => r._2 == r._1 + 10000).forall(_._3 == 0))
+  }
+
   test("minhash-LSH candidates (q48) are a subset of exact jaccard pairs (q47)") {
     import spark.implicits._
     val exact = SparkEntry.queries("q47_dedup_ngram_jaccard")(spark, sfDir)
