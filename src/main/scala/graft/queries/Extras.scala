@@ -61,14 +61,18 @@ object Extras extends Q.Module {
         .repartition(s.sparkContext.defaultParallelism)
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("word"))
-      val n = docs.count() // corpus size: one job, scalar — fine at scale
+      // Corpus size folded INTO the plan as a broadcast 1-row cross join
+      // (not a driver-side count()): the whole query stays one job, and
+      // the count subplan reads parquet row-group metadata only.
+      val nDf = Tables.documents(s, d).select(count(lit(1)).as("n"))
       val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("word"))
       tf.join(df, Seq("word"))
-        .withColumn("tfidf", col("tf") * (lit(n.toDouble) / col("df")))
+        .crossJoin(broadcast(nDf))
+        .withColumn("tfidf", col("tf") * (col("n").cast("double") / col("df")))
         .filter(col("doc_id") < 20)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)

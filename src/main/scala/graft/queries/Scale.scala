@@ -151,5 +151,45 @@ object Scale extends Q.Module {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  def defs: Seq[Q] = Seq(q73, q74, q75)
+  // --- q92: SALTED skew join — the hand-rolled defense when one join key
+  //     dominates (a hot user, a hot document cluster) and a single
+  //     reducer would receive the whole key. The big side gets a
+  //     deterministic salt in [0, 8); the small side is replicated 8× via
+  //     explode(sequence); the join runs on (key, salt), spreading the
+  //     hot key over 8 reducers. The result is algebraically identical
+  //     to the unsalted join — which is exactly what the oracle checks
+  //     (plain join + group-by). Partial sums stay in DECIMAL until the
+  //     final cast so the 8-way split cannot change double addition
+  //     order. AQE's skew-join splitting is the first line of defense at
+  //     runtime; explicit salting is the portable form that also covers
+  //     aggregates and engines/paths AQE can't reach.
+  private val q92 = Q(
+    "q92_skew_salted_join",
+    "J1/scale: salted join on (key, salt) == unsalted join, decimal-exact",
+    (s, d) => {
+      val salts = 8
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          pmod(xxhash64(col("l_partkey"), col("l_suppkey")), lit(salts)).as("salt"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      // shuffle_hash hint: at fixture scale Catalyst would broadcast the
+      // replicated dim and never exercise the salted shuffle — the hint
+      // forces both sides to exchange on (key, salt), which is the plan
+      // this query proves out (.explain: ShuffledHashJoin, both child
+      // Exchanges hashpartitioning on [orderkey, salt]).
+      li.hint("shuffle_hash").join(ord,
+          li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+      ${dsumSql("l_extendedprice")} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  def defs: Seq[Q] = Seq(q73, q74, q75, q92)
 }

@@ -136,5 +136,44 @@ object TextAnalysis extends Q.Module {
     SELECT doc_id, CAST(SUM(i * h32) % 1000000007 AS BIGINT) AS fp, COUNT(*) AS n_words
     FROM h GROUP BY doc_id ORDER BY doc_id"""))
 
-  def defs: Seq[Q] = Seq(q51, q52, q53, q54)
+  // --- q91: text CLEANING — collapse consecutive repeated tokens (the
+  //     C4-style repetition cleanup every pretraining pipeline runs
+  //     before dedup) and flag repetition-heavy documents. The collapse
+  //     is a positional HOF filter — keep w[i] unless it equals w[i-1] —
+  //     inside one projection: no shuffle, no UDF, and the same shape
+  //     covers regex redaction (PII/URL scrubbing is one more
+  //     regexp_replace in this projection; the synthetic fixture has no
+  //     PII to make such a column non-vacuous, so it is not emitted).
+  //     Null-safe `<=>` against get(ws, i-1) makes index 0 keep its row
+  //     without an ANSI out-of-bounds error; the DuckDB twin spells the
+  //     same guard as `i = 1 OR ws[i-1] != x` (1-based lambdas).
+  private val q91 = Q(
+    "q91_text_clean",
+    "✦ cleaning: collapse repeated tokens, repetition-ratio flag",
+    (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          filter(col("ws"), (x, i) => !(x <=> get(col("ws"), i - 1))).as("cw"))
+        .select(col("doc_id"), col("n_words"),
+          size(col("cw")).cast("long").as("n_clean"),
+          array_join(col("cw"), " ").as("cleaned"))
+        .withColumn("rep_ratio",
+          (col("n_words") - col("n_clean")).cast("double") / col("n_words"))
+        .withColumn("flag_repetitive", col("rep_ratio") >= 0.1)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (SELECT doc_id, len(ws) AS n_words,
+        list_filter(ws, (x, i) -> i = 1 OR ws[i-1] != x) AS cw
+      FROM t)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      CAST(len(cw) AS BIGINT) AS n_clean,
+      array_to_string(cw, ' ') AS cleaned,
+      CAST(n_words - len(cw) AS DOUBLE) / n_words AS rep_ratio,
+      (CAST(n_words - len(cw) AS DOUBLE) / n_words) >= 0.1 AS flag_repetitive
+    FROM c ORDER BY doc_id"""))
+
+  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91)
 }
