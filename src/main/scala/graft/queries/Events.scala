@@ -278,5 +278,63 @@ object Events extends Q.Module {
     FROM events p WHERE p.event_type = 'purchase'
     ORDER BY purchase_id"""))
 
-  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90)
+  // --- q93: resample + forward-fill — pandas/dask `resample('10min')
+  //     .ffill()`: a dense per-type 10-minute grid over the observed time
+  //     range, tumbling sums where data exists, gaps carried forward from
+  //     the last observed bucket. Pipeline shape: the grid bounds are a
+  //     1-row broadcast aggregate folded into the plan (no driver scalar),
+  //     the grid itself is explode(sequence(...)) per key — generated,
+  //     never materialized on the driver — and the fill is one
+  //     last(ignoreNulls) window per key over the left join. Bucket
+  //     arithmetic stays in integer µs (shared Spark/DuckDB precision).
+  private val q93 = Q(
+    "q93_resample_ffill",
+    "ST1+W: 10-min resample per event_type with forward-fill of empty buckets",
+    (s, d) => {
+      val stepUs = 10L * 60 * 1000000
+      // integer div twice (ns→µs→bucket): `/` would round through double
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"(ts div 1000) div $stepUs").as("bucket"), col("value"))
+      val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      val agg = e.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("bucket_value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("event_type", "bucket"), "left")
+        .withColumn("filled_value",
+          last(col("bucket_value"), ignoreNulls = true).over(w))
+        .select(col("event_type"),
+          timestamp_micros(col("bucket") * stepUs).cast("timestamp_ntz").as("ws"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("filled_value"),
+          col("n").isNull.as("was_gap"))
+        .orderBy(col("event_type"), col("ws"))
+    },
+    Some(s"""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 600000000 AS bucket, value FROM events),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM e),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM e) t,
+        (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                       (SELECT hi FROM bounds))) AS bucket) g),
+    agg AS (SELECT event_type, bucket, COUNT(*) AS n,
+        ${dsumSql("value")} AS bucket_value
+      FROM e GROUP BY 1, 2)
+    SELECT grid.event_type AS event_type,
+      make_timestamp(grid.bucket * 600000000) AS ws,
+      CAST(COALESCE(agg.n, 0) AS BIGINT) AS n,
+      LAST_VALUE(agg.bucket_value IGNORE NULLS) OVER (
+        PARTITION BY grid.event_type ORDER BY grid.bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+      agg.n IS NULL AS was_gap
+    FROM grid LEFT JOIN agg USING(event_type, bucket)
+    ORDER BY event_type, ws"""))
+
+  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93)
 }
