@@ -175,5 +175,58 @@ object TextAnalysis extends Q.Module {
       (CAST(n_words - len(cw) AS DOUBLE) / n_words) >= 0.1 AS flag_repetitive
     FROM c ORDER BY doc_id"""))
 
-  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91)
+  // --- q94: the COMPOSED curation pipeline — the sequence a pretraining
+  //     corpus actually runs, as ONE declarative plan: quality scoring
+  //     (q51's metrics) → threshold filter → exact dedup keep-min (q46's
+  //     shape) → per-language yield report. Each stage is a projection or
+  //     one aggregate, so the whole pipeline is two shuffles (dedup
+  //     group-by, lang group-by) no matter how many filter stages are
+  //     chained — the point of declaring curation as a plan instead of
+  //     running N scripted passes over the corpus. Corpus doubled like
+  //     q46 so the dedup stage provably removes copies.
+  private val q94 = Q(
+    "q94_curation_pipeline",
+    "✦ curation pipeline: quality filter → exact dedup → per-lang yield",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("lang"), col("text")))
+      val w = split(col("text"), " ")
+      val kept = corpus.select(col("doc_id"), col("lang"),
+          sha2(col("text"), 256).as("h"),
+          size(w).cast("long").as("n_words"),
+          (size(array_distinct(w)).cast("double") / size(w)).as("diversity"))
+        .filter(col("n_words") >= 20 && col("diversity") >= 0.4)
+      val canon = kept.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      canon.join(kept.select(col("doc_id"), col("lang"), col("n_words")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"),
+          sum(col("n_copies") - 1).as("n_dupes_removed"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id % 10 = 0),
+    kept AS (
+      SELECT doc_id, lang, sha256(text) AS h,
+        len(string_split(text, ' ')) AS n_words,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS diversity
+      FROM corpus
+      WHERE len(string_split(text, ' ')) >= 20
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= 0.4),
+    canon AS (SELECT h, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+              FROM kept GROUP BY h)
+    SELECT k.lang, COUNT(*) AS n_docs,
+      CAST(SUM(k.n_words) AS BIGINT) AS n_tokens,
+      CAST(SUM(c.n_copies - 1) AS BIGINT) AS n_dupes_removed
+    FROM canon c JOIN kept k ON k.doc_id = c.doc_id
+    GROUP BY k.lang ORDER BY k.lang"""))
+
+  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91, q94)
 }
