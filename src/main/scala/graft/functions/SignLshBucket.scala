@@ -106,13 +106,15 @@ object SignLshBucket {
   /** Column-API entry point (requires [[register]] on the session once). */
   def lshBucket(v: Column): Column = call_function("lsh_bucket", v)
 
-  /** Register `lsh_bucket`. Plane count is the recall/pair-volume dial:
-    * expected in-bucket pair work is O(N²/2^planes) per band, so it must
-    * GROW with corpus size (4 planes = 16 fixed buckets was the round-2
-    * scale flaw — unbounded bucket population at 1e9 vectors). q57 uses 16
-    * planes split into two 8-bit bands: 256 buckets per band bounds pair
-    * volume, the second band restores the recall a single 16-bit band
-    * would lose. */
+  /** Register `lsh_bucket`. Plane count feeds two dials: band WIDTH
+    * (buckets per band = 2^bits) bounds in-bucket pair volume at
+    * O(N²/2^bits) per band and must GROW with corpus size (4 planes = 16
+    * fixed buckets was the round-2 scale flaw — unbounded bucket
+    * population at 1e9 vectors); band COUNT L = planes/bits amplifies
+    * recall, detect prob = 1-(1-p^bits)^L with p = 1-θ/π per plane. q57
+    * uses 32 planes as four independent 8-bit bands; AsofDedupSpec
+    * asserts the observed recall matches this formula against brute
+    * force. */
   def register(spark: SparkSession, planes: Int = 16): Unit = {
     val info = new ExpressionInfo(classOf[SignLshBucket].getName, "lsh_bucket")
     spark.sessionState.functionRegistry.registerFunction(

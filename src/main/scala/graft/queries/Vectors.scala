@@ -155,35 +155,38 @@ object Vectors extends Q.Module {
     None)
 
   // --- q57: LSH-bucketed ANN — the scale path for q44. Sign-random-
-  //     projection with 16 pseudo-random hyperplanes (md5-derived ±1
-  //     coeffs, so the oracle can rebuild them) split into TWO 8-bit
-  //     bands: band0 = low byte, band1 = high byte of the 16-bit sketch.
-  //     Candidates are pairs agreeing on EITHER band (256 buckets per
-  //     band bounds in-bucket pair volume at O(N²/256); the second band
-  //     restores recall), deduped, then exact-cosine reranked. Round 2's
-  //     4-plane/16-bucket version left per-bucket population — and thus
-  //     pair volume — unbounded at 1e9 vectors; plane count is the dial
-  //     that must grow with the corpus, and it is a register() parameter.
+  //     projection with 32 pseudo-random hyperplanes (md5-derived ±1
+  //     coeffs, so the oracle can rebuild them) split into FOUR
+  //     independent 8-bit bands. Candidates are pairs agreeing on ANY
+  //     band, deduped, then exact-cosine reranked. Two dials, explicitly:
+  //     band WIDTH (8 bits = 256 buckets) bounds in-bucket pair volume at
+  //     O(N²/256) per band and must grow with the corpus; band COUNT L
+  //     amplifies recall (detect prob = 1-(1-p^bits)^L with
+  //     p = 1-θ/π per plane) and is the knob for the similarity level
+  //     targeted — at near-dup cosine (≥0.9) L=4 detects ~3 in 4 pairs,
+  //     while moderate-similarity search (cos≈0.4, p≈0.63, p⁸≈0.03)
+  //     inherently needs narrower bands or IVF (q74). The banding-theory
+  //     match is asserted against brute force in AsofDedupSpec.
   private val q57 = Q(
     "q57_ann_lsh_buckets",
-    "✦ ANN via 16-plane sign-LSH, 2×8-bit bands + exact rerank",
+    "✦ ANN via 32-plane sign-LSH, 4×8-bit bands + exact rerank",
     (s, d) => {
       // coeff(p, j) = +1 iff first md5 nibble of "p:j" < 8 — the fused
       // codegen'd SignLshBucket expression; the oracle rebuilds the same
       // coefficients from md5 and folds in the same order.
       graft.functions.CosineSimilarity.register(s)
-      graft.functions.SignLshBucket.register(s, planes = 16)
+      graft.functions.SignLshBucket.register(s, planes = 32)
       val e = Tables.embeddings(s, d)
-      // persist: the 16-plane × 64-dim sketch is the dominant pass at the
+      // persist: the 32-plane × 64-dim sketch is the dominant pass at the
       // 1e9 design point and both sides of the banded self-join derive
       // from it — without the persist it is computed twice (harness-owned
       // cache: Verify/Bench clearCache after each query releases it).
       val eb = e
         .withColumn("bucket", graft.functions.SignLshBucket.lshBucket(col("embedding")))
         .select(col("vec_id"),
-          explode(array(
-            struct(lit(0).as("b"), (col("bucket") % 256).as("bandval")),
-            struct(lit(1).as("b"), shiftright(col("bucket"), 8).as("bandval")))).as("band"))
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("b"),
+              (shiftright(col("bucket"), 8 * b) % 256).as("bandval"))): _*)).as("band"))
         .select(col("vec_id"), col("band.b").as("b"), col("band.bandval").as("bandval"))
         .persist()
       // Dedup candidate PAIRS before the rerank: a pair agreeing on both
@@ -205,7 +208,7 @@ object Vectors extends Q.Module {
     },
     Some(s"""WITH sk AS (
       SELECT vec_id,
-        CAST(list_sum(list_transform(generate_series(0, 15), p ->
+        CAST(list_sum(list_transform(generate_series(0, 31), p ->
           CASE WHEN list_sum(list_transform(generate_series(1, 64), j ->
               CAST(embedding[j] AS DOUBLE) *
               (CASE WHEN strpos('01234567', substr(md5(p || ':' || (j - 1)), 1, 1)) > 0
@@ -213,9 +216,8 @@ object Vectors extends Q.Module {
                THEN CAST(power(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
       FROM embeddings),
     bands AS (
-      SELECT vec_id, 0 AS b, bucket % 256 AS bandval FROM sk
-      UNION ALL
-      SELECT vec_id, 1 AS b, bucket // 256 AS bandval FROM sk),
+      SELECT vec_id, b, (bucket // CAST(power(256, b) AS BIGINT)) % 256 AS bandval
+      FROM sk, (SELECT unnest(generate_series(0, 3)) AS b)),
     cand AS (SELECT DISTINCT p.vec_id da, q.vec_id db
              FROM bands p JOIN bands q USING(b, bandval)
              WHERE p.vec_id < q.vec_id)

@@ -96,6 +96,54 @@ class AsofDedupSpec extends SparkSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("LSH ANN pairs (q57) are exact-verified and match banding theory") {
+    import spark.implicits._
+    val lsh = SparkEntry.queries("q57_ann_lsh_buckets")(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+
+    // Brute-force ground truth: every pair with cosine >= 0.3.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exactScores = for {
+      (ia, ea) <- vecs.toSeq; (ib, eb) <- vecs.toSeq
+      c = cos(ea, eb) if ia < ib && c >= 0.3
+    } yield ((ia, ib), c)
+    val exact = exactScores.map(_._1).toSet
+
+    assert(exact.nonEmpty, "fixture has no cos>=0.3 pairs")
+    // precision is 1.0 by construction: every candidate is exact-reranked
+    assert(lsh.subsetOf(exact))
+    // Recall must MATCH sign-LSH theory, not an arbitrary floor: a pair
+    // at angle θ agrees with one random plane with p = 1-θ/π, with one
+    // 8-bit band with p^8, and with any of the 4 independent bands with
+    // q = 1-(1-p^8)^4. The md5-derived planes behave pseudo-randomly, so
+    // the observed detection count should sit near Σq. (The fixture's
+    // pairs all lie at cos 0.3-0.48 where q is small — the near-dup
+    // regime cos>=0.9 would give q≈0.75; that is the documented trade.)
+    val qs = exactScores.map { case (_, c) =>
+      val p = 1.0 - math.acos(c) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, 8), 4)
+    }
+    val expected = qs.sum
+    val sigma = math.sqrt(qs.map(q => q * (1 - q)).sum)
+    val observed = lsh.size.toDouble
+    // generous 5σ+5 band: pairs share planes, so detections are not
+    // fully independent — this still catches a broken banding (0 or
+    // all-pairs) and any silent geometry drift by an order of magnitude.
+    assert((observed - expected).abs <= 5 * sigma + 5,
+      s"observed $observed vs expected $expected (sigma $sigma)")
+  }
+
   test("exact dedup (q46) keeps one row per distinct text") {
     val df = SparkEntry.queries("q46_dedup_exact")(spark, sfDir)
     val total = Tables.documents(spark, sfDir).count()
