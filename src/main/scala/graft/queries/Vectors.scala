@@ -229,5 +229,53 @@ object Vectors extends Q.Module {
     WHERE ${cosineSql("x.embedding", "y.embedding")} >= 0.3
     ORDER BY da, db"""))
 
-  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57)
+  // --- q95: embedding PREPROCESSING — L2-normalize then int8-quantize,
+  //     the storage-shrinking step before building any large ANN index
+  //     (4 bytes/dim float32 → 1 byte/dim int8). Both transforms are
+  //     array HOFs in one codegen'd projection: no shuffle, no UDF. The
+  //     quantizer truncates toward zero (`cast int` in Spark ==
+  //     `trunc()` in DuckDB — plain CAST rounds there, a cross-engine
+  //     trap), and the report stays all-scalar: per-vector quantized
+  //     checksum, max |dequantization error| (bounded by 1/127 ≈ 0.0079
+  //     for unit-norm input), and the norm of the normalized vector.
+  private val q95 = Q(
+    "q95_embedding_quantize",
+    "✦ vector preprocessing: L2-normalize + int8 quantize, error report",
+    (s, d) => {
+      // staged projections so the norm is computed ONCE per row — a
+      // lambda that embeds the norm aggregate would re-evaluate it per
+      // ELEMENT (O(d²)/row; HOFs run interpreted, no CSE inside lambdas)
+      val unitized = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(norm2(col("embedding"))).as("l2_norm"))
+        .select(col("vec_id"), col("l2_norm"),
+          transform(col("embedding"),
+            x => x.cast("double") / col("l2_norm")).as("unit"))
+      val qv = transform(col("unit"), x => (x * 127.0).cast("int"))
+      unitized.select(col("vec_id"), col("l2_norm"), col("unit"), qv.as("qv"))
+        .select(col("vec_id"),
+          col("l2_norm"),
+          sqrt(aggregate(col("unit"), lit(0.0), (acc, v) => acc + v * v)).as("unit_norm"),
+          aggregate(col("qv"), lit(0L), (acc, v) => acc + v).as("q_checksum"),
+          array_max(zip_with(col("unit"), col("qv"),
+            (u, q) => abs(u - q.cast("double") / 127.0))).as("max_quant_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH t AS (
+      SELECT vec_id,
+        SQRT(${norm2Sql("embedding")}) AS l2_norm,
+        list_transform(embedding,
+          x -> CAST(x AS DOUBLE) / SQRT(${norm2Sql("embedding")})) AS unit
+      FROM embeddings),
+    q AS (SELECT vec_id, l2_norm, unit,
+        list_transform(unit, x -> CAST(trunc(x * 127.0) AS INT)) AS qv
+      FROM t)
+    SELECT vec_id, l2_norm,
+      SQRT(list_sum(list_transform(unit, x -> x * x))) AS unit_norm,
+      CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+      list_max(list_transform(list_zip(unit, qv),
+        p -> ABS(p[1] - CAST(p[2] AS DOUBLE) / 127.0))) AS max_quant_err
+    FROM q ORDER BY vec_id"""))
+
+  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57, q95)
 }
