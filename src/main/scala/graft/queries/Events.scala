@@ -162,11 +162,14 @@ object Events extends Q.Module {
     FROM events p WHERE p.event_type = 'purchase'
     ORDER BY purchase_id"""))
 
-  // --- q40: session_window builtin (ST3). Session end/gap semantics are
-  //     Spark-specific, so no oracle — driver records rows>0.
+  // --- q40: session_window builtin (ST3). The builtin's session END
+  //     (last event + gap) is Spark-specific, but its GROUPING — merge
+  //     events whose gap is <= 30 min — is exactly q38's lag+cumsum
+  //     sessionization, so projecting only start/count/sum columns makes
+  //     the builtin oracle-checkable against the same CTE pipeline.
   private val q40 = Q(
     "q40_session_window_builtin",
-    "ST3 session_window builtin demo (no oracle: Spark-specific end bounds)",
+    "ST3 session_window builtin == gap-and-cumsum sessionization",
     (s, d) => {
       Tables.events(s, d)
         .withColumn("etime", timestamp_micros(micros))
@@ -176,7 +179,21 @@ object Events extends Q.Module {
           col("n_events"), col("total_value"))
         .orderBy(col("user_id"), col("sess_start"))
     },
-    None)
+    Some(s"""WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+          OR LAG(epoch_us(ts), 1)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    t2 AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM t)
+    SELECT user_id, make_timestamp(MIN(us)) AS sess_start,
+      COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+    FROM t2 GROUP BY user_id, sess_id ORDER BY user_id, sess_start"""))
 
   // --- q89: merge_asof direction="forward" + tolerance (J5 variants):
   //     attribute each purchase to the EARLIEST view at-or-after it,
