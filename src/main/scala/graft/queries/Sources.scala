@@ -275,5 +275,39 @@ object Sources extends Q.Module {
       MIN(row_min) AS min_all, MAX(row_max) AS max_all
     FROM rowred GROUP BY grp ORDER BY grp"""))
 
-  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q88)
+  // --- q96: distributed matrix multiply — the dask.array blockwise
+  //     algebra shape (`A @ B`) as a relational plan: matrices in COO
+  //     form (i, k, v), C[i,j] = Σ_k A[i,k]·B[k,j] is a join on the
+  //     contraction index k + a grouped sum on (i, j). One shuffle per
+  //     side (hash on k) + one aggregate shuffle — and the aggregate is
+  //     partial/final, so the wire carries one partial per (i, j, task),
+  //     not one row per multiply. At real scale you block the matrices
+  //     (tile ids as extra key columns, same plan shape) so each join
+  //     task multiplies a tile pair in memory — the relational form IS
+  //     blocked matmul with 1×1 tiles. Integer entries → exact oracle.
+  private val q96 = Q(
+    "q96_array_matmul",
+    "S5/array: COO matmul via join-on-k + grouped sum, exact integer oracle",
+    (s, _) => {
+      val a = s.range(128).select(col("id").as("i"),
+          explode(sequence(lit(0L), lit(31L))).as("k"))
+        .withColumn("a", (col("i") * 7 + col("k") * 3) % 11)
+      val b = s.range(32).select(col("id").as("k"),
+          explode(sequence(lit(0L), lit(23L))).as("j"))
+        .withColumn("b", (col("k") * 5 + col("j") * 2) % 13)
+      a.join(b, Seq("k"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("a") * col("b")).as("v"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH a AS (
+      SELECT i, k, (i * 7 + k * 3) % 11 AS a
+      FROM range(128) t(i), (SELECT unnest(generate_series(0, 31)) AS k)),
+    b AS (
+      SELECT k, j, (k * 5 + j * 2) % 13 AS b
+      FROM range(32) t(k), (SELECT unnest(generate_series(0, 23)) AS j))
+    SELECT a.i, b.j, CAST(SUM(a.a * b.b) AS BIGINT) AS v
+    FROM a JOIN b USING(k) GROUP BY 1, 2 ORDER BY i, j"""))
+
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q88, q96)
 }
