@@ -53,11 +53,15 @@ object Scale extends Q.Module {
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   // --- q74: IVF ANN — FIXED centroid budget (K ≈ 64 independent of corpus
-  //     size), nearest-centroid assignment via broadcast, top-3 search
-  //     within the cell.
+  //     size), nearest-centroid assignment via broadcast, nprobe=2 search:
+  //     each query scans its TWO nearest cells. nprobe is the standard
+  //     IVF recall lever — a query sitting near a cell boundary has its
+  //     true neighbors split across both sides, and probing only its own
+  //     cell (nprobe=1) loses them; candidate volume scales linearly in
+  //     nprobe while cells stay disjoint (no dedup needed).
   private val q74 = Q(
     "q74_ann_ivf_cells",
-    "✦ ANN via IVF cells: broadcast centroid assign, in-cell top-3 rerank",
+    "✦ ANN via IVF cells: broadcast centroid assign, nprobe=2 top-3 rerank",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val cos = graft.functions.CosineSimilarity.cosineSim _
@@ -77,12 +81,13 @@ object Scale extends Q.Module {
       // codegen'd pass, no shuffle of the big side.
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("cs").desc, col("cid"))
-      val cell = e.crossJoin(broadcast(cents))
+      val assigned = e.crossJoin(broadcast(cents))
         .withColumn("cs", cos(col("embedding"), col("ce")))
         .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val cell = assigned.filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid"))
-      val q = cell.filter(col("vec_id") < 10)
+      // queries probe their 2 nearest cells (rn <= 2)
+      val q = assigned.filter(col("rn") <= 2 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
       val wRank = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("nid"))
@@ -105,11 +110,11 @@ object Scale extends Q.Module {
           ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
       FROM embeddings e CROSS JOIN c),
     cell AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
+    probe AS (SELECT vec_id, embedding, cid FROM asn WHERE rn <= 2 AND vec_id < 10),
     cand AS (
       SELECT q.vec_id AS qid, x.vec_id AS nid, q.cid AS cell,
         ${cosineSql("q.embedding", "x.embedding")} AS score
-      FROM cell q JOIN cell x ON q.cid = x.cid AND q.vec_id != x.vec_id
-      WHERE q.vec_id < 10),
+      FROM probe q JOIN cell x ON q.cid = x.cid AND q.vec_id != x.vec_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
       FROM cand)
