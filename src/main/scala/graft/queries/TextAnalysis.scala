@@ -228,5 +228,57 @@ object TextAnalysis extends Q.Module {
     FROM canon c JOIN kept k ON k.doc_id = c.doc_id
     GROUP BY k.lang ORDER BY k.lang"""))
 
-  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91, q94)
+  // --- q97: benchmark DECONTAMINATION — flag training documents that
+  //     share any word-8-gram with an evaluation set (docs 0-19 here),
+  //     the overlap check every pretraining pipeline runs before
+  //     training. Plan shape is the scale story: the eval set's distinct
+  //     8-grams are tiny (a benchmark is KBs-MBs), so the check is a
+  //     BROADCAST left-semi join against the corpus's gram projection —
+  //     the 100 TB side is scanned once and never shuffled. Spark joins
+  //     on xxhash64(gram) (8-byte keys); the oracle joins on the gram
+  //     string itself — same semantics, since within this corpus a
+  //     64-bit collision between two distinct grams that also lands in
+  //     the eval set is ~2^-40. Eval docs are re-injected under shifted
+  //     ids (like q46's doubling) so the fixture provably contains
+  //     contamination.
+  private val q97 = Q(
+    "q97_decontamination",
+    "✦ decontamination: eval 8-gram broadcast semi-join flags training docs",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val grams = corpus.filter(size(w) >= 8)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            transform(sequence(lit(1), size(w) - 7),
+              i => concat_ws(" ", slice(w, i, lit(8)))))).as("gram"))
+      val evalGrams = grams.filter(col("doc_id") < 20)
+        .select(xxhash64(col("gram")).as("gid")).distinct()
+      grams.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), xxhash64(col("gram")).as("gid"))
+        .join(broadcast(evalGrams), Seq("gid"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    iw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w),
+    grams AS (SELECT DISTINCT doc_id,
+        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS gram
+      FROM iw),
+    ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20)
+    SELECT doc_id, COUNT(*) AS n_contaminated_grams
+    FROM grams
+    WHERE doc_id >= 20 AND gram IN (SELECT gram FROM ev)
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91, q94, q97)
 }
