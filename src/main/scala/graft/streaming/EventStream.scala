@@ -202,6 +202,17 @@ object EventStream {
         col("c_time"))
   }
 
+  /** Stream-static ENRICHMENT join: every micro-batch of the stream joins
+    * (broadcast) against a static dimension frame — no streaming state, no
+    * watermark; the static side is re-planned per micro-batch, so a
+    * refreshed dimension table is picked up on the next batch. This is
+    * the dimension-lookup shape of a streaming ingest pipeline (user →
+    * segment, doc → source metadata): the streaming twin of the J3
+    * broadcast join, and the only stream join that needs zero state. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Wire a streaming result to an in-memory table and run it to
     * completion of the currently-available data (test/demo harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

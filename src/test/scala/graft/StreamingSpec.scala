@@ -139,6 +139,30 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == closedBatch)
   }
 
+  test("stream-static broadcast enrichment == batch join, keeps unmatched rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("d_user", "segment")
+    val evs = Seq(Ev(1, ts(0), "view", 1.0), Ev(2, ts(1), "click", 2.0),
+      Ev(3, ts(2), "view", 3.0))
+    val mem = MemoryStream[Ev]
+    val q = EventStream.enrich(mem.toDF(), dim, "user_id", "d_user")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_stream")
+      .select(col("user_id"), col("segment"))
+      .as[(Long, Option[String])].collect().toSet
+    val want = evs.toDF()
+      .join(broadcast(dim), col("user_id") === col("d_user"), "left")
+      .select(col("user_id"), col("segment"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == want)
+    assert(got.contains((3L, None))) // left join keeps unmatched stream rows
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
