@@ -353,5 +353,49 @@ object Events extends Q.Module {
     FROM grid LEFT JOIN agg USING(event_type, bucket)
     ORDER BY event_type, ws"""))
 
-  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93)
+  // --- q98: malformed-JSON ingestion — every real pipeline meets broken
+  //     records; the engine must degrade per-row, not per-job. Corruption
+  //     is injected deterministically (every 7th event gets garbage
+  //     appended), then `from_json` in its default PERMISSIVE mode yields
+  //     NULL for unparseable rows — the pipeline keeps the row, flags it,
+  //     and aggregates both populations in one pass. The oracle guards
+  //     with json_valid() to the same effect. FAILFAST (die on first bad
+  //     record) and columnNameOfCorruptRecord (quarantine column) are the
+  //     other two modes of the same reader.
+  private val q98 = Q(
+    "q98_json_malformed",
+    "ingestion: per-row PERMISSIVE parse of corrupted JSON, valid/invalid split",
+    (s, d) => {
+      val dirty = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          // corruption is PREPENDED: Spark's Jackson parser tolerates
+          // trailing garbage after a complete object, so appending would
+          // not register as malformed there while json_valid() rejects it
+          when(col("event_id") % 7 === 0, concat(lit("{broken"), col("props")))
+            .otherwise(col("props")).as("props"))
+      dirty
+        .withColumn("k",
+          from_json(col("props"), "k INT", Map.empty[String, String]).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_valid"),
+          sum((col("k").isNull).cast("long")).as("n_malformed"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH dirty AS (
+      SELECT event_id, event_type,
+        CASE WHEN event_id % 7 = 0 THEN '{broken' || props ELSE props END AS props
+      FROM events),
+    parsed AS (
+      SELECT event_type,
+        CASE WHEN json_valid(props) THEN CAST(props->>'k' AS INT) END AS k
+      FROM dirty)
+    SELECT event_type, COUNT(*) AS n,
+      COUNT(k) AS n_valid,
+      CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+      CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY event_type ORDER BY event_type"""))
+
+  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98)
 }

@@ -138,6 +138,28 @@ class OperatorPropertySpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  // q92's algebra on arbitrary data: spreading a hot key over salt
+  // buckets must never change the join result.
+  test("salted join == unsalted join on random skewed data") {
+    cases(3) { xs =>
+      import spark.implicits._
+      val fact = xs.map { case (k, v) => (k % 4, v) } // heavy key collisions
+      val dim = (0 to 4).map(k => (k, s"seg$k"))
+      val salts = 4
+      val f = fact.toDF("fk", "v")
+        .withColumn("salt", pmod(xxhash64(col("v")), lit(salts)))
+      val d = dim.toDF("dk", "seg")
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      val got = f.join(d, f("fk") === d("dk") && f("salt") === d("salt"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .as[(String, Long, Long)].collect().toSet
+      val want = fact.toDF("fk", "v").join(dim.toDF("dk", "seg"), col("fk") === col("dk"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want)
+    }
+  }
+
   // A7 one-call form: q32 reconstructs describe() from explicit aggs for
   // the oracle; this exercises the actual builtins' stat surface.
   test("df.summary()/describe() builtins expose the A7 stat rows") {
