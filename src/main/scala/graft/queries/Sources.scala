@@ -309,5 +309,42 @@ object Sources extends Q.Module {
     SELECT a.i, b.j, CAST(SUM(a.a * b.b) AS BIGINT) AS v
     FROM a JOIN b USING(k) GROUP BY 1, 2 ORDER BY i, j"""))
 
-  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q88, q96)
+  // --- q99: SCHEMA EVOLUTION — a column added to a live dataset's later
+  //     files (the most common lake migration). Two generations written
+  //     under partition dirs v=1 (without n_regionkey) and v=2 (with);
+  //     `mergeSchema` unions the file footers so old files surface the
+  //     new column as NULL — no rewrite of historical data. The oracle
+  //     reconstructs the same union from the source table. At 100 TB
+  //     this is the difference between an O(new-files) migration and an
+  //     O(lake) rewrite; mergeSchema's footer-union cost is why it is
+  //     opt-in, so production pins the merged schema in the catalog.
+  private val q99 = Q(
+    "q99_schema_evolution",
+    "S2/S6 schema evolution: mergeSchema over file generations, old rows NULL",
+    (s, d) => {
+      val path = tmp("evo", d)
+      Sinks.once(path) {
+        Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+          .write.mode("overwrite").parquet(s"$path/v=1")
+        Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("overwrite").parquet(s"$path/v=2")
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"),
+          count(col("n_regionkey")).as("n_with_region"),
+          sum(col("n_regionkey")).cast("long").as("sum_region"))
+        .orderBy(col("v"))
+    },
+    Some("""WITH gens AS (
+      SELECT 1 AS v, n_nationkey, CAST(NULL AS INT) AS n_regionkey FROM nation
+      UNION ALL
+      SELECT 2, n_nationkey, n_regionkey FROM nation)
+    SELECT CAST(v AS INT) AS v, COUNT(*) AS n,
+      COUNT(n_regionkey) AS n_with_region,
+      CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+    FROM gens GROUP BY v ORDER BY v"""))
+
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q88, q96, q99)
 }
