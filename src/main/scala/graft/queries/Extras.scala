@@ -305,5 +305,45 @@ object Extras extends Q.Module {
     },
     None)
 
-  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83)
+  // --- q100: the classic shipping-priority analytics flagship (TPC-H Q3
+  //     shape): selective dimension filter → fact join → grouped revenue
+  //     → global top-10. The full optimizer story in one query: both
+  //     date predicates push to the parquet scans, the filtered customer
+  //     segment broadcasts, revenue aggregates partial/final in exact
+  //     decimal, and the top-10 runs as TakeOrderedAndProject (per-
+  //     partition top-10, then a 10-row driver merge — never a full
+  //     sort of the result).
+  private val q100 = Q(
+    "q100_shipping_priority",
+    "flagship: segment revenue top-10 (TPC-H Q3 shape), pushdown+broadcast+topk",
+    (s, d) => {
+      val cut = lit("1995-03-15").cast("timestamp_ntz")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsumWide(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          col("revenue"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_orderpriority"))
+    },
+    Some(s"""SELECT l_orderkey,
+      ${dsumWideSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      o_orderdate, o_orderpriority
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100)
 }
