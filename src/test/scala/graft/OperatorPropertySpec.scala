@@ -160,6 +160,34 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  // q93's fill idiom on arbitrary gap patterns: dense grid + left join +
+  // last(ignoreNulls) running window must equal a sequential carry-forward.
+  test("resample forward-fill idiom == scanLeft carry-forward") {
+    cases(3) { xs =>
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val pts = xs.map { case (k, v) => (k % 3, math.abs(v) % 15, v) }
+        .groupBy(p => (p._1, p._2)).map(_._2.maxBy(_._3)).toSeq
+      val keys = pts.map(_._1).distinct
+      val agg = pts.toDF("k", "bucket", "v")
+      val grid = keys.toDF("k")
+        .crossJoin(spark.range(15).select(col("id").cast("int").as("bucket")))
+      val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = grid.join(agg, Seq("k", "bucket"), "left")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("k"), col("bucket"), col("filled"))
+        .as[(Int, Int, Option[Int])].collect()
+        .map { case (k, b, f) => (k, b) -> f }.toMap
+      val want = keys.flatMap { k =>
+        val m = pts.filter(_._1 == k).map(p => p._2 -> p._3).toMap
+        var cur: Option[Int] = None
+        (0 until 15).map { b => cur = m.get(b).orElse(cur); (k, b) -> cur }
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   // A7 one-call form: q32 reconstructs describe() from explicit aggs for
   // the oracle; this exercises the actual builtins' stat surface.
   test("df.summary()/describe() builtins expose the A7 stat rows") {
