@@ -19,15 +19,15 @@ class ContractSpec extends SparkSuite {
   test("every query named in COVERAGE.md exists in the registry") {
     val md = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("COVERAGE.md")))
-    val cited = "q\\d{2}_[a-z0-9_]+".r.findAllIn(md).toSet
+    val cited = "q\\d{2,3}_[a-z0-9_]+".r.findAllIn(md).toSet
     val names = SparkEntry.queries.keySet
     val stale = cited -- names
     assert(stale.isEmpty, s"COVERAGE.md cites non-existent queries: $stale")
     // and the map is total the other way: every query appears in the doc
     // (by full name or its qNN prefix — family rows cite ranges)
-    val prefixes = "q\\d{2}".r.findAllIn(md).toSet
+    val prefixes = "q\\d{2,3}".r.findAllIn(md).toSet
     val undocumented = names.filterNot(n =>
-      cited.contains(n) || prefixes.contains(n.take(3)))
+      cited.contains(n) || prefixes.contains(n.takeWhile(_ != '_')))
     assert(undocumented.isEmpty, s"queries missing from COVERAGE.md: $undocumented")
   }
 
