@@ -280,5 +280,150 @@ object TextAnalysis extends Q.Module {
     WHERE doc_id >= 20 AND gram IN (SELECT gram FROM ev)
     GROUP BY doc_id ORDER BY doc_id"""))
 
-  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91, q94, q97)
+  // --- q101: PII REDACTION — the regex scrub pass (emails, phone
+  //     numbers) a corpus runs before training, with per-doc audit
+  //     counts. The fixture text has no PII (q91's note), so the query
+  //     first synthesizes a deterministic contact line per doc — the
+  //     redaction itself is then non-vacuous and oracle-checkable. Shape:
+  //     one codegen'd projection (two regexp_replace + two
+  //     regexp_extract_all), zero shuffles, zero UDFs — at 100 TB this
+  //     is a pure map over the scan, and the audit counts come out of
+  //     the same pass instead of a second one. Patterns are shared
+  //     Scala vals interpolated into both engines so they cannot drift;
+  //     both Java regex and DuckDB's RE2 pick the same leftmost-longest
+  //     match for these patterns (no backtracking-only constructs).
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private val q101 = Q(
+    "q101_pii_redact",
+    "✦ cleaning: PII regex redaction (email/phone) with audit counts",
+    (s, d) => {
+      val raw = concat(
+        substring(col("text"), 1, 40),
+        lit(" reach me at user"), col("doc_id").cast("string"),
+        lit("@example.com or call +1-555-"),
+        lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" thanks"))
+      docs(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH raw AS (SELECT doc_id,
+        substr(text, 1, 40) || ' reach me at user' || doc_id
+          || '@example.com or call +1-555-'
+          || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+          || ' thanks' AS raw
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(raw, '$emailRe')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(raw, '$phoneRe')) AS BIGINT) AS n_phones,
+      regexp_replace(regexp_replace(raw, '$emailRe', '<EMAIL>', 'g'),
+        '$phoneRe', '<PHONE>', 'g') AS redacted
+    FROM raw ORDER BY doc_id"""))
+
+  // --- q102: DATA-MIXTURE SAMPLING — down-sample each source to a target
+  //     share of the mixture with a DETERMINISTIC hash threshold instead
+  //     of rand(): keep a row iff (doc_id * 2654435761) mod 100 < pct.
+  //     2654435761 (Knuth's multiplicative constant) is coprime to 100,
+  //     so over any contiguous id range the kept fraction is exactly
+  //     pct/100, and the decision is reproducible across engines, runs,
+  //     and retries — the property that makes mixture weights auditable
+  //     and the same shard re-derivable after a job restart. In
+  //     production the key would be xxhash64(stable_doc_key) for
+  //     statistical mixing; the arithmetic hash here is what both
+  //     engines compute bit-identically. Shape: one scan + one small
+  //     group-by — the mixture report never shuffles the corpus rows.
+  private val q102 = Q(
+    "q102_mixture_sample",
+    "✦ curation: deterministic per-source mixture down-sampling + report",
+    (s, d) => {
+      val pct = (lit(20) +
+        pmod(lit(7) * regexp_extract(col("source"), "[0-9]+", 0).cast("int"),
+          lit(60))).cast("long")
+      docs(s, d)
+        .select(col("doc_id"), col("source"), pct.as("target_pct"),
+          (pmod(col("doc_id") * lit(2654435761L), lit(100)) < col("target_pct"))
+            .as("keep"))
+        .groupBy(col("source"), col("target_pct"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), lit(1))).as("n_kept"))
+        .withColumn("achieved_pct",
+          col("n_kept") * lit(100.0) / col("n_total"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        CAST(20 + (7 * CAST(regexp_extract(source, '[0-9]+') AS INT)) % 60
+          AS BIGINT) AS target_pct,
+        (doc_id * 2654435761) % 100
+          < 20 + (7 * CAST(regexp_extract(source, '[0-9]+') AS INT)) % 60 AS keep
+      FROM documents)
+    SELECT source, target_pct, COUNT(*) AS n_total,
+      COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+      CAST(COUNT(CASE WHEN keep THEN 1 END) AS DOUBLE) * 100 / COUNT(*)
+        AS achieved_pct
+    FROM t GROUP BY source, target_pct ORDER BY source"""))
+
+  // --- q103: BOILERPLATE-LINE REMOVAL (CCNet-style) — drop "lines"
+  //     that repeat across many documents (site chrome, license
+  //     headers). The fixture has no newlines, so a line is an aligned
+  //     8-word chunk, and a fixed 8-word header is prepended to every
+  //     doc to make the fixture provably contain boilerplate (same
+  //     injection idiom as q94/q97). Pipeline: chunk → document
+  //     frequency per distinct line (ONE shuffle on the line) → the
+  //     flagged boilerplate set is tiny by construction (high-df lines
+  //     are few), so the removal pass joins the corpus against a
+  //     BROADCAST of that set — the 100 TB side is scanned once and
+  //     never shuffled a second time; per-doc reassembly sorts the
+  //     surviving chunks locally after the group-by on doc_id.
+  private val q103 = Q(
+    "q103_boilerplate_lines",
+    "✦ cleaning: strip lines repeated across >=10 docs (df broadcast)",
+    (s, d) => {
+      val header = "all rights reserved terms of service apply here"
+      val ws = split(concat(lit(header + " "), col("text")), " ")
+      val lines = docs(s, d)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), floor((size(col("ws")) + 7) / 8).cast("int") - 1),
+            j => concat_ws(" ", slice(col("ws"), j * 8 + 1, lit(8))))))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "line")
+      val boiler = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 10)
+        .select(col("line"), lit(true).as("boil"))
+      lines.join(broadcast(boiler), Seq("line"), "left")
+        .withColumn("boil", coalesce(col("boil"), lit(false)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          count(when(col("boil"), lit(1))).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(when(!col("boil"),
+              struct(col("j"), col("line"))))),
+            x => x.getField("line")), " ").as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        string_split('all rights reserved terms of service apply here ' || text,
+          ' ') AS ws
+      FROM documents),
+    ch AS (SELECT doc_id, ws,
+        unnest(generate_series(0, (len(ws) + 7) // 8 - 1)) AS j FROM w),
+    lines AS (SELECT doc_id, j,
+        array_to_string(list_slice(ws, j*8 + 1, j*8 + 8), ' ') AS line FROM ch),
+    boiler AS (SELECT line FROM lines
+               GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 10)
+    SELECT doc_id, COUNT(*) AS n_lines,
+      COUNT(CASE WHEN line IN (SELECT line FROM boiler) THEN 1 END) AS n_removed,
+      COALESCE(string_agg(CASE WHEN line NOT IN (SELECT line FROM boiler)
+        THEN line END, ' ' ORDER BY j), '') AS cleaned
+    FROM lines GROUP BY doc_id ORDER BY doc_id"""))
+
+  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103)
 }
