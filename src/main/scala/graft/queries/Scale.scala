@@ -196,5 +196,62 @@ object Scale extends Q.Module {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  def defs: Seq[Q] = Seq(q73, q74, q75, q92)
+  // --- q104: SEQUENCE PACKING — assign documents to fixed token-budget
+  //     bins (2048 here) by global start offset, the packing step that
+  //     turns a curated corpus into training batches. The naive form is
+  //     `SUM(n) OVER (ORDER BY doc_id)` — an UNPARTITIONED window, which
+  //     Spark executes on a single partition: the classic global-cumsum
+  //     scale trap (100 TB through one task). This query runs the
+  //     scale-correct TWO-PHASE prefix sum instead: (1) per-block token
+  //     totals (one shuffle, parallel), (2) a cumsum over the tiny
+  //     block-totals frame — the only unpartitioned window, sized
+  //     corpus/blockSize rows, not corpus rows, (3) broadcast the block
+  //     offsets back and cumsum WITHIN each block (partitioned window,
+  //     parallel). start = block_offset + intra-block cumsum − n is
+  //     identical to the global cumsum because blocks partition the
+  //     doc_id order. The oracle computes the naive global form — the
+  //     check proves the two-phase decomposition exact, all integers.
+  //     In production the block key is the shard/partition id; bins
+  //     where a doc straddles the boundary hold slightly over budget
+  //     (split-on-write), which packing consumers handle by truncation.
+  private val q104 = Q(
+    "q104_sequence_pack",
+    "✦ packing: token-budget bins via two-phase distributed prefix sum",
+    (s, d) => {
+      val budget = 2048L
+      val blockSize = 100L
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (col("doc_id") / blockSize).cast("long").as("block"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+      val blockTotals = t.groupBy(col("block")).agg(sum(col("n")).as("bn"))
+      val wBlocks = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = blockTotals
+        .withColumn("block_offset", sum(col("bn")).over(wBlocks) - col("bn"))
+        .select(col("block"), col("block_offset"))
+      val wIntra = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.join(broadcast(offsets), Seq("block"))
+        .withColumn("start",
+          col("block_offset") + sum(col("n")).over(wIntra) - col("n"))
+        .withColumn("bin", (col("start") / budget).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+      FROM documents),
+    c AS (SELECT doc_id, n,
+        CAST(SUM(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT)
+          AS start
+      FROM t)
+    SELECT CAST(start // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      CAST(SUM(n) AS BIGINT) AS n_tokens,
+      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1 ORDER BY 1"""))
+
+  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104)
 }

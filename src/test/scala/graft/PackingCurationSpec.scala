@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** The round-4 curation additions: q104's two-phase prefix-sum idiom must
+  * equal the naive global cumsum on arbitrary data (the oracle only checks
+  * the one fixture ordering), and q103's corpus-side join back to the
+  * boilerplate set must stay a broadcast — the whole point of flagging a
+  * tiny high-df set instead of re-shuffling the corpus.
+  */
+class PackingCurationSpec extends SparkSuite {
+
+  test("two-phase blocked prefix sum == global cumsum on random sizes") {
+    val rng = new Random(11)
+    (1 to 3).foreach { _ =>
+      import spark.implicits._
+      // Sparse, shuffled ids: blocks are ragged and some are empty, the
+      // cases a contiguous fixture never exercises.
+      val ids = rng.shuffle((0L until 2000L).toList).take(300 + rng.nextInt(200))
+      val docs = ids.map(id => (id, 1L + rng.nextInt(99))).toDF("doc_id", "n")
+
+      val naive = docs.withColumn("start",
+        sum(col("n")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"))
+
+      val blockTotals = docs.withColumn("block", (col("doc_id") / 100L).cast("long"))
+      val offsets = blockTotals.groupBy(col("block")).agg(sum(col("n")).as("bn"))
+        .withColumn("block_offset",
+          sum(col("bn")).over(Window.orderBy(col("block"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("bn"))
+        .select(col("block"), col("block_offset"))
+      val twoPhase = blockTotals.join(broadcast(offsets), Seq("block"))
+        .withColumn("start", col("block_offset") +
+          sum(col("n")).over(Window.partitionBy(col("block")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"))
+
+      val want = naive.select("doc_id", "start").as[(Long, Long)].collect().toMap
+      val got = twoPhase.select("doc_id", "start").as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+  }
+
+  test("q103 joins the corpus to the boilerplate set via broadcast") {
+    val df = SparkEntry.queries("q103_boilerplate_lines")(spark, sfDir)
+    df.collect() // materialize so AQE settles on the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join-back, got:\n$plan")
+  }
+
+  test("q104 bins are contiguous from 0 and respect the doc order") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q104_sequence_pack")(spark, sfDir)
+      .select("bin", "n_docs", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.head._1 == 0L)
+    rows.sliding(2).foreach {
+      case Seq((b1, _, _, l1), (b2, _, f2, _)) =>
+        assert(b2 > b1 && f2 > l1, s"bins out of order: ($b1,$l1) vs ($b2,$f2)")
+      case _ =>
+    }
+  }
+}
