@@ -347,7 +347,9 @@ object TextAnalysis extends Q.Module {
       val pct = (lit(20) +
         pmod(lit(7) * regexp_extract(col("source"), "[0-9]+", 0).cast("int"),
           lit(60))).cast("long")
-      docs(s, d)
+      // No docs() repartition here: the per-row work is two integer ops,
+      // so the helper's corpus-wide shuffle would cost more than it buys.
+      Tables.documents(s, d)
         .select(col("doc_id"), col("source"), pct.as("target_pct"),
           (pmod(col("doc_id") * lit(2654435761L), lit(100)) < col("target_pct"))
             .as("keep"))
