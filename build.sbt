@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNPREFIXED: sbt's default
+// logger would prepend "[info] " to every line, which breaks any
+// consumer that parses Bench's one-line JSON with a startswith('{')
+// check (rounds 1-3 all recorded parsed: null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
