@@ -253,5 +253,43 @@ object Windows extends Q.Module {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey, o_orderkey"""))
 
-  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86)
+  // --- q105: EMA (pandas `ewm(alpha).mean()` shape) — the recursive
+  //     ema_i = α·x_i + (1−α)·ema_{i−1} is not a frame-expressible window
+  //     aggregate (each row depends on the previous OUTPUT), so it runs
+  //     as a per-key sequential HOF fold: sort the key's series once,
+  //     seed with the first value, `aggregate()` over the rest. Both
+  //     engines fold left over the identical (ts, event_id) order with
+  //     α = 0.25 (exact binary), so the doubles match bit-for-bit — the
+  //     cross-engine float rule from the verify guide. Scale: one shuffle
+  //     on user_id; per-key state is that key's series (fine for
+  //     event-scale series; an unbounded series would use the same
+  //     two-phase decomposition as q104 with a matrix-power offset
+  //     carry, which is not worth the complexity below ~1e6 rows/key).
+  private val q105 = Q(
+    "q105_ema_fold",
+    "W-family ✦: per-key exponential moving average via sequential fold",
+    (s, d) => {
+      val alpha = 0.25
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+        .select(col("user_id"),
+          size(col("xs")).cast("long").as("n_events"),
+          aggregate(
+            slice(col("xs"), lit(2), size(col("xs")) - 1),
+            element_at(col("xs"), 1).getField("value"),
+            (acc, x) => acc * lit(1 - alpha) + x.getField("value") * lit(alpha))
+            .as("ema"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH l AS (SELECT user_id,
+        list(value ORDER BY ts, event_id) AS xs, COUNT(*) AS n
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      list_reduce(xs, (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE)
+        AS ema
+    FROM l ORDER BY user_id"""))
+
+  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105)
 }
