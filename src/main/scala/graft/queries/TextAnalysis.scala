@@ -344,9 +344,13 @@ object TextAnalysis extends Q.Module {
     "q102_mixture_sample",
     "✦ curation: deterministic per-source mixture down-sampling + report",
     (s, d) => {
-      val pct = (lit(20) +
-        pmod(lit(7) * regexp_extract(col("source"), "[0-9]+", 0).cast("int"),
-          lit(60))).cast("long")
+      // try_cast + coalesce make the extraction TOTAL: a digit-free
+      // source yields '' which ANSI cast would throw on (and DuckDB's
+      // CAST('' AS INT) always throws) — both engines instead agree on 0
+      // (→ pct 20). Guarded identically in the oracle below.
+      val srcNum = coalesce(
+        expr("try_cast(regexp_extract(source, '[0-9]+', 0) AS INT)"), lit(0))
+      val pct = (lit(20) + pmod(lit(7) * srcNum, lit(60))).cast("long")
       // No docs() repartition here: the per-row work is two integer ops,
       // so the helper's corpus-wide shuffle would cost more than it buys.
       Tables.documents(s, d)
@@ -361,10 +365,10 @@ object TextAnalysis extends Q.Module {
         .orderBy(col("source"))
     },
     Some("""WITH t AS (SELECT doc_id, source,
-        CAST(20 + (7 * CAST(regexp_extract(source, '[0-9]+') AS INT)) % 60
+        CAST(20 + (7 * COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS INT), 0)) % 60
           AS BIGINT) AS target_pct,
         (doc_id * 2654435761) % 100
-          < 20 + (7 * CAST(regexp_extract(source, '[0-9]+') AS INT)) % 60 AS keep
+          < 20 + (7 * COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS INT), 0)) % 60 AS keep
       FROM documents)
     SELECT source, target_pct, COUNT(*) AS n_total,
       COUNT(CASE WHEN keep THEN 1 END) AS n_kept,

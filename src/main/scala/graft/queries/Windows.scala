@@ -255,41 +255,89 @@ object Windows extends Q.Module {
 
   // --- q105: EMA (pandas `ewm(alpha).mean()` shape) — the recursive
   //     ema_i = α·x_i + (1−α)·ema_{i−1} is not a frame-expressible window
-  //     aggregate (each row depends on the previous OUTPUT), so it runs
-  //     as a per-key sequential HOF fold: sort the key's series once,
-  //     seed with the first value, `aggregate()` over the rest. Both
-  //     engines fold left over the identical (ts, event_id) order with
-  //     α = 0.25 (exact binary), so the doubles match bit-for-bit — the
-  //     cross-engine float rule from the verify guide. Scale: one shuffle
-  //     on user_id; per-key state is that key's series (fine for
-  //     event-scale series; an unbounded series would use the same
-  //     two-phase decomposition as q104 with a matrix-power offset
-  //     carry, which is not worth the complexity below ~1e6 rows/key).
+  //     aggregate (each row depends on the previous OUTPUT). The naive
+  //     distributed form (collect the whole series per key, fold once)
+  //     holds O(series length) state in one aggregation buffer: at 100 TB
+  //     a hot key with 1e8+ events is a single task materializing the
+  //     whole series — the global-cumsum trap in per-key clothing. This
+  //     runs the TWO-PHASE decomposition instead (emaTwoPhase below, the
+  //     q104 pattern): bounded per-block folds + a per-key carry over the
+  //     series/blockRows-sized block frame. The oracle stays the NAIVE
+  //     sequential fold, so the correctness row PROVES the decomposition
+  //     equals the one-pass recurrence. Exactness: the algebra is exact,
+  //     but regrouped double arithmetic differs from the sequential fold
+  //     in the last few ulps (~1e-13 relative), so the compared column is
+  //     rounded to 6 digits on both engines — same robustness rule as
+  //     q80's cumprod; a wrong decomposition would be off by whole digits.
   private val q105 = Q(
     "q105_ema_fold",
-    "W-family ✦: per-key exponential moving average via sequential fold",
+    "W-family ✦: per-key EMA via two-phase block fold (bounded state)",
     (s, d) => {
-      val alpha = 0.25
-      Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_list(
-          struct(col("ts"), col("event_id"), col("value")))).as("xs"))
-        .select(col("user_id"),
-          size(col("xs")).cast("long").as("n_events"),
-          aggregate(
-            slice(col("xs"), lit(2), size(col("xs")) - 1),
-            element_at(col("xs"), 1).getField("value"),
-            (acc, x) => acc * lit(1 - alpha) + x.getField("value") * lit(alpha))
-            .as("ema"))
+      val t = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      emaTwoPhase(t, alpha = 0.25, blockRows = 64)
+        .select(col("user_id"), col("n_events"), round(col("ema"), 6).as("ema"))
         .orderBy(col("user_id"))
     },
     Some("""WITH l AS (SELECT user_id,
         list(value ORDER BY ts, event_id) AS xs, COUNT(*) AS n
       FROM events GROUP BY user_id)
     SELECT user_id, CAST(n AS BIGINT) AS n_events,
-      list_reduce(xs, (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE)
+      ROUND(list_reduce(xs, (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE), 6)
         AS ema
     FROM l ORDER BY user_id"""))
+
+  /** Scale-safe per-key EMA over (user_id, ts, event_id, value) rows:
+    * returns (user_id, n_events, ema) where ema equals the sequential
+    * recurrence ema_i = α·x_i + (1−α)·ema_{i−1} seeded with the key's
+    * first value in (ts, event_id) order.
+    *
+    * Decomposition (exact in real arithmetic): a fold of f(acc,x) =
+    * (1−α)·acc + α·x over a block of length m starting from acc₀ equals
+    * acc₀·(1−α)^m + part, where part is the same fold started from 0.
+    * So phase 1 computes per (key, block): `part` (fold from 0) and
+    * `decay` = (1−α)^m — BOTH as sequential HOF folds over at most
+    * `blockRows` rows, so per-task state is bounded by blockRows, not by
+    * series length. Phase 2 folds acc = acc·decay_b + part_b across the
+    * key's blocks in order (a frame of ceil(n/blockRows) rows — at 1e8
+    * events/key and blockRows=4096 that is ~24k tiny structs; an
+    * adversarial series deeper than that applies the same decomposition
+    * recursively). Seeding: the uniform fold-from-0 gives x₁ weight
+    * α·(1−α)^{n−1} but the recurrence seeds with weight (1−α)^{n−1};
+    * the difference is exactly x₁·(1−α)^n = x₁·Π decay_b, added at the
+    * end. Blocks are assigned by per-key row_number — a partitioned
+    * window (one shuffle + partition-local sort, O(1) state), giving a
+    * HARD blockRows bound per block regardless of timestamp skew. */
+  private[graft] def emaTwoPhase(events: org.apache.spark.sql.DataFrame,
+      alpha: Double, blockRows: Int): org.apache.spark.sql.DataFrame = {
+    val wKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = events.withColumn("block",
+      ((row_number().over(wKey) - 1) / blockRows).cast("long"))
+    val blk = t.groupBy(col("user_id"), col("block"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+      .select(col("user_id"), col("block"),
+        size(col("xs")).cast("long").as("m"),
+        aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc * lit(1 - alpha) + x.getField("value") * lit(alpha))
+          .as("part"),
+        // (1−α)^m as m sequential multiplies, not pow(): bit-stable and
+        // free of libm differences; m <= blockRows keeps the fold short.
+        aggregate(col("xs"), lit(1.0), (acc, _) => acc * lit(1 - alpha))
+          .as("decay"),
+        when(col("block") === 0, element_at(col("xs"), 1).getField("value"))
+          .as("x1"))
+    blk.groupBy(col("user_id"))
+      .agg(sum(col("m")).as("n_events"),
+        array_sort(collect_list(
+          struct(col("block"), col("part"), col("decay"), col("x1")))).as("bs"))
+      .select(col("user_id"), col("n_events"),
+        (aggregate(col("bs"), lit(0.0),
+          (acc, b) => acc * b.getField("decay") + b.getField("part"))
+          + element_at(col("bs"), 1).getField("x1")
+            * aggregate(col("bs"), lit(1.0),
+                (acc, b) => acc * b.getField("decay"))).as("ema"))
+  }
 
   def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105)
 }

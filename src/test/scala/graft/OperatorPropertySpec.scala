@@ -188,6 +188,40 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  // q105's scale-safe form on series far longer than any fixture key:
+  // the bounded-state two-phase block fold must equal the sequential
+  // recurrence (seeded with the first value) to FP noise. Lengths are
+  // chosen to cross every block-boundary case: single-row key, exactly
+  // one block, one-past, multi-block, and a 5000-row series (79 blocks).
+  test("two-phase EMA (q105) == naive sequential fold on long series") {
+    import spark.implicits._
+    val rng = new Random(17)
+    val lens = Seq(1, 2, 63, 64, 65, 129, 5000)
+    val data = lens.zipWithIndex.flatMap { case (n, k) =>
+      (0 until n).map { i =>
+        (k.toLong, math.abs(rng.nextLong()) % 1000000000L,
+          (k * 100000 + i).toLong,
+          math.round(rng.nextDouble() * 20000) / 100.0)
+      }
+    }
+    val df = data.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.queries.Windows.emaTwoPhase(df, alpha = 0.25, blockRows = 64)
+      .select("user_id", "n_events", "ema").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = data.groupBy(_._1).map { case (k, g) =>
+      val xs = g.sortBy(r => (r._2, r._3)).map(_._4)
+      k -> (xs.size.toLong,
+        xs.tail.foldLeft(xs.head)((acc, x) => acc * 0.75 + x * 0.25))
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (n, ema)) =>
+      val (gn, gema) = got(k)
+      assert(gn == n, s"key $k: n_events $gn vs $n")
+      assert(math.abs(gema - ema) <= 1e-9 * math.max(1.0, math.abs(ema)),
+        s"key $k: ema $gema vs $ema")
+    }
+  }
+
   // A7 one-call form: q32 reconstructs describe() from explicit aggs for
   // the oracle; this exercises the actual builtins' stat surface.
   test("df.summary()/describe() builtins expose the A7 stat rows") {

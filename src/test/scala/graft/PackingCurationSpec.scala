@@ -43,6 +43,27 @@ class PackingCurationSpec extends SparkSuite {
     }
   }
 
+  test("q102 is total on digit-free sources (no cast divergence)") {
+    import spark.implicits._
+    // A fixture variant where one source carries NO digits: the naive
+    // CAST(regexp_extract(...) AS INT) throws on '' under ANSI (Spark)
+    // and unconditionally in DuckDB — the guarded form must map it to
+    // pct 20 and run green.
+    val dir = java.nio.file.Files.createTempDirectory("q102_digitfree").toString
+    (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "web" else s"src${i % 5}", s"doc $i text")
+    }.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q102_mixture_sample")(spark, dir)
+      .select("source", "target_pct").as[(String, Long)].collect().toMap
+    assert(rows("web") == 20L, s"digit-free source must default to pct 20: $rows")
+    assert(rows.keySet.exists(_.startsWith("src")))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("q103 joins the corpus to the boilerplate set via broadcast") {
     val df = SparkEntry.queries("q103_boilerplate_lines")(spark, sfDir)
     df.collect() // materialize so AQE settles on the final plan
