@@ -279,6 +279,55 @@ object Aggs extends Q.Module {
         AS wmean_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // --- q107: grouped CO-processing of two frames — Dask/pandas per-key
+  //     apply over two aligned frames (train/test alignment, order-vs-
+  //     items reconciliation), Spark's `Dataset.groupByKey.cogroup`.
+  //     Ops: A12/§2.10. Each side is FILTERED differently so keys appear
+  //     left-only, right-only, and both — the full-outer semantics
+  //     cogroup gives for free (an orderkey absent from one side arrives
+  //     as an empty iterator). Per-side sums fold in BigDecimal over the
+  //     decimal(18,6)-cast values (exact, order-independent — the
+  //     iterator order inside a cogroup bucket is not deterministic),
+  //     with one correctly-rounded toDouble at the end: the q33/dsl
+  //     cross-engine money rule. Scale: cogroup plans one shuffle per
+  //     side on the key + a co-partitioned sort-based group-walk; per-key
+  //     state is that key's rows only (≤ a few line items per order), and
+  //     the output is one row per key — never a driver collect.
+  private val q107 = Q(
+    "q107_cogroup",
+    "A12 ✦ cogroup: per-orderkey co-processing of two filtered frames",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_totalprice").cast(Money))
+        .as[(Long, BigDecimal)]
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_extendedprice").cast(Money))
+        .as[(Long, BigDecimal)]
+      o.groupByKey(_._1).cogroup(l.groupByKey(_._1)) { (k, os, ls) =>
+        var no = 0L; var so = BigDecimal(0)
+        os.foreach { r => no += 1; so += r._2 }
+        var nl = 0L; var sl = BigDecimal(0)
+        ls.foreach { r => nl += 1; sl += r._2 }
+        Iterator((k, no, so.doubleValue, nl, sl.doubleValue))
+      }.toDF("orderkey", "n_orders", "orders_total", "n_items", "items_total")
+        .orderBy(col("orderkey"))
+    },
+    Some(s"""WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS orders_total
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+    l AS (SELECT l_orderkey AS k, COUNT(*) AS n_items,
+        ${dsumSql("l_extendedprice")} AS items_total
+      FROM lineitem WHERE l_quantity >= 30 GROUP BY 1)
+    SELECT COALESCE(o.k, l.k) AS orderkey,
+      COALESCE(n_orders, 0) AS n_orders,
+      COALESCE(orders_total, 0.0) AS orders_total,
+      COALESCE(n_items, 0) AS n_items,
+      COALESCE(items_total, 0.0) AS items_total
+    FROM o FULL OUTER JOIN l ON o.k = l.k ORDER BY orderkey"""))
+
   // --- q79: approximate quantiles via the GK sketch (approx_percentile)
   //     — the scale path beside q26's exact interpolated quantile, and the
   //     semantics the reference's default (t-digest-style approximate
@@ -303,5 +352,5 @@ object Aggs extends Q.Module {
     },
     None)
 
-  def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q79)
+  def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q79, q107)
 }

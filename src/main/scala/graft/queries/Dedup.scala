@@ -228,40 +228,57 @@ object Dedup extends Q.Module {
     FROM cand JOIN jp ON jp.da = cand.da AND jp.db = cand.db
     WHERE jacc >= 0.5 ORDER BY jp.da, jp.db"""))
 
-  /** (doc_id, fp): 32-bit word-count SimHash of `textCol` — md5-derived
-    * word hashes weighted by term count. One 32-column aggregate instead
-    * of explode(0..31): the per-bit weighted sums all fold in the same
-    * HashAggregate pass, so the word stream is scanned once at 1× volume
-    * (the explode form multiplied it 32-fold — it was the round-2
-    * profile's hot spot). Shared by q49 (whole-text near-dup) and q78/q84
-    * (head-prefix candidate generation). */
-  private def simhashFp(docs: DataFrame, textCol: String): DataFrame = {
-    val wc = docs
+  /** (doc_id, fp): `width`-bit (32 or 64) word-count SimHash of
+    * `textCol` — md5-derived word hashes weighted by term count. One
+    * width-column aggregate instead of explode(0..width-1): the per-bit
+    * weighted sums all fold in the same HashAggregate pass, so the word
+    * stream is scanned once at 1× volume (the explode form multiplied it
+    * 32-fold — it was the round-2 profile's hot spot). Width 32 is the
+    * fixture/oracle geometry; width 64 (bits 0-31 from md5 hex chars
+    * 1-8, bits 32-63 from chars 9-16 — independent slices of the same
+    * digest) is the 1e9-doc production geometry the banding scaladoc
+    * promises: double the fingerprint, same per-row cost, one md5 (CSE
+    * collapses the two substring() calls onto a single digest). The fp
+    * assembles with bitwiseOR of disjoint one-bit masks, so bit 63
+    * (sign) needs no overflow-sensitive arithmetic. Shared by q49
+    * (whole-text near-dup) and q78/q84 (head-prefix candidates). */
+  private[graft] def simhashFp(docs: DataFrame, textCol: String,
+      width: Int = 32): DataFrame = {
+    require(width == 32 || width == 64, s"unsupported simhash width $width")
+    val wc0 = docs
       .select(col("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("h32", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
-    val sjCols = (0 to 31).map { j =>
-      sum(col("cnt") * (shiftright(col("h32"), j) % 2 * 2 - 1)).as(s"sj$j")
+    val wc = if (width == 64)
+      wc0.withColumn("hHi", conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long"))
+    else wc0
+    val sjCols = (0 until width).map { j =>
+      val h = if (j < 32) col("h32") else col("hHi")
+      sum(col("cnt") * (shiftright(h, j % 32) % 2 * 2 - 1)).as(s"sj$j")
     }
     wc.groupBy(col("doc_id"))
       .agg(sjCols.head, sjCols.tail: _*)
       .select(col("doc_id"),
-        (0 to 31).map(j =>
-          when(col(s"sj$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("fp"))
+        (0 until width).map(j =>
+          when(col(s"sj$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("fp"))
   }
 
   /** (doc_id, fp, b, bandval): the fingerprint split into `bands` bands
     * of `bits` bits — pigeonhole guarantees any pair at Hamming distance
     * <= bands-1 agrees on at least one band (and identical fingerprints
-    * agree on all of them). Band geometry is the dial that trades recall
-    * against in-bucket pair volume: q49 uses 4×8 (Hamming<=3 guarantee,
-    * 256 buckets/band), the q78/q84 candidate generators use 2×16
-    * (65536 buckets/band — ~100× fewer band collisions at the same N,
-    * exact-dup recall kept). At 1e9 docs you widen the fingerprint to 64
-    * bits and keep 16-bit bands. */
-  private def simhashBanded(fp: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
+    * agree on all of them). Band extraction is an UNSIGNED shift so a
+    * 64-bit fingerprint with the sign bit set still yields non-negative
+    * band values. Band geometry is the dial that trades recall against
+    * in-bucket pair volume: q49 uses 4×8 over 32 bits (Hamming<=3
+    * guarantee, 256 buckets/band), the q78/q84 candidate generators use
+    * 2×16 (65536 buckets/band — ~100× fewer band collisions at the same
+    * N, exact-dup recall kept). At 1e9 docs: width=64 with 4×16 bands —
+    * same Hamming<=3 guarantee as q49 at 65536 buckets/band
+    * (SimhashWidthSpec exercises both geometries). */
+  private[graft] def simhashBanded(fp: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
     fp.select(col("doc_id"), col("fp"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
-      .withColumn("bandval", expr(s"(fp div CAST(pow(2, b * $bits) AS LONG)) % ${1L << bits}"))
+      .withColumn("bandval", expr(s"shiftrightunsigned(fp, b * $bits) % ${1L << bits}"))
 
   /** DuckDB twin of simhashFp + simhashBanded: CTEs wc/bits/fp/banded over
     * `src`'s (doc_id, `headExpr`) rows. */

