@@ -253,5 +253,65 @@ object Scale extends Q.Module {
       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM c GROUP BY 1 ORDER BY 1"""))
 
-  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104)
+  // --- q109: SEMANTIC DEDUP (SemDeDup shape) — cluster embeddings into
+  //     IVF cells (q74's deterministic stride centroids, broadcast
+  //     assignment), then near-dup ONLY within each cell: a vector is
+  //     dropped iff a smaller-id same-cell neighbor sits above the cosine
+  //     threshold (deterministic keep-lowest-id rule — order-free, unlike
+  //     greedy sweep variants). This is the embedding-space dedup that
+  //     catches paraphrases exact/minhash dedup can't. Scale: clustering
+  //     bounds pair volume at K·(N/K)² = N²/K — the K dial (fixed 64 here,
+  //     ~N/1000 plus a per-cell size cap in production) is what makes
+  //     all-pairs cosine tractable at 1e9 vectors; the corpus is shuffled
+  //     once on cell id, scores stay in the fused codegen'd cosine kernel,
+  //     and only drop FLAGS leave the join (scores are never compared
+  //     cross-engine, so float determinism reduces to the sequential-fold
+  //     rule both engines already share).
+  private val q109 = Q(
+    "q109_semantic_dedup",
+    "✦ SemDeDup: IVF-cell clustering + within-cell cosine drop-higher-id",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val cos = graft.functions.CosineSimilarity.cosineSim _
+      val e = Tables.embeddings(s, d)
+      val targetK = 64L
+      val stride = math.max(e.count() / targetK, 1L)
+      val cents = e.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cid"))
+      val cell = e.crossJoin(broadcast(cents))
+        .withColumn("cs", cos(col("embedding"), col("ce")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val dup = cell.select(col("cid"), col("vec_id").as("da"), col("embedding").as("ea"))
+        .join(cell.select(col("cid"), col("vec_id").as("db"), col("embedding").as("eb")),
+          Seq("cid"))
+        .filter(col("da") < col("db"))
+        .filter(cos(col("ea"), col("eb")) >= 0.35)
+        .select(col("db").as("vec_id")).distinct()
+        .withColumn("dropped", lit(true))
+      cell.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").as("cell"),
+          coalesce(col("dropped"), lit(false)).as("dropped"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH c AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id % GREATEST((SELECT COUNT(*) FROM embeddings) // 64, 1) = 0),
+    asn AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY ${cosineSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN c),
+    cell AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
+    dup AS (SELECT DISTINCT b.vec_id
+      FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
+    SELECT cell.vec_id, cell.cid AS cell,
+      cell.vec_id IN (SELECT vec_id FROM dup) AS dropped
+    FROM cell ORDER BY vec_id"""))
+
+  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109)
 }

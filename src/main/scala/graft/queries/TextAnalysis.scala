@@ -431,5 +431,29 @@ object TextAnalysis extends Q.Module {
         THEN line END, ' ' ORDER BY j), '') AS cleaned
     FROM lines GROUP BY doc_id ORDER BY doc_id"""))
 
-  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103)
+  // --- q110: VOCABULARY STATISTICS — top-k tokens by collection
+  //     frequency with document frequency, the corpus-stats pass every
+  //     tokenizer/quality pipeline runs first (stopword discovery, BPE
+  //     seeding, df cutoffs like Dedup.maxShingleDf). Shape: one shuffle
+  //     on the token; cf and df fold in the same aggregate (df's distinct
+  //     is a (word, doc_id) pre-aggregate, still word-partitioned); the
+  //     top-k is TakeOrderedAndProject — per-partition heaps, never a
+  //     global sort of the vocabulary. (cf, word) is a total order, so
+  //     the rank-40 cut is deterministic on both engines.
+  private val q110 = Q(
+    "q110_vocab_topk",
+    "✦ corpus stats: top-40 vocabulary by collection freq, with doc freq",
+    (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("cf").desc, col("word"))
+        .limit(40)
+    },
+    Some("""SELECT word, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word ORDER BY cf DESC, word LIMIT 40"""))
+
+  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110)
 }
