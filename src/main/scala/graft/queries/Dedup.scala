@@ -40,14 +40,19 @@ object Dedup extends Q.Module {
     * part in whole-stage codegen) — without it the heaviest per-row work
     * of the dedup family runs on a single core. Callers persist the
     * result because 3-6 downstream subplans consume it. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** Same shingle pipeline over an arbitrary (doc_id, text) frame —
+    * q112 runs it over a corpus with injected near-duplicates. */
+  private def shinglesOf(corpus: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     // size(w) >= 3 guard: Spark's sequence(1, size-2) counts DOWN when
     // size-2 < 1 (sequence(1,0) = [1,0]) and slice(w, 0, 3) throws, while
     // the oracle's generate_series(1, 0) is empty. Filtering <3-word docs
     // out up front gives both engines the same "no shingles" semantics.
-    val sh0 = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val sh0 = corpus
       .filter(size(w) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -64,13 +69,15 @@ object Dedup extends Q.Module {
       .drop("df")
   }
 
-  private val shinglesSql =
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def shinglesSqlFrom(src: String): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
     iw AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM w),
     sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle FROM iw),
     sh AS (SELECT doc_id, shingle FROM (
       SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0)
       WHERE df <= $maxShingleDf)"""
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   /** Exact-Jaccard pairs from the shingle inverted index (no all-pairs).
     *
@@ -511,5 +518,123 @@ object Dedup extends Q.Module {
     WHERE levenshtein(x.head, y.head) < 6
     ORDER BY da, db"""))
 
-  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84)
+  // --- q112: FUZZY DECONTAMINATION — q97 flags exact 8-gram overlap with
+  //     an evaluation set; a paraphrased or lightly-edited benchmark leaks
+  //     past it. This is the MinHash-band version: eval docs (ids 0-19)
+  //     and corpus docs are minhash-signed (q48's 8-hash / 2-band
+  //     geometry) and any training doc sharing a band with an eval doc is
+  //     flagged. To make the fixture provably contain NEAR-duplicate
+  //     contamination, each eval doc is re-injected under id+10000 with
+  //     word 5 replaced — no exact 8-gram survives the edit, but the
+  //     shingle sets stay ~97% Jaccard, so bands still collide.
+  //     Scale shape: the eval side of the band join is tiny (a benchmark
+  //     suite), so the flagging is a BROADCAST semi-join on band keys —
+  //     the corpus is shuffled ONCE (the signature group-by), never
+  //     pairwise-joined; candidate verification (q48's exact-Jaccard
+  //     stage) is deliberately omitted because decontamination wants
+  //     recall, and a band collision is already strong evidence at
+  //     4×32-bit band resolution.
+  private val q112 = Q(
+    "q112_decontam_fuzzy",
+    "✦ fuzzy decontamination: eval MinHash bands flag near-dup training docs",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val mutated = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat_ws(" ", transform(ws,
+            (x, i) => when(i === 5, lit("xqzv")).otherwise(x))).as("text"))
+      val sh = shinglesOf(base.unionByName(mutated))
+      // q48's signature pipeline: two md5 digests → four 8-hex-char
+      // slices each → per-doc min over plain LONGs (HashAggregate).
+      val h = Seq(md5(col("shingle")), md5(concat(lit("x:"), col("shingle"))))
+      val sliced = sh.select(col("doc_id") +:
+        (0 to 7).map(i =>
+          conv(substring(h(i / 4), 1 + 8 * (i % 4), 8), 16, 10)
+            .cast("long").as(s"s$i")): _*)
+      val sig = sliced.groupBy(col("doc_id"))
+        .agg(min(col("s0")).as("m0"),
+          (1 to 7).map(i => min(col(s"s$i")).as(s"m$i")): _*)
+      val banded = sig.select(col("doc_id"),
+        explode(array(
+          md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3"))),
+          md5(concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7")))))
+          .as("band"))
+      val evalBands = banded.filter(col("doc_id") < 20)
+        .select(col("band")).distinct()
+      banded.filter(col("doc_id") >= 20)
+        .join(broadcast(evalBands), Seq("band"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("band")).as("n_bands"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000,
+        array_to_string(list_transform(string_split(text, ' '),
+          (x, i) -> CASE WHEN i = 6 THEN 'xqzv' ELSE x END), ' ')
+      FROM documents WHERE doc_id < 20),
+    ${shinglesSqlFrom("corpus")},
+    sig AS (SELECT doc_id,
+      ${(0 to 7).map { i =>
+        val digest = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"MIN(${hex8Sql(digest, 1 + 8 * (i % 4))}) m$i"
+      }.mkString(", ")}
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) FROM sig),
+    ev AS (SELECT DISTINCT band FROM banded WHERE doc_id < 20)
+    SELECT doc_id, COUNT(DISTINCT band) AS n_bands
+    FROM banded WHERE doc_id >= 20 AND band IN (SELECT band FROM ev)
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  // --- q115: INCREMENTAL INGEST DEDUP — the daily-shard shape: an
+  //     existing corpus owns a content-hash index (docs 0-399 here); a new
+  //     shard (docs 400+, plus exact copies of every 10th corpus doc
+  //     injected under id+20000) is first deduplicated WITHIN itself
+  //     (keep-min, q46's rule), then anti-joined against the index so only
+  //     genuinely new content is ingested. Both stages provably fire on
+  //     the fixture: ids <400 with %10=0 re-enter via the injection and
+  //     die at the anti-join; ids 400-490 with %10=0 duplicate shard rows
+  //     and collapse in the group-by.
+  //     Scale shape: the shard (a day's crawl) is orders smaller than the
+  //     index, so the anti-join shuffles the shard and streams the index —
+  //     or, production-grade, the index lives as a table BUCKETED by hash
+  //     (q75's layout) and the anti-join is a shuffle-free SMJ probe. The
+  //     corpus itself is never rescanned; cost is O(shard) + one index
+  //     probe, which is what makes daily ingestion at a 100 TB corpus
+  //     affordable.
+  private val q115 = Q(
+    "q115_incremental_dedup",
+    "✦ incremental ingest: intra-shard keep-min dedup + anti-join vs corpus index",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val index = base.filter(col("doc_id") < 400)
+        .select(sha2(col("text"), 256).as("h"))
+      val shard = base.filter(col("doc_id") >= 400)
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      shard.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_shard"))
+        .join(index, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h"), col("n_in_shard"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH idx AS (SELECT sha256(text) AS h FROM documents WHERE doc_id < 400),
+    shard AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 20000, sha256(text) FROM documents WHERE doc_id % 10 = 0),
+    intra AS (SELECT h, MIN(doc_id) AS doc_id, COUNT(*) AS n_in_shard
+              FROM shard GROUP BY h)
+    SELECT doc_id, h, n_in_shard FROM intra
+    WHERE h NOT IN (SELECT h FROM idx) ORDER BY doc_id"""))
+
+  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over `documents`: SURVEY.md §2.11 ✦ — quality scoring,
@@ -455,5 +456,199 @@ object TextAnalysis extends Q.Module {
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
     GROUP BY word ORDER BY cf DESC, word LIMIT 40"""))
 
-  def defs: Seq[Q] = Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110)
+  // --- q111: GOPHER-STYLE REPETITION FILTERS — the three intra-document
+  //     repetition signals from the Gopher/MassiveText quality rules:
+  //     duplicate-line fraction (> 0.30 rejects), fraction of characters
+  //     in duplicated lines (> 0.20), and the character mass of the most
+  //     frequent word-2-gram (> 0.20). The fixture has no newlines, so a
+  //     "line" is an aligned 8-word chunk (q103's idiom), and every 7th
+  //     doc gets its first two lines re-appended so the fixture provably
+  //     contains duplicate lines (q94/q97/q103's injection idiom).
+  //     Shape: every metric is array-HOF arithmetic inside ONE projection
+  //     — per-document work only, zero shuffles, embarrassingly parallel
+  //     over the scan; this is the 100 TB shape (a quality gate must not
+  //     shuffle the corpus). The within-doc counting is O(distinct·n) per
+  //     document — bounded by document length, not corpus size; a pipeline
+  //     facing single documents of 10⁶+ lines would swap the HOF count for
+  //     a per-partition hash count, same plan shape otherwise. Tie-break
+  //     for the top bigram: lexicographic min via sorted-array head, which
+  //     both engines spell identically.
+  private val q111 = Q(
+    "q111_gopher_repetition",
+    "✦ quality: Gopher repetition filters — dup lines/chars, top-bigram mass",
+    (s, d) => {
+      val ws = split(col("text"), " ")
+      docs(s, d)
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("lines0",
+          transform(sequence(lit(0), floor((size(col("ws")) + 7) / 8).cast("int") - 1),
+            j => concat_ws(" ", slice(col("ws"), j * 8 + 1, lit(8)))))
+        .withColumn("lines",
+          when(col("doc_id") % 7 === 0,
+            concat(col("lines0"), slice(col("lines0"), 1, 2)))
+            .otherwise(col("lines0")))
+        .withColumn("n_lines", size(col("lines")))
+        .withColumn("n_distinct", size(array_distinct(col("lines"))))
+        .withColumn("line_chars",
+          aggregate(transform(col("lines"), l => length(l).cast("long")),
+            lit(0L), (a, x) => a + x))
+        .withColumn("dup_chars",
+          aggregate(transform(array_distinct(col("lines")),
+            l => when(size(filter(col("lines"), x => x === l)) >= 2,
+              size(filter(col("lines"), x => x === l)).cast("long") * length(l))
+              .otherwise(lit(0L))),
+            lit(0L), (a, x) => a + x))
+        .withColumn("bg",
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", slice(col("ws"), i, lit(2)))))
+        .withColumn("n_chars", length(concat_ws(" ", col("ws"))))
+        .withColumn("maxcnt",
+          array_max(transform(array_distinct(col("bg")),
+            g => size(filter(col("bg"), x => x === g)))))
+        .withColumn("top_bigram",
+          element_at(array_sort(filter(array_distinct(col("bg")),
+            g => size(filter(col("bg"), x => x === g)) === col("maxcnt"))), 1))
+        .select(col("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          ((col("n_lines") - col("n_distinct")).cast("double") / col("n_lines"))
+            .as("dup_line_frac"),
+          (col("dup_chars").cast("double") / col("line_chars")).as("dup_char_frac"),
+          col("top_bigram"),
+          ((col("maxcnt") * length(col("top_bigram"))).cast("double") / col("n_chars"))
+            .as("top_bigram_frac"))
+        .withColumn("flag_repetitive",
+          col("dup_line_frac") > 0.30 || col("dup_char_frac") > 0.20 ||
+            col("top_bigram_frac") > 0.20)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    l0 AS (SELECT doc_id, ws,
+        list_transform(generate_series(0, (len(ws)+7)//8 - 1),
+          j -> array_to_string(list_slice(ws, j*8+1, j*8+8), ' ')) AS lines0
+      FROM w),
+    l1 AS (SELECT doc_id, ws,
+        CASE WHEN doc_id % 7 = 0 THEN list_concat(lines0, list_slice(lines0, 1, 2))
+             ELSE lines0 END AS lines FROM l0),
+    m AS (SELECT doc_id, ws, lines,
+        len(lines) AS n_lines,
+        len(list_distinct(lines)) AS n_distinct,
+        list_sum(list_transform(lines, l -> len(l))) AS line_chars,
+        list_sum(list_transform(list_distinct(lines),
+          l -> CASE WHEN len(list_filter(lines, x -> x = l)) >= 2
+                    THEN len(list_filter(lines, x -> x = l)) * len(l) ELSE 0 END)) AS dup_chars,
+        list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) AS bg
+      FROM l1),
+    b AS (SELECT doc_id, n_lines, n_distinct, line_chars, dup_chars, bg,
+        len(array_to_string(ws, ' ')) AS n_chars,
+        list_max(list_transform(list_distinct(bg),
+          g -> len(list_filter(bg, x -> x = g)))) AS maxcnt
+      FROM m),
+    t AS (SELECT doc_id, n_lines, n_distinct, line_chars, dup_chars, n_chars, maxcnt,
+        list_sort(list_filter(list_distinct(bg),
+          g -> len(list_filter(bg, x -> x = g)) = maxcnt))[1] AS top_bigram
+      FROM b)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      CAST(n_lines - n_distinct AS DOUBLE) / n_lines AS dup_line_frac,
+      CAST(dup_chars AS DOUBLE) / line_chars AS dup_char_frac,
+      top_bigram,
+      CAST(maxcnt * len(top_bigram) AS DOUBLE) / n_chars AS top_bigram_frac,
+      (CAST(n_lines - n_distinct AS DOUBLE) / n_lines > 0.30)
+        OR (CAST(dup_chars AS DOUBLE) / line_chars > 0.20)
+        OR (CAST(maxcnt * len(top_bigram) AS DOUBLE) / n_chars > 0.20)
+        AS flag_repetitive
+    FROM t ORDER BY doc_id"""))
+
+  // --- q113: QUANTILE-THRESHOLD QUALITY GATE — "drop the bottom quartile
+  //     by quality score, per language", the relative-threshold curation
+  //     pass that follows absolute filters like q51/q111. The threshold is
+  //     RANK-based (the ceil(0.25·n)-th smallest score), not interpolated:
+  //     it is an actual data value, so both engines select bit-identical
+  //     doubles and the gate `score >= threshold` agrees exactly.
+  //     Scale shape: pass 1 computes per-lang thresholds — one Exchange on
+  //     lang + a disk-backed sort (row_number needs no unbounded per-key
+  //     buffer, unlike percentile()'s collect-all ObjectHashAggregate —
+  //     the q105 lesson applied to quantiles); the threshold frame is
+  //     nlangs rows, BROADCAST back for pass 2, so the corpus is never
+  //     shuffled for the gate itself. At 100 TB pass 1 would typically use
+  //     approx_percentile (q79's sketch path) — the exact rank form here
+  //     is what an oracle can verify; the plan shape is identical.
+  private val q113 = Q(
+    "q113_quality_quantile_gate",
+    "✦ curation: per-lang rank-quantile threshold gate (drop bottom quartile)",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        (size(array_distinct(w)).cast("double") / size(w)).as("score"))
+      val n = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val rk = scored.withColumn("rk",
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("score"), col("doc_id"))))
+      val thr = rk.join(broadcast(n), Seq("lang"))
+        .filter(col("rk") === ceil(col("n_total") * 0.25))
+        .select(col("lang"), col("score").as("threshold"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"), col("threshold"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("score") >= col("threshold"), lit(1))).as("n_kept"))
+        .withColumn("kept_pct",
+          col("n_kept").cast("double") * 100 / col("n_total"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH scored AS (SELECT doc_id, lang,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS score
+      FROM documents),
+    n AS (SELECT lang, COUNT(*) AS n_total FROM scored GROUP BY lang),
+    rk AS (SELECT doc_id, lang, score,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rk
+      FROM scored),
+    thr AS (SELECT rk.lang, score AS threshold
+      FROM rk JOIN n USING(lang) WHERE rk = CEIL(n_total * 0.25))
+    SELECT s.lang AS lang, threshold, COUNT(*) AS n_total,
+      COUNT(CASE WHEN score >= threshold THEN 1 END) AS n_kept,
+      CAST(COUNT(CASE WHEN score >= threshold THEN 1 END) AS DOUBLE) * 100
+        / COUNT(*) AS kept_pct
+    FROM scored s JOIN thr USING(lang)
+    GROUP BY s.lang, threshold ORDER BY lang"""))
+
+  // --- q114: SEQUENCE-LENGTH HISTOGRAM — the token-length distribution
+  //     pass that sizes packing (q104), batching, and truncation budgets.
+  //     Bucket = tokens // 10; the cumulative doc share answers "what
+  //     max_len covers 90% of documents". Shape: one corpus aggregate
+  //     down to ~10 bucket rows, then the running share is a window over
+  //     those bucket rows only — the single-partition WindowExec runs on
+  //     a frame the size of the histogram, never the corpus (q104's
+  //     block-totals discipline).
+  private val q114 = Q(
+    "q114_length_histogram",
+    "✦ corpus stats: token-length histogram + cumulative doc share",
+    (s, d) => {
+      val nTokens = size(split(col("text"), " ")).cast("long")
+      val cum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, d)
+        .select(floor(nTokens / 10).cast("long").as("bucket"),
+          nTokens.as("n_tokens"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .withColumn("cum_docs", sum(col("n_docs")).over(cum))
+        .withColumn("cum_doc_share",
+          col("cum_docs").cast("double") / sum(col("n_docs")).over(all))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH t AS (SELECT len(string_split(text, ' ')) AS n_tokens FROM documents),
+    h AS (SELECT n_tokens // 10 AS bucket, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM t GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, total_tokens,
+      CAST(SUM(n_docs) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+      CAST(SUM(n_docs) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / SUM(n_docs) OVER () AS cum_doc_share
+    FROM h ORDER BY bucket"""))
+
+  def defs: Seq[Q] =
+    Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113, q114)
 }
