@@ -554,9 +554,14 @@ object Dedup extends Q.Module {
         (0 to 7).map(i =>
           conv(substring(h(i / 4), 1 + 8 * (i % 4), 8), 16, 10)
             .cast("long").as(s"s$i")): _*)
+      // persist: harness-owned cache (q48's pattern — Verify/Bench
+      // clearCache() after each query). banded feeds BOTH the eval-band
+      // side and the corpus side; without it the whole scan→shingle→
+      // df-window→minhash pipeline (the query's entire cost) runs twice.
       val sig = sliced.groupBy(col("doc_id"))
         .agg(min(col("s0")).as("m0"),
           (1 to 7).map(i => min(col(s"s$i")).as(s"m$i")): _*)
+        .persist()
       val banded = sig.select(col("doc_id"),
         explode(array(
           md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3"))),

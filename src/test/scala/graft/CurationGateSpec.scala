@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation additions (q111-q115): each query's oracle proves the
+  * fixture result, so these tests pin the properties the oracle can't see
+  * — a naive JVM recomputation of q111's HOF metrics, q112's near-dup
+  * recall and broadcast shape, q113's quartile semantics, q115's
+  * ingest/reject partition — and the plan shapes the scale story rests on.
+  */
+class CurationGateSpec extends SparkSuite {
+
+  test("q111 metrics == naive JVM recomputation on every fixture doc") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q111_gopher_repetition")(spark, sfDir)
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_char_frac",
+        "top_bigram", "top_bigram_frac")
+      .as[(Long, Long, Double, Double, String, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(raw.length == got.size)
+    raw.foreach { case (id, text) =>
+      val ws = text.split(" ", -1).toSeq
+      val lines0 = ws.grouped(8).map(_.mkString(" ")).toSeq
+      val lines = if (id % 7 == 0) lines0 ++ lines0.take(2) else lines0
+      val lineCnt = lines.groupBy(identity).view.mapValues(_.size).toMap
+      val dupChars = lineCnt.collect {
+        case (l, c) if c >= 2 => c.toLong * l.length
+      }.sum
+      val bg = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val bgCnt = bg.groupBy(identity).view.mapValues(_.size).toMap
+      val maxCnt = bgCnt.values.max
+      val topBg = bgCnt.collect { case (g, c) if c == maxCnt => g }.min
+      val (nl, dlf, dcf, tb, tbf) = (lines.size.toLong,
+        (lines.size - lines.distinct.size).toDouble / lines.size,
+        dupChars.toDouble / lines.map(_.length.toLong).sum,
+        topBg,
+        (maxCnt.toLong * topBg.length).toDouble / text.length)
+      val g = got(id)
+      assert(g._2 == nl && g._3 == dlf && g._4 == dcf && g._5 == tb && g._6 == tbf,
+        s"doc $id: got $g want ($nl,$dlf,$dcf,$tb,$tbf)")
+    }
+  }
+
+  test("q112 flags most mutated eval twins and only non-eval docs") {
+    import spark.implicits._
+    val flagged = SparkEntry.queries("q112_decontam_fuzzy")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val injected = flagged.count(id => id >= 10000L && id < 10020L)
+    // A one-word edit on a >=10-word doc keeps the shingle set ~90%+
+    // intact; with 2 bands of 4 minhashes the per-doc miss odds are a few
+    // percent — 20 twins landing under 15 recalls means the banding broke.
+    assert(injected >= 15, s"only $injected/20 mutated eval twins recalled")
+    assert(flagged.forall(_ >= 20L), "an eval doc (id<20) leaked into the output")
+  }
+
+  test("q112 probes eval bands via broadcast; q113 gates via broadcast") {
+    Seq("q112_decontam_fuzzy", "q113_quality_quantile_gate").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect() // let AQE settle on the final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$n: corpus side must never shuffle for the probe, got:\n$plan")
+      spark.catalog.clearCache() // release q112's harness-owned sig cache
+    }
+  }
+
+  test("q113 keeps 75% +- ties per language and thresholds on a real score") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q113_quality_quantile_gate")(spark, sfDir)
+      .select("lang", "threshold", "n_total", "n_kept")
+      .as[(String, Double, Long, Long)].collect()
+    assert(rows.length == 5)
+    val w = split(col("text"), " ")
+    val scores = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("lang"),
+        (size(array_distinct(w)).cast("double") / size(w)).as("score"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    rows.foreach { case (lang, thr, nTotal, nKept) =>
+      val s = scores(lang).map(_._2)
+      assert(s.length == nTotal)
+      assert(s.contains(thr), s"$lang: threshold $thr is not a data value")
+      assert(nKept == s.count(_ >= thr), s"$lang: gate count drifted")
+      // rank-based cut: at least 75% survive; ties can only add docs
+      assert(nKept.toDouble / nTotal >= 0.75 && nKept < nTotal)
+    }
+  }
+
+  test("q115 ingests exactly the novel shard content") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q115_incremental_dedup")(spark, sfDir)
+      .select("doc_id", "n_in_shard").as[(Long, Long)].collect()
+    // Injected copies (id+20000) of indexed docs die at the anti-join;
+    // copies of shard docs collapse onto the min id — so every surviving
+    // id is an original shard doc, and each %10==0 shard doc carries its
+    // injected twin in n_in_shard.
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (id, _) => id >= 400L && id < 500L })
+    rows.foreach { case (id, n) =>
+      if (id % 10 == 0) assert(n == 2L, s"doc $id: injected twin not counted")
+      else assert(n == 1L, s"doc $id: unexpected duplicate")
+    }
+  }
+}
