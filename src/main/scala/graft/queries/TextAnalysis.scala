@@ -649,6 +649,40 @@ object TextAnalysis extends Q.Module {
         / SUM(n_docs) OVER () AS cum_doc_share
     FROM h ORDER BY bucket"""))
 
+  // --- q116: PER-SOURCE CAP SAMPLING — "no single domain may contribute
+  //     more than N documents", the anti-domination rule mixture curation
+  //     applies before weighting (q102 down-samples by rate; this caps by
+  //     COUNT). The kept subset must be uniform and reproducible, so the
+  //     rank is over md5('cap:' || doc_id) — a deterministic shuffle of
+  //     each source's docs that both engines order identically (no
+  //     rand(), q102's principle). Scale shape: rank<=k over a window is
+  //     rewritten by Catalyst into WindowGroupLimit — every task keeps at
+  //     most k rows per source BEFORE the exchange (map-side top-k, the
+  //     exact two-phase cap), so a hot domain never concentrates more
+  //     than k·numPartitions rows into one task; the post-shuffle sort is
+  //     disk-backed. Asserted in `CurationGateSpec`.
+  private val q116 = Q(
+    "q116_source_cap",
+    "✦ curation: cap each source at 15 docs via deterministic hash rank",
+    (s, d) => {
+      val cap = 15
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("r"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("r"), col("doc_id"))))
+        .filter(col("rk") <= cap)
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5('cap:' || doc_id), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 15 ORDER BY source, rk"""))
+
   def defs: Seq[Q] =
-    Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113, q114)
+    Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
+      q114, q116)
 }

@@ -277,5 +277,46 @@ object Vectors extends Q.Module {
         p -> ABS(p[1] - CAST(p[2] AS DOUBLE) / 127.0))) AS max_quant_err
     FROM q ORDER BY vec_id"""))
 
-  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57, q95)
+  // --- q117: FILTERED (metadata-constrained) kNN — "top-k neighbors
+  //     among candidates matching a predicate", the filtered-vector-search
+  //     shape every retrieval stack runs (label/tenant/lang constraints).
+  //     The constraint here is label equality with the query vector, and
+  //     that changes the PLAN CLASS: q44's all-candidates scan is a
+  //     broadcast nested-loop over |Q|×|C|; adding the equality turns the
+  //     same top-k into a BroadcastHashJoin on label — the candidate side
+  //     is hash-pruned to the matching partition of the label space before
+  //     any cosine is evaluated (predicate-before-distance, the filtered-
+  //     ANN rule). Top-k per query is the rank<=k WindowGroupLimit path.
+  private val q117 = Q(
+    "q117_filtered_knn",
+    "✦ similarity: label-constrained cosine top-3 (filtered vector search)",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("ce"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      broadcast(q).join(c, Seq("label"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("label"), col("cid"),
+          graft.functions.CosineSimilarity.cosineSim(col("qe"), col("ce")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("int").as("rank"),
+          col("label"), col("cid"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""SELECT qid, CAST(rank AS INT) AS rank, label, cid, score FROM (
+      SELECT q.vec_id AS qid, q.label AS label, c.vec_id AS cid,
+        ${cosineSql("q.embedding", "c.embedding")} AS score,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c
+        ON q.label = c.label AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 20)
+    WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57, q95, q117)
 }

@@ -87,6 +87,25 @@ class CurationGateSpec extends SparkSuite {
     }
   }
 
+  test("q116 prunes map-side via WindowGroupLimit; caps hold per source") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q116_source_cap")(spark, sfDir)
+    val rows = df.select("source", "rk").as[(String, Long)].collect()
+    assert(rows.groupBy(_._1).values.forall(_.length <= 15))
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank<=k filter must compile to map-side WindowGroupLimit pruning")
+  }
+
+  test("q117 plans as a hash join on label, not a nested loop") {
+    val df = SparkEntry.queries("q117_filtered_knn")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label constraint must hash-prune candidates before any cosine:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "filtered kNN degenerated to the all-pairs nested loop")
+  }
+
   test("q115 ingests exactly the novel shard content") {
     import spark.implicits._
     val rows = SparkEntry.queries("q115_incremental_dedup")(spark, sfDir)
