@@ -370,6 +370,85 @@ object Relational extends Q.Module {
       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
       ORDER BY o_custkey"""))
 
+  // --- q118: MERGE WITH INDICATOR — pandas/Dask `merge(indicator=True)`:
+  //     a full outer join where every row is tagged 'both' / 'left_only' /
+  //     'right_only', the reconciliation idiom for auditing which side of
+  //     two datasets covers which keys. Implemented exactly as pandas
+  //     does: a constant marker column on each side before the join, the
+  //     tag from marker nullness after it. Plan: the pre-aggregated right
+  //     side keeps the outer join key-partitioned (one shuffle each side);
+  //     the marker columns are constants, free under codegen.
+  private val q118 = Q(
+    "q118_merge_indicator",
+    "J2 merge(indicator=True): full outer + both/left_only/right_only tags",
+    (s, d) => {
+      val l = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), lit(1).as("ml"))
+      val r = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("mr", lit(1))
+      l.join(r, l("c_custkey") === r("o_custkey"), "full_outer")
+        .withColumn("ind",
+          when(col("ml").isNotNull && col("mr").isNotNull, "both")
+            .when(col("ml").isNotNull, "left_only")
+            .otherwise("right_only"))
+        .groupBy(col("ind"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("n_orders")), lit(0L)).as("total_orders"))
+        .orderBy(col("ind"))
+    },
+    Some("""WITH l AS (SELECT c_custkey, 1 AS ml FROM customer
+      WHERE c_mktsegment = 'BUILDING'),
+    r AS (SELECT o_custkey, COUNT(*) AS n_orders, 1 AS mr FROM orders
+      WHERE o_totalprice > 450000 GROUP BY 1),
+    j AS (SELECT n_orders,
+        CASE WHEN ml IS NOT NULL AND mr IS NOT NULL THEN 'both'
+             WHEN ml IS NOT NULL THEN 'left_only'
+             ELSE 'right_only' END AS ind
+      FROM l FULL OUTER JOIN r ON c_custkey = o_custkey)
+    SELECT ind, COUNT(*) AS n,
+      CAST(COALESCE(SUM(n_orders), 0) AS BIGINT) AS total_orders
+    FROM j GROUP BY ind ORDER BY ind"""))
+
+  // --- q119: COMBINE_FIRST (overlay) — pandas/Dask `combine_first`: a
+  //     corrections frame takes precedence cell-wise where it is non-null,
+  //     the base frame fills the rest — the standard patch/backfill idiom
+  //     (late-arriving fixes over an immutable base). Shape: LEFT join on
+  //     the key + one COALESCE per column; the corrections side is tiny in
+  //     practice → broadcast, the base is never shuffled. Cell-level
+  //     precedence (not row-level) is the part people get wrong: a row in
+  //     the corrections frame with a null column must still fall through
+  //     to the base value for that column, which the per-column COALESCE
+  //     encodes.
+  private val q119 = Q(
+    "q119_combine_first",
+    "P7 combine_first: cell-wise overlay of a corrections frame on a base",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"))
+      val corr = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1000).as("acctbal"),
+          when(col("c_custkey") % 5 === 0, lit("PATCHED")).as("segment"))
+      base.as("b").join(broadcast(corr.as("c")), Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("c.acctbal"), col("b.acctbal")).as("acctbal"),
+          coalesce(col("c.segment"), col("b.segment")).as("segment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH corr AS (SELECT c_custkey,
+        CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000 END AS acctbal,
+        CASE WHEN c_custkey % 5 = 0 THEN 'PATCHED' END AS segment
+      FROM customer WHERE c_custkey % 2 = 0),
+    base AS (SELECT c_custkey, c_acctbal AS acctbal, c_mktsegment AS segment
+      FROM customer)
+    SELECT b.c_custkey AS c_custkey,
+      COALESCE(c.acctbal, b.acctbal) AS acctbal,
+      COALESCE(c.segment, b.segment) AS segment
+    FROM base b LEFT JOIN corr c ON b.c_custkey = c.c_custkey
+    ORDER BY c_custkey"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17)
+    q11, q12, q13, q14, q15, q16, q17, q118, q119)
 }

@@ -339,5 +339,37 @@ object Windows extends Q.Module {
                 (acc, b) => acc * b.getField("decay"))).as("ema"))
   }
 
-  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105)
+  // --- q120: ROLLING MEDIAN — pandas `rolling(5).median()` per customer.
+  //     Median is not sum-decomposable, so the frame is recomputed per row
+  //     — fine at any corpus scale because the FRAME is bounded (5 rows)
+  //     and the partition sort is the same single disk-backed
+  //     Exchange+Sort every window here pays; a large-frame/unbounded
+  //     rolling quantile would swap in a sketch (q79's path).
+  //     Cross-engine exactness: the median interpolates between two frame
+  //     values, which is only bit-stable if they are integers — so the
+  //     percentile runs over exact price CENTS (q68's idiom: the
+  //     double→decimal(18,2) cast is exact for 2-digit fixture prices),
+  //     and the single /100.0 at the end is one identical double op in
+  //     both engines.
+  private val q120 = Q(
+    "q120_rolling_median",
+    "W2 rolling median over a 5-row frame (pandas rolling().median())",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumn("rolling_median", expr("percentile(cents, 0.5)").over(w) / 100.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("rolling_median"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0 AS rolling_median
+    FROM orders ORDER BY o_orderkey"""))
+
+  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105, q120)
 }
