@@ -352,5 +352,91 @@ object Aggs extends Q.Module {
     },
     None)
 
-  def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q79, q107)
+  // --- q121: GROUPBY.TRANSFORM — pandas/Dask `groupby().transform()`:
+  //     a per-group statistic joined back onto every row (z-score here),
+  //     the normalize-within-group idiom. Shape: one grouped aggregate +
+  //     a join back on the group key — Catalyst broadcasts the
+  //     aggregate-sized stats frame at fixture scale; at 1e9 groups the
+  //     same plan is a co-partitioned shuffle join, which is still the
+  //     right shape (never a window sort over the fact table for an
+  //     unbounded frame).
+  //     Exactness: z is SCALE-INVARIANT, so it is computed over exact
+  //     integer price CENTS — sums of cents and cents² are exact longs
+  //     (identical in both engines; dsl's decimal path is NOT usable
+  //     here: totalprice² ≈ 3e11 has double ulp > 1e-6, and the
+  //     double→decimal(30,6) cast of such values rounds differently
+  //     across engines — shortest-repr vs exact-binary). Every remaining
+  //     op (long→double casts, one fixed formula, sqrt) is correctly
+  //     rounded from identical inputs. Guards make the result total:
+  //     n>=2 (a lone order has no sample std) and sigma>0, spelled
+  //     identically on both sides so the row set matches exactly.
+  //     At 100 TB, sum(cents²) per group can exceed 2^63 around 2.5e3
+  //     rows·(6e7 cents)² — production would widen that one sum to
+  //     decimal(38,0), which stays exact integer arithmetic.
+  private val q121 = Q(
+    "q121_group_transform_zscore",
+    "A12 groupby.transform: per-customer z-score joined back to rows",
+    (s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val o = Tables.orders(s, d).withColumn("cents", cents)
+      val stats = o.groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).cast("double").as("sx"),
+          sum(col("cents") * col("cents")).cast("double").as("sxx"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("o_custkey"), (col("sx") / col("n")).as("mu"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - lit(1.0))).as("sigma"), col("n"))
+        .filter(col("n") >= 2 && col("sigma") > 0)
+      o.join(stats, Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          ((col("cents") - col("mu")) / col("sigma")).as("z"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH c AS (SELECT o_orderkey, o_custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    raw AS (SELECT o_custkey,
+        CAST(SUM(cents) AS DOUBLE) AS sx,
+        CAST(SUM(cents * cents) AS DOUBLE) AS sxx,
+        CAST(COUNT(*) AS DOUBLE) AS n
+      FROM c GROUP BY o_custkey),
+    stats AS (SELECT o_custkey, sx / n AS mu,
+        SQRT((sxx - sx * sx / n) / (n - 1.0)) AS sigma, n
+      FROM raw)
+    SELECT o_orderkey, c.o_custkey AS o_custkey,
+      (cents - mu) / sigma AS z
+    FROM c JOIN stats USING(o_custkey)
+    WHERE n >= 2 AND sigma > 0
+    ORDER BY o_orderkey"""))
+
+  // --- q122: DROP_DUPLICATES(keep='last') — q30 keeps the FIRST row per
+  //     key via a window sort; keep='last' here deliberately takes the
+  //     OTHER physical path: max_by over a composite integer comparator
+  //     (q68's idiom — epoch days scaled past the key range, orderkey as
+  //     tie-break) compiles to a two-phase HashAggregate with map-side
+  //     partial max_by — no Exchange+Sort+Window, and at 100 TB the
+  //     map-side combine collapses each partition to one row per key
+  //     before the shuffle. This is the plan drop_duplicates SHOULD run
+  //     when only the kept row (not a rank) is needed.
+  private val q122 = Q(
+    "q122_dedup_keep_last",
+    "A8 drop_duplicates(keep='last'): latest order per customer via max_by",
+    (s, d) => {
+      val cmp = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        .multiply(lit(10000000L)) + col("o_orderkey")
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"), cmp).as("o_orderkey"),
+          max_by(col("o_orderdate"), cmp).as("o_orderdate"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey,
+      arg_max(o_orderkey, date_diff('day', DATE '1970-01-01', o_orderdate) * 10000000 + o_orderkey) AS o_orderkey,
+      arg_max(o_orderdate, date_diff('day', DATE '1970-01-01', o_orderdate) * 10000000 + o_orderkey) AS o_orderdate,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
+    q33, q34, q79, q107, q121, q122)
 }
