@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** The pandas-parity variants (q120-q122) against NAIVE JVM recomputation
+  * on randomized fixtures — the DuckDB oracle only proves the one shipped
+  * fixture; these runs hit ties, ragged group sizes, and single-row groups
+  * the fixture may not contain. Pattern from `PackingCurationSpec`: write a
+  * temp orders.parquet, call the registry query on the temp dir, compare.
+  */
+class PandasParitySpec extends SparkSuite {
+
+  private def withRandomOrders[T](seed: Int)(body: String => T): T = {
+    import spark.implicits._
+    val rng = new Random(seed)
+    val dir = java.nio.file.Files.createTempDirectory(s"orders_$seed").toString
+    // Ragged groups incl. singletons; 2-decimal prices incl. exact ties;
+    // colliding order dates so keep-last exercises the key tie-break.
+    val rows = (0L until 400L).map { k =>
+      (k, rng.nextInt(40).toLong,
+        java.sql.Date.valueOf(f"1995-${1 + rng.nextInt(12)}%02d-${1 + rng.nextInt(28)}%02d"),
+        (100 + rng.nextInt(2000)) / 4.0) // .0/.25/.5/.75 → exact doubles, many ties
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    try body(dir)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("q120 rolling median == naive sliding-window median on random orders") {
+    import spark.implicits._
+    withRandomOrders(31) { dir =>
+      val got = SparkEntry.queries("q120_rolling_median")(spark, dir)
+        .select("o_orderkey", "rolling_median").as[(Long, Double)]
+        .collect().toMap
+      val raw = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .as[(Long, Long, java.sql.Date, Double)].collect()
+      raw.groupBy(_._2).values.foreach { g =>
+        val ordered = g.sortBy(r => (r._3.toString, r._1))
+        ordered.indices.foreach { i =>
+          val frame = ordered.slice(math.max(0, i - 4), i + 1)
+            .map(r => math.round(r._4 * 100)).sorted
+          val m = frame.length
+          val medCents =
+            if (m % 2 == 1) frame(m / 2).toDouble
+            else (frame(m / 2 - 1) + frame(m / 2)) / 2.0
+          val want = medCents / 100.0
+          val key = ordered(i)._1
+          assert(got(key) == want, s"order $key: ${got(key)} != $want")
+        }
+      }
+    }
+  }
+
+  test("q121 z-score == naive per-group standardization on random orders") {
+    import spark.implicits._
+    withRandomOrders(47) { dir =>
+      val got = SparkEntry.queries("q121_group_transform_zscore")(spark, dir)
+        .select("o_orderkey", "z").as[(Long, Double)].collect().toMap
+      val raw = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .as[(Long, Long, Double)].collect()
+      var checked = 0
+      raw.groupBy(_._2).values.foreach { g =>
+        val cents = g.map(r => math.round(r._3 * 100))
+        val n = cents.length.toDouble
+        val sx = cents.sum.toDouble
+        val sxx = cents.map(c => c * c).sum.toDouble
+        val sigma = math.sqrt((sxx - sx * sx / n) / (n - 1.0))
+        if (cents.length >= 2 && sigma > 0) {
+          val mu = sx / n
+          g.foreach { r =>
+            val want = (math.round(r._3 * 100) - mu) / sigma
+            assert(got(r._1) == want, s"order ${r._1}: ${got(r._1)} != $want")
+            checked += 1
+          }
+        } else g.foreach(r => assert(!got.contains(r._1),
+          s"order ${r._1} from a degenerate group must be filtered"))
+      }
+      assert(checked > 100, "fixture failed to exercise enough groups")
+    }
+  }
+
+  test("q122 keep-last == naive latest-by-(date,key) on random orders") {
+    import spark.implicits._
+    withRandomOrders(59) { dir =>
+      val got = SparkEntry.queries("q122_dedup_keep_last")(spark, dir)
+        .select("o_custkey", "o_orderkey", "n_orders")
+        .as[(Long, Long, Long)].collect()
+      val raw = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .as[(Long, Long, java.sql.Date)].collect()
+      val want = raw.groupBy(_._2).map { case (ck, g) =>
+        ck -> (g.maxBy(r => (r._3.toString, r._1))._1, g.length.toLong)
+      }
+      assert(got.length == want.size)
+      got.foreach { case (ck, ok, n) =>
+        assert(want(ck) == ((ok, n)), s"custkey $ck: ($ok,$n) != ${want(ck)}")
+      }
+    }
+  }
+}
