@@ -186,7 +186,8 @@ object EventStream {
     * watermarks pass the match window. */
   def attributedPurchases(events: DataFrame,
       windowMinutes: Int = 30,
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("etime").as("c_time"))
       .withWatermark("c_time", watermark)
@@ -194,10 +195,16 @@ object EventStream {
       .select(col("user_id").as("p_user"), col("etime").as("p_time"),
         col("value").as("p_value"))
       .withWatermark("p_time", watermark)
+    // joinType "left_outer": purchases with NO in-window click still emit
+    // (null c_time) once the watermark passes their join window — the
+    // "unattributed conversions" stream. Outer emission is exactly what
+    // the watermark bound buys: without it the engine could never decide
+    // a match will not arrive.
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_time") <= col("p_time") &&
-        col("c_time") >= col("p_time") - expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("c_time") >= col("p_time") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("p_user").as("user_id"), col("p_time"), col("p_value"),
         col("c_time"))
   }
@@ -212,6 +219,25 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame,
       streamKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** foreachBatch UPSERT sink: every micro-batch overwrites its OWN
+    * batch_id partition, so re-delivery of a batch after a failure
+    * rewrites that partition in place instead of appending duplicates —
+    * idempotent at-least-once, which is effectively exactly-once for
+    * whole-batch outputs. This is the dependency-free parquet form of the
+    * production idiom (foreachBatch + MERGE INTO a transactional table);
+    * dynamic partitionOverwriteMode confines the overwrite to the
+    * partitions present in the incoming batch. */
+  def runForeachBatchUpsert(df: DataFrame, outDir: String): Unit = {
+    val q = df.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
 
   /** Wire a streaming result to an in-memory table and run it to
     * completion of the currently-available data (test/demo harness). */

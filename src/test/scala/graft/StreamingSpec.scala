@@ -220,6 +220,65 @@ class StreamingSpec extends SparkSuite {
     assert(out.select("user_id").distinct().count() == 80)
   }
 
+  test("left-outer interval join emits unattributed purchases with null click") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val evs = Seq(
+      Ev(1, ts(600), "click", 0.0),
+      Ev(1, ts(610), "purchase", 9.0),  // attributed
+      Ev(2, ts(600), "click", 0.0),
+      Ev(2, ts(700), "purchase", 5.0),  // click outside window -> null
+      Ev(3, ts(650), "purchase", 7.0))  // no click at all -> null
+    mem.addData(evs: _*)
+    val out = EventStream.attributedPurchases(mem.toDF(),
+      windowMinutes = 30, joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // outer rows emit only once the watermark proves no match can arrive
+    mem.addData(Ev(9, ts(10000), "click", 0.0), Ev(9, ts(10001), "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attrib_outer").filter(col("user_id") < 9)
+      .select(col("user_id"), col("p_value"), col("c_time").isNull)
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(got == Set((1L, 9.0, false), (2L, 5.0, true), (3L, 7.0, true)))
+    // batch twin over the same rows must agree
+    val batch = EventStream.attributedPurchases(evs.toDF(), joinType = "left_outer")
+      .select(col("user_id"), col("p_value"), col("c_time").isNull)
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(batch == got)
+  }
+
+  test("foreachBatch upsert sink is idempotent under batch re-delivery") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(600), "view", 1.0), Ev(2, ts(601), "view", 2.0))
+    mem.addData(Ev(3, ts(602), "view", 3.0))
+    EventStream.runForeachBatchUpsert(
+      mem.toDF().select(col("user_id"), col("value")), s"$dir/out")
+    val first = spark.read.parquet(s"$dir/out")
+    val rows = first.select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // simulate at-least-once re-delivery: rewrite batch 0's partition
+    // with the same payload — dynamic overwrite replaces, never appends
+    val redelivered = first.filter(col("batch_id") === 0)
+      .select(col("user_id"), col("value"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    redelivered.withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(s"$dir/out")
+    val after = spark.read.parquet(s"$dir/out")
+      .select(col("user_id"), col("value")).as[(Long, Double)].collect()
+    assert(after.length == 3 && after.toSet == rows, "re-delivery duplicated rows")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("streaming file source over the events fixture produces rows") {
     val ds = EventStream.fromEventsDir(spark, sfDir)
     EventStream.runToMemory(
