@@ -449,6 +449,74 @@ object Relational extends Q.Module {
     FROM base b LEFT JOIN corr c ON b.c_custkey = c.c_custkey
     ORDER BY c_custkey"""))
 
+  // --- q123: LARGE-VOLUME CUSTOMERS (TPC-H Q18 shape) — which customers
+  //     placed orders above a total-quantity threshold. The classic
+  //     "aggregate, filter ON the aggregate, then join the survivors back
+  //     to dimensions" flagship: the HAVING filter runs where the data
+  //     is (after the lineitem group-by — at SF-scale a tiny surviving
+  //     set), so the orders/customer joins see only qualifying keys;
+  //     the final top-100 compiles to TakeOrderedAndProject
+  //     (per-partition heaps, no global sort).
+  private val q123 = Q(
+    "q123_large_orders",
+    "TPC-H Q18 shape: large-quantity orders joined back to customers, top 100",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      Tables.orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some(s"""WITH big AS (
+      SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING ${dsumSql("l_quantity")} > 300)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  // --- q124: CORRELATED SCALAR SUBQUERY (TPC-H Q17 shape) — revenue lost
+  //     to small below-average-quantity orders per part. Written as the
+  //     SQL a user would actually type (a correlated scalar subquery per
+  //     outer row); Catalyst's RewriteCorrelatedScalarSubquery
+  //     DECORRELATES it into one per-part aggregate joined back — the
+  //     plan contains a plain Aggregate + Join and zero per-row
+  //     subquery execution, which is the only shape that survives scale
+  //     (a naive engine re-runs the subquery per row). Asserted in
+  //     `CurationGateSpec`. The inner avg is decimal-exact-sum / count,
+  //     so the 0.2·avg threshold is bit-identical across engines.
+  private val q124 = Q(
+    "q124_correlated_subquery",
+    "TPC-H Q17 shape: correlated scalar subquery, decorrelated by Catalyst",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem_v l1
+        WHERE l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                          / COUNT(*))
+          FROM lineitem_v l2 WHERE l2.l_partkey = l1.l_partkey)
+      """)
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+        AS avg_yearly,
+      COUNT(*) AS n_small
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*))
+      FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q118, q119)
+    q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124)
 }

@@ -106,6 +106,15 @@ class CurationGateSpec extends SparkSuite {
       "filtered kNN degenerated to the all-pairs nested loop")
   }
 
+  test("q124 correlated subquery decorrelates to one aggregate + join") {
+    val df = SparkEntry.queries("q124_correlated_subquery")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"subquery survived optimization (per-row re-execution at scale):\n$optimized")
+    assert(physical.contains("Join"), "decorrelation must produce a join")
+  }
+
   test("q115 ingests exactly the novel shard content") {
     import spark.implicits._
     val rows = SparkEntry.queries("q115_incremental_dedup")(spark, sfDir)
