@@ -483,5 +483,39 @@ object Events extends Q.Module {
     },
     None)
 
-  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98, q106, q108)
+  // --- q125: BIN-BASED RANGE JOIN — events within 5 minutes after each
+  //     purchase, with NO equi key between the sides: the pure interval
+  //     join Spark would otherwise plan as a BroadcastNestedLoopJoin
+  //     (O(|events|·|purchases|) comparisons — q13's theta join is fine
+  //     for an inline dim, fatal for two event-scale sides). The
+  //     `operators.RangeJoin.binned` rewrite makes it a shuffled
+  //     EQUI-join on a 5-minute bin key + residual BETWEEN: each
+  //     interval lands in ≤2 bins, each probe row in exactly 1, so a
+  //     pair meets at most once and the comparison count is
+  //     O(matches + bin collisions). `CurationGateSpec` asserts no
+  //     nested-loop/cartesian node survives in the plan.
+  private val q125 = Q(
+    "q125_range_join_binned",
+    "J7 ✦ bin-based range join: events within 5 min after each purchase",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", micros)
+      val probes = ev.select(col("event_id").as("e_id"), col("us").as("e_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("us").as("lo_us"), (col("us") + lit(300000000L)).as("hi_us"))
+      graft.operators.RangeJoin.binned(probes, purchases,
+          col("e_us"), col("lo_us"), col("hi_us"), binWidth = 300000000L)
+        .groupBy(col("p_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_events_5min"))
+        .orderBy(col("p_id"))
+    },
+    Some("""SELECT p.event_id AS p_id, p.user_id AS user_id,
+      COUNT(*) AS n_events_5min
+    FROM events p JOIN events e
+      ON epoch_us(e.ts) BETWEEN epoch_us(p.ts) AND epoch_us(p.ts) + 300000000
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2 ORDER BY p_id"""))
+
+  def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
+    q106, q108, q125)
 }

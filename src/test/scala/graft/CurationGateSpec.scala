@@ -106,6 +106,15 @@ class CurationGateSpec extends SparkSuite {
       "filtered kNN degenerated to the all-pairs nested loop")
   }
 
+  test("q125 range join plans as an equi-join, never a nested loop") {
+    val df = SparkEntry.queries("q125_range_join_binned")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degenerated to O(n*m):\n$plan")
+    assert(plan.contains("Join"), "bin rewrite must still be a join")
+  }
+
   test("q124 correlated subquery decorrelates to one aggregate + join") {
     val df = SparkEntry.queries("q124_correlated_subquery")(spark, sfDir)
     val physical = df.queryExecution.executedPlan.toString

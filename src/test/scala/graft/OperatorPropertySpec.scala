@@ -236,6 +236,34 @@ class OperatorPropertySpec extends SparkSuite {
     assert(prices.summary("count").first().getString(1).toLong == n)
   }
 
+  test("binned range join == naive interval scan on random intervals") {
+    import spark.implicits._
+    val rng = new Random(73)
+    (1 to 3).foreach { _ =>
+      // Points and intervals over a shared axis; interval spans vary from
+      // sub-bin to many-bin so the explode fan-out path is exercised, and
+      // negative coordinates check floor-vs-truncate binning.
+      val points = Seq.fill(300)((rng.nextLong() % 1000, rng.nextInt())).map {
+        case (v, id) => (v, id.toLong)
+      }
+      val ivals = Seq.fill(60) {
+        val lo = rng.nextLong() % 1000
+        (lo, lo + rng.nextInt(300), rng.nextLong())
+      }
+      val p = points.toDF("v", "pid")
+      val b = ivals.toDF("lo", "hi", "iid")
+      val got = graft.operators.RangeJoin
+        .binned(p, b, col("v"), col("lo"), col("hi"), binWidth = 100L)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (v, pid) <- points
+        (lo, hi, iid) <- ivals
+        if v >= lo && v <= hi
+      } yield (pid, iid)).toSet
+      assert(got == want, s"binned range join drifted: ${got.size} vs ${want.size}")
+    }
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
