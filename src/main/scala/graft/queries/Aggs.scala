@@ -437,6 +437,36 @@ object Aggs extends Q.Module {
       COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  // --- q126: MERGEABLE SKETCHES — the property that makes approximate
+  //     aggregation work at 100 TB: per-shard HLL sketches (here one per
+  //     event_type) are UNIONED into the corpus-wide distinct estimate
+  //     without ever rescanning the raw data — the incremental pattern
+  //     (daily shard → sketch → union with yesterday's) that q24's
+  //     one-shot approx_count_distinct cannot express. HLL union is
+  //     register-wise max, so the union of sub-sketches over a partition
+  //     of the data IS the global sketch: the query carries that
+  //     self-check in-result (`merge_equals_global` must be true, and
+  //     the driver's rows-only gate plus `SketchMergeSpec`-style
+  //     assertions in CurationGateSpec pin it). No oracle: sketch
+  //     internals are engine-specific (q24's category).
+  private val q126 = Q(
+    "q126_hll_mergeable",
+    "A5 ✦ mergeable HLL sketches: per-shard union == global (no oracle: sketch)",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val perShard = e.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val merged = perShard
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_estimate"))
+      val global = e.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("global_estimate"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      merged.crossJoin(global)
+        .withColumn("merge_equals_global",
+          col("merged_estimate") === col("global_estimate"))
+    },
+    None)
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q79, q107, q121, q122)
+    q33, q34, q79, q107, q121, q122, q126)
 }

@@ -106,6 +106,17 @@ class CurationGateSpec extends SparkSuite {
       "filtered kNN degenerated to the all-pairs nested loop")
   }
 
+  test("q126 sketch union over shards == global sketch, near exact count") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q126_hll_mergeable")(spark, sfDir)
+      .select("merged_estimate", "global_estimate", "exact_distinct", "merge_equals_global")
+      .as[(Long, Long, Long, Boolean)].head()
+    assert(r._4, s"union of per-shard sketches must equal the global sketch: $r")
+    // lgK=12 keeps HLL relative error ~1.6%; this fixture is far smaller
+    val err = math.abs(r._1 - r._3).toDouble / r._3
+    assert(err < 0.05, s"sketch estimate drifted ${err * 100}% from exact: $r")
+  }
+
   test("q125 range join plans as an equi-join, never a nested loop") {
     val df = SparkEntry.queries("q125_range_join_binned")(spark, sfDir)
     df.collect()
