@@ -516,6 +516,85 @@ object Events extends Q.Module {
     WHERE p.event_type = 'purchase'
     GROUP BY 1, 2 ORDER BY p_id"""))
 
+  // --- q127: CONVERSION FUNNEL — view → click → purchase, each stage
+  //     strictly ordered and within 24 h of the previous stage's first
+  //     event. The product-analytics staple. Shape: each stage is one
+  //     pushdown-filtered scan (PushedFilters on event_type) + one
+  //     groupBy(user_id) min — stage frames are one-row-per-user, so the
+  //     stage joins are aggregate-sized, never event×event; the final
+  //     counts are three scalar aggregates. 100 TB: three filtered
+  //     passes over the events table, each reduced map-side.
+  private val q127 = Q(
+    "q127_funnel",
+    "✦ event analytics: view→click→purchase funnel, 24h stage windows",
+    (s, d) => {
+      val day = 86400000000L
+      val ev = Tables.events(s, d).withColumn("us", micros)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"))
+        .join(v, Seq("user_id"))
+        .filter(col("us") > col("t_view") && col("us") <= col("t_view") + day)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"))
+        .join(c, Seq("user_id"))
+        .filter(col("us") > col("t_click") && col("us") <= col("t_click") + day)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_buy"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_buy")))
+        .withColumn("conversion",
+          col("n_view_click_buy").cast("double") / col("n_view"))
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+        AND epoch_us(e.ts) <= v.t_view + 86400000000 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_buy
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+        AND epoch_us(e.ts) <= c.t_click + 86400000000 GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      (SELECT COUNT(*) FROM c) AS n_view_click,
+      (SELECT COUNT(*) FROM p) AS n_view_click_buy,
+      CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+        / (SELECT COUNT(*) FROM v) AS conversion"""))
+
+  // --- q128: DAY-OVER-DAY RETENTION — of the users active on day D, how
+  //     many are also active on D+1. Cohort analysis in its simplest
+  //     form: one distinct (user, day) frame, self-joined against its
+  //     own day-shifted projection (aliased projections take new expr
+  //     ids, so the self-join is unambiguous). Shape: the distinct is
+  //     the only event-scale shuffle; the join and per-day counts run on
+  //     the users×days frame, orders of magnitude smaller than raw
+  //     events. Day = integer µs div — same floor division both engines.
+  private val q128 = Q(
+    "q128_retention",
+    "✦ event analytics: day-over-day user retention (cohort shape)",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val nxt = act.select(col("user_id").as("u2"), (col("day") - 1).as("d2"))
+      act.join(nxt, col("user_id") === col("u2") && col("day") === col("d2"), "left")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"), count(col("u2")).as("n_retained"))
+        .withColumn("retention",
+          col("n_retained").cast("double") / col("n_active"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+        epoch_us(ts) // 86400000000 AS day FROM events)
+    SELECT a.day AS day, COUNT(*) AS n_active,
+      COUNT(b.user_id) AS n_retained,
+      CAST(COUNT(b.user_id) AS DOUBLE) / COUNT(*) AS retention
+    FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.day = a.day + 1
+    GROUP BY a.day ORDER BY day"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
-    q106, q108, q125)
+    q106, q108, q125, q127, q128)
 }
