@@ -124,7 +124,13 @@ object Extras extends Q.Module {
     "q67_map_ops",
     "map: from_json to MAP, map_keys/explode entries, per-key stats",
     (s, d) => {
+      // repartition: the fixture is one parquet file → one input split,
+      // and per-row JSON parsing is the whole cost of this query — on a
+      // real multi-file lake the scan parallelism comes from splits and
+      // this collapses to a no-op-sized shuffle (TextAnalysis.docs()
+      // rationale).
       Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("event_id"),
           from_json(col("props"), org.apache.spark.sql.types.DataType
             .fromDDL("MAP<STRING, INT>")).as("m"))
