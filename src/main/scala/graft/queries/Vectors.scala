@@ -318,5 +318,59 @@ object Vectors extends Q.Module {
       WHERE q.vec_id < 20)
     WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57, q95, q117)
+  // --- q129: QUANTIZED-DOMAIN kNN — retrieval over q95's int8 vectors
+  //     WITHOUT dequantizing: rank by the integer dot product of the
+  //     quantized codes. This is the production memory-bandwidth trick
+  //     (int8 scan = 4× fewer bytes than float32, SIMD-friendly), and it
+  //     has a determinism bonus: integer dot products are ASSOCIATIVE
+  //     and exact, so any execution order in any engine agrees — unlike
+  //     float dots, which need the sequential-fold discipline. Unit
+  //     vectors make the int dot a monotone cosine proxy (up to
+  //     quantization error, which q95 bounds). Plan = q44's shape:
+  //     broadcast query rows, one codegen-ineligible HOF projection,
+  //     WindowGroupLimit top-k.
+  private val q129 = Q(
+    "q129_quantized_knn",
+    "✦ similarity: top-3 neighbors by int8 quantized dot product",
+    (s, d) => {
+      val quant = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(norm2(col("embedding"))).as("n"))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => ((x.cast("double") / col("n")) * 127.0).cast("int")).as("qv"))
+      val q = quant.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val c = quant.select(col("vec_id").as("cid"), col("qv").as("cq"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dot_q").desc, col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          aggregate(zip_with(col("qq"), col("cq"),
+            (a, b) => (a * b).cast("long")), lit(0L), (acc, x) => acc + x)
+            .as("dot_q"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("int").as("rank"),
+          col("cid"), col("dot_q"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""WITH t AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(trunc((CAST(x AS DOUBLE) / SQRT(${norm2Sql("embedding")})) * 127.0)
+            AS INT)) AS qv
+      FROM embeddings)
+    SELECT qid, CAST(rank AS INT) AS rank, cid, dot_q FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+        CAST(list_sum(list_transform(list_zip(q.qv, c.qv),
+          p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS dot_q,
+        ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+          list_sum(list_transform(list_zip(q.qv, c.qv),
+            p -> CAST(p[1] AS BIGINT) * p[2])) DESC, c.vec_id) AS rank
+      FROM t q JOIN t c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10)
+    WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129)
 }
