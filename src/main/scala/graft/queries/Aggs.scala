@@ -467,6 +467,67 @@ object Aggs extends Q.Module {
     },
     None)
 
+  // --- q130: DATA-PROFILING REPORT — per-column rows / nulls / distinct
+  //     count / min / max / top value in ONE pass, the deequ/dbt-style
+  //     quality report run before any pipeline trusts a new dataset.
+  //     Values profile as strings so heterogeneous columns share one
+  //     long-format frame (q69's melt idiom); a null is injected into
+  //     `segment` via nullif so the null accounting is non-vacuous.
+  //     Shape: explode ×ncols, one shuffle to (column, value) counts
+  //     with map-side combine, then column-level rollup + a broadcast
+  //     join of the rank-1 top values (deterministic tie-break: count
+  //     desc, value asc). At 100 TB the exact per-column distinct is the
+  //     expensive part — the sketch variant swaps the (col, val) count
+  //     frame for per-column HLLs (q126's mergeable path), same shape.
+  private val q130 = Q(
+    "q130_profile",
+    "A3/A7 ✦ one-pass per-column profiling: rows/nulls/distinct/min/max/top",
+    (s, d) => {
+      val long = Tables.customer(s, d).select(explode(array(
+          struct(lit("c_custkey").as("col_name"),
+            col("c_custkey").cast("string").as("val")),
+          struct(lit("c_name").as("col_name"), col("c_name").as("val")),
+          struct(lit("c_nationkey").as("col_name"),
+            col("c_nationkey").cast("string").as("val")),
+          struct(lit("segment").as("col_name"),
+            expr("nullif(c_mktsegment, 'BUILDING')").as("val")))).as("u"))
+        .select(col("u.col_name").as("col_name"), col("u.val").as("val"))
+      val vc = long.groupBy(col("col_name"), col("val"))
+        .agg(count(lit(1)).as("n"))
+      val top = vc.filter(col("val").isNotNull)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("col_name"))
+          .orderBy(col("n").desc, col("val"))))
+        .filter(col("rk") === 1)
+        .select(col("col_name"), col("val").as("top_value"), col("n").as("top_n"))
+      vc.groupBy(col("col_name"))
+        .agg(sum(col("n")).as("n_rows"),
+          coalesce(sum(when(col("val").isNull, col("n"))), lit(0L)).as("n_nulls"),
+          count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+        .join(broadcast(top), Seq("col_name"))
+        .orderBy(col("col_name"))
+    },
+    Some("""WITH long AS (
+      SELECT u.col_name, u.val FROM customer, LATERAL (VALUES
+        ('c_custkey', CAST(c_custkey AS VARCHAR)),
+        ('c_name', c_name),
+        ('c_nationkey', CAST(c_nationkey AS VARCHAR)),
+        ('segment', NULLIF(c_mktsegment, 'BUILDING'))) u(col_name, val)),
+    vc AS (SELECT col_name, val, COUNT(*) AS n FROM long GROUP BY 1, 2),
+    top AS (SELECT col_name, val AS top_value, n AS top_n,
+        ROW_NUMBER() OVER (PARTITION BY col_name
+          ORDER BY n DESC, val ASC) AS rk
+      FROM vc WHERE val IS NOT NULL)
+    SELECT v.col_name AS col_name,
+      CAST(SUM(n) AS BIGINT) AS n_rows,
+      CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN n END), 0) AS BIGINT) AS n_nulls,
+      COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS n_distinct,
+      MIN(val) AS min_val, MAX(val) AS max_val,
+      ANY_VALUE(t.top_value) AS top_value,
+      CAST(ANY_VALUE(t.top_n) AS BIGINT) AS top_n
+    FROM vc v JOIN (SELECT * FROM top WHERE rk = 1) t USING (col_name)
+    GROUP BY v.col_name ORDER BY col_name"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q79, q107, q121, q122, q126)
+    q33, q34, q79, q107, q121, q122, q126, q130)
 }
