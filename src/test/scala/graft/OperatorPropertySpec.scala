@@ -252,15 +252,25 @@ class OperatorPropertySpec extends SparkSuite {
       }
       val p = points.toDF("v", "pid")
       val b = ivals.toDF("lo", "hi", "iid")
-      val got = graft.operators.RangeJoin
-        .binned(p, b, col("v"), col("lo"), col("hi"), binWidth = 100L)
-        .select("pid", "iid").as[(Long, Long)].collect().toSet
       val want = (for {
         (v, pid) <- points
         (lo, hi, iid) <- ivals
         if v >= lo && v <= hi
       } yield (pid, iid)).toSet
-      assert(got == want, s"binned range join drifted: ${got.size} vs ${want.size}")
+      // binWidth 1 maximizes explode fan-out, 10^6 puts everything in a
+      // handful of bins — the result must be invariant to the tuning knob
+      Seq(1L, 100L, 1000000L).foreach { w =>
+        val got = graft.operators.RangeJoin
+          .binned(p, b, col("v"), col("lo"), col("hi"), binWidth = w)
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        assert(got == want, s"binWidth=$w drifted: ${got.size} vs ${want.size}")
+      }
+      // empty intervals (lo > hi) must match nothing: Spark's sequence()
+      // counts DOWN for lo > hi (phantom bins), the residual filter is
+      // what guarantees emptiness
+      val empty = Seq((50L, 10L, 1L)).toDF("lo", "hi", "iid")
+      assert(graft.operators.RangeJoin
+        .binned(p, empty, col("v"), col("lo"), col("hi"), 100L).count() == 0)
     }
   }
 
