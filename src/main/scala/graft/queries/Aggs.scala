@@ -528,6 +528,57 @@ object Aggs extends Q.Module {
     FROM vc v JOIN (SELECT * FROM top WHERE rk = 1) t USING (col_name)
     GROUP BY v.col_name ORDER BY col_name"""))
 
+  // --- q131: A/B EXPERIMENT READOUT — deterministic variant assignment
+  //     (q102's multiplicative-hash idiom: reproducible across engines,
+  //     runs, and retries — the property an experiment system needs) and
+  //     a Welch's t-statistic computed from EXACT integer-cents moment
+  //     sums (q121's idiom: totalprice² exceeds the engine-stable range
+  //     of the decimal path, integer sums are identically rounded
+  //     everywhere). Shape: one scan, one two-group aggregate, one tiny
+  //     self-join of the 2-row stats frame — the readout never reshuffles
+  //     the fact table.
+  private val q131 = Q(
+    "q131_ab_test",
+    "✦ A/B readout: hash-assigned variants, Welch t from exact moments",
+    (s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val stats = Tables.orders(s, d)
+        .select(when(pmod(col("o_orderkey") * lit(2654435761L), lit(100)) < 50, "A")
+          .otherwise("B").as("variant"), cents.as("cents"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("cents")).cast("double").as("sx"),
+          sum(col("cents") * col("cents")).cast("double").as("sxx"))
+        .select(col("variant"), col("n"), (col("sx") / col("n")).as("mu"),
+          ((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - lit(1.0))).as("variance"))
+      val a = stats.filter(col("variant") === "A")
+        .select(col("n").as("n_a"), col("mu").as("mean_a"), col("variance").as("var_a"))
+      val b = stats.filter(col("variant") === "B")
+        .select(col("n").as("n_b"), col("mu").as("mean_b"), col("variance").as("var_b"))
+      a.crossJoin(b)
+        .select(col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          (col("mean_a") / 100.0).as("mean_a"), (col("mean_b") / 100.0).as("mean_b"),
+          ((col("mean_a") - col("mean_b"))
+            / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))).as("t_stat"))
+    },
+    Some("""WITH t AS (SELECT
+        CASE WHEN (o_orderkey * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END AS variant,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    stats AS (SELECT variant,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(cents) AS DOUBLE) AS sx,
+        CAST(SUM(cents * cents) AS DOUBLE) AS sxx
+      FROM t GROUP BY variant),
+    m AS (SELECT variant, n, sx / n AS mu,
+        (sxx - sx * sx / n) / (n - 1.0) AS variance FROM stats)
+    SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      a.mu / 100.0 AS mean_a, b.mu / 100.0 AS mean_b,
+      (a.mu - b.mu) / SQRT(a.variance / a.n + b.variance / b.n) AS t_stat
+    FROM (SELECT * FROM m WHERE variant = 'A') a,
+         (SELECT * FROM m WHERE variant = 'B') b"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q79, q107, q121, q122, q126, q130)
+    q33, q34, q79, q107, q121, q122, q126, q130, q131)
 }
