@@ -579,6 +579,40 @@ object Aggs extends Q.Module {
     FROM (SELECT * FROM m WHERE variant = 'A') a,
          (SELECT * FROM m WHERE variant = 'B') b"""))
 
+  // --- q132: EXPLICIT-EDGE BINNING — pandas `cut(bins=[...])` with
+  //     arbitrary edges (q114's histogram covers the uniform-width case,
+  //     `width_bucket`'s limit). The bucket index is a counted HOF over
+  //     the broadcast edges array — codegen-free but O(|edges|) per row
+  //     with zero shuffle; labels resolve by array index, so edge list
+  //     and label list live in one place in both engines.
+  private val q132 = Q(
+    "q132_cut_bins",
+    "A1 pandas.cut: explicit bin edges + labels, per-bin count and total",
+    (s, d) => {
+      val edges = Seq(0L, 50000L, 150000L, 300000L, 450000L)
+      val labels = Seq("<0", "0-50k", "50k-150k", "150k-300k", "300k-450k", "450k+")
+      val edgeArr = array(edges.map(lit(_)): _*)
+      val labelArr = array(labels.map(lit(_)): _*)
+      Tables.orders(s, d)
+        .select(col("o_totalprice"),
+          size(filter(edgeArr, e => col("o_totalprice") >= e)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("bucket").cast("long").as("bucket"),
+          element_at(labelArr, col("bucket") + 1).as("label"),
+          col("n"), col("total"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH b AS (SELECT o_orderkey, o_totalprice,
+        len(list_filter([0, 50000, 150000, 300000, 450000],
+          x -> o_totalprice >= x)) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+      ['<0','0-50k','50k-150k','150k-300k','300k-450k','450k+'][bucket + 1]
+        AS label,
+      COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+    FROM b GROUP BY bucket ORDER BY bucket"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q79, q107, q121, q122, q126, q130, q131)
+    q33, q34, q79, q107, q121, q122, q126, q130, q131, q132)
 }
