@@ -118,5 +118,46 @@ object Multimodal extends Q.Module {
     FROM documents JOIN embeddings ON doc_id = vec_id
     ORDER BY doc_id"""))
 
-  def defs: Seq[Q] = Seq(q55, q56, q81)
+  // --- q133: TOLERANT DECODE with failure accounting — real corpora
+  //     contain truncated/corrupt media, and a decoder that throws kills
+  //     the whole task (and with it, at 100 TB, the job). The decode
+  //     stage therefore returns a STATUS per record instead of throwing:
+  //     invalid payloads (here: shorter than the 16-byte "header") yield
+  //     ok=false with null features, valid ones decode normally, and the
+  //     per-doc status column is the audit trail quality dashboards
+  //     aggregate. Corruption is synthesized deterministically (every
+  //     11th doc truncated to 10 bytes) so the failure path is
+  //     non-vacuous and oracle-checkable. Same narrow, partition-local
+  //     mapPartitions shape as q55 — tolerance adds zero shuffles.
+  private val q133 = Q(
+    "q133_multimodal_tolerant",
+    "✦ multimodal: tolerant decode — corrupt payloads audited, not thrown",
+    (s, d) => {
+      import s.implicits._
+      val bin = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          encode(when(col("doc_id") % 11 === 0, substring(col("text"), 1, 10))
+            .otherwise(col("text")), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      bin.mapPartitions(_.map { case (id, payload) =>
+        if (payload.length < 16) (id, false, None: Option[Long], None: Option[Long])
+        else {
+          val (_, n, _, _, headSum) = decodeStub(id, payload)
+          (id, true, Some(n), Some(headSum))
+        }
+      }).toDF("doc_id", "ok", "n_bytes", "head_sum")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10) ELSE text END AS p
+      FROM documents)
+    SELECT doc_id, strlen(p) >= 16 AS ok,
+      CASE WHEN strlen(p) >= 16 THEN CAST(strlen(p) AS BIGINT) END AS n_bytes,
+      CASE WHEN strlen(p) >= 16 THEN
+        CAST(list_sum(list_transform(generate_series(1, 16),
+          k -> ascii(substr(p, k, 1)))) AS BIGINT) END AS head_sum
+    FROM t ORDER BY doc_id"""))
+
+  def defs: Seq[Q] = Seq(q55, q56, q81, q133)
 }
