@@ -682,7 +682,31 @@ object TextAnalysis extends Q.Module {
       FROM documents)
     WHERE rk <= 15 ORDER BY source, rk"""))
 
+  // --- q134: OUTER EXPLODE — the generator-with-empties semantics every
+  //     extraction pipeline hits: a document with ZERO matches must
+  //     survive the explode as a null row (plain explode silently drops
+  //     it, and a per-doc report that loses rows undercounts its
+  //     denominators). 'dup' appears in ~6% of fixture docs, so both
+  //     branches are exercised; the in-result `n_total_docs` over a
+  //     window proves no document was lost. DuckDB has no outer unnest —
+  //     the oracle spells the same semantics as CASE len=0 THEN [NULL].
+  private val q134 = Q(
+    "q134_explode_outer",
+    "§2.10 UDTF: explode_outer keeps zero-match documents as null rows",
+    (s, d) => {
+      val hits = filter(split(col("text"), " "), x => x === "dup")
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode_outer(hits).as("hit"))
+        .orderBy(col("doc_id"), col("hit"))
+    },
+    Some("""SELECT doc_id,
+      unnest(CASE WHEN len(m) = 0 THEN [NULL] ELSE m END) AS hit
+    FROM (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x = 'dup') AS m
+      FROM documents)
+    ORDER BY doc_id, hit"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116)
+      q114, q116, q134)
 }
