@@ -613,6 +613,40 @@ object Aggs extends Q.Module {
       COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
     FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  // --- q138: PIVOT TABLE WITH MULTIPLE AGGS (pandas `pivot_table` with
+  //     aggfunc=['count','sum']) — Catalyst rewrites an explicit-values
+  //     pivot into ONE wide two-phase hash aggregate (a filtered
+  //     count/sum pair per pivot value): one shuffle on the grouping
+  //     key, no per-cell pass. The explicit value list (`F`/`O`/`P`)
+  //     keeps the plan static — omitting it triggers a distinct-values
+  //     inference job first, a full extra scan at 100 TB. Decimal sums
+  //     are cast back to double after the pivot (dsum's cast cannot sit
+  //     inside `.pivot().agg(...)`, which requires bare aggregates).
+  private val q138 = Q(
+    "q138_pivot_table_multi",
+    "A-variant: pivot_table with simultaneous count+sum aggregations",
+    (s, d) => {
+      val p = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Money)).as("total"))
+      Seq("F", "O", "P").foldLeft(p) { (df, v) =>
+        df.withColumn(s"${v}_total", col(s"${v}_total").cast("double"))
+      }.orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F_total",
+      COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O_total",
+      COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P_total"
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q79, q107, q121, q122, q126, q130, q131, q132)
+    q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138)
 }

@@ -517,6 +517,41 @@ object Relational extends Q.Module {
                       / COUNT(*))
       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""))
 
+  // --- q137: NULL-SAFE JOIN (J-variant) — pandas `merge` joins NaN keys
+  //     to each other; SQL `=` silently drops every NULL row. Spark's
+  //     bridge is `eqNullSafe` (`<=>`): EqualNullSafe is a supported
+  //     hash-join key, so the plan stays a plain equi-join (broadcast
+  //     here — supplier is a dim), NOT a cartesian + filter, which is
+  //     what a naive `(a = b OR (a IS NULL AND b IS NULL))` predicate
+  //     degenerates into. The nullable key is derived with nullif on
+  //     both sides ("unknown nation bucket"); the NULL group survives
+  //     as key_group = -1.
+  private val q137 = Q(
+    "q137_nullsafe_join",
+    "J-variant: eqNullSafe join keeps NULL==NULL pairs (merge-on-NaN)",
+    (s, d) => {
+      val cu = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_nationkey") % 5, lit(2)).as("ck"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          nullif(col("s_nationkey") % 5, lit(2)).as("sk"))
+      cu.join(broadcast(su), cu("ck") <=> su("sk"))
+        .groupBy(coalesce(col("ck"), lit(-1)).cast("long").as("key_group"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("key_group"))
+    },
+    Some("""SELECT CAST(COALESCE(ck, -1) AS BIGINT) AS key_group,
+      COUNT(*) AS n_pairs,
+      COUNT(DISTINCT c_custkey) AS n_customers,
+      COUNT(DISTINCT s_suppkey) AS n_suppliers
+    FROM (SELECT c_custkey, NULLIF(c_nationkey % 5, 2) AS ck FROM customer) t
+    JOIN (SELECT s_suppkey, NULLIF(s_nationkey % 5, 2) AS sk FROM supplier) t2
+      ON t.ck IS NOT DISTINCT FROM t2.sk
+    GROUP BY 1 ORDER BY 1"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124)
+    q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137)
 }

@@ -313,5 +313,44 @@ object Scale extends Q.Module {
       cell.vec_id IN (SELECT vec_id FROM dup) AS dropped
     FROM cell ORDER BY vec_id"""))
 
-  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109)
+  // --- q135: GLOBAL ROW INDEX (Dask `reset_index` / pandas RangeIndex) —
+  //     assign each lineitem row its 0-based ordinal in the total order
+  //     (l_orderkey, l_linenumber). The naive form is
+  //     ROW_NUMBER() OVER (ORDER BY ...) — an UNPARTITIONED window Spark
+  //     executes in ONE task: the same global-cumsum trap q104 avoids.
+  //     Scale-correct two-phase form: (1) per-block row counts (block = a
+  //     coarse range of the leading sort key; in production the partition
+  //     id after repartitionByRange), one parallel shuffle; (2) cumsum
+  //     over the TINY block-totals frame — the only unpartitioned window,
+  //     sized keyspace/blockSize rows, not corpus rows; (3) broadcast the
+  //     offsets back, ROW_NUMBER within each block (partitioned window,
+  //     parallel). offset + rn − 1 equals the global ordinal because
+  //     blocks partition the sort order. The oracle computes the naive
+  //     global form — the hash match proves the decomposition exact.
+  private val q135 = Q(
+    "q135_global_row_index",
+    "reset_index: scale-safe global ordinal via two-phase block offsets",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .withColumn("block", (col("l_orderkey") / 1000L).cast("long"))
+      val counts = li.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+      val wBlocks = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = counts
+        .withColumn("off", sum(col("bn")).over(wBlocks) - col("bn"))
+        .select(col("block"), col("off"))
+      val wIntra = Window.partitionBy(col("block"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      li.join(broadcast(offsets), Seq("block"))
+        .withColumn("idx", col("off") + row_number().over(wIntra) - 1)
+        .select(col("idx"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("idx"))
+    },
+    Some("""SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+        AS BIGINT) AS idx,
+      l_orderkey, l_linenumber
+    FROM lineitem ORDER BY idx"""))
+
+  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135)
 }

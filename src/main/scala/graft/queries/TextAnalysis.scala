@@ -706,7 +706,45 @@ object TextAnalysis extends Q.Module {
       FROM documents)
     ORDER BY doc_id, hit"""))
 
+  // --- q136: CONTEXT-WINDOW CHUNKING — split every document into
+  //     overlapping token windows (win=64, stride=48), the prep step that
+  //     turns variable-length documents into fixed-budget training
+  //     sequences without losing boundary context. One generate+explode
+  //     projection: starts = sequence(0, n−1, stride) — every start < n,
+  //     so the tail window is short but never empty — and chunk =
+  //     slice(tokens, start+1, win). No shuffle at all: the corpus is
+  //     scanned once and rows fan out partition-locally inside
+  //     whole-stage codegen, so at 100 TB this is embarrassingly
+  //     parallel; the ~win/stride duplication factor is the documented
+  //     storage cost of overlap, paid in output size, not shuffle.
+  private val q136 = Q(
+    "q136_doc_chunk",
+    "✦ chunking: overlapping 64-token windows, stride 48, via explode",
+    (s, d) => {
+      val win = 64
+      val stride = 48
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("start",
+          explode(sequence(lit(0), col("n") - 1, lit(stride))))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_id"),
+          least(col("n") - col("start"), lit(win)).cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), col("start") + 1, lit(win)), " ")
+            .as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        len(string_split(text, ' ')) AS n FROM documents),
+    s AS (SELECT doc_id, toks, n,
+        unnest(generate_series(0, n - 1, 48)) AS start FROM t)
+    SELECT doc_id, start // 48 AS chunk_id,
+      LEAST(n - start, 64) AS n_tokens,
+      array_to_string(toks[start + 1 : start + 64], ' ') AS chunk
+    FROM s ORDER BY doc_id, chunk_id"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116, q134)
+      q114, q116, q134, q136)
 }
