@@ -621,7 +621,12 @@ object Aggs extends Q.Module {
   //     keeps the plan static — omitting it triggers a distinct-values
   //     inference job first, a full extra scan at 100 TB. Decimal sums
   //     are cast back to double after the pivot (dsum's cast cannot sit
-  //     inside `.pivot().agg(...)`, which requires bare aggregates).
+  //     inside `.pivot().agg(...)`, which requires bare aggregates), and
+  //     empty-cell counts are coalesced to 0: Spark's pivot rewrite
+  //     yields NULL for a cell with no rows where SQL COUNT FILTER
+  //     yields 0 — the fixture never hits this, but the randomized
+  //     parity test does (empty cells stay NULL for sums, 0 for counts,
+  //     matching pandas pivot_table margins semantics).
   private val q138 = Q(
     "q138_pivot_table_multi",
     "A-variant: pivot_table with simultaneous count+sum aggregations",
@@ -633,6 +638,7 @@ object Aggs extends Q.Module {
           sum(col("o_totalprice").cast(Money)).as("total"))
       Seq("F", "O", "P").foldLeft(p) { (df, v) =>
         df.withColumn(s"${v}_total", col(s"${v}_total").cast("double"))
+          .withColumn(s"${v}_n", coalesce(col(s"${v}_n"), lit(0L)))
       }.orderBy(col("o_orderpriority"))
     },
     Some("""SELECT o_orderpriority,

@@ -150,4 +150,34 @@ class CurationGateSpec extends SparkSuite {
       else assert(n == 1L, s"doc $id: unexpected duplicate")
     }
   }
+
+  test("q136 chunks tile with overlap and reconstruct every fixture doc") {
+    import spark.implicits._
+    val stride = 48
+    val chunks = SparkEntry.queries("q136_doc_chunk")(spark, sfDir)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(raw.length == chunks.size)
+    raw.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val cs = chunks(id)
+      assert(cs.length == (toks.length - 1) / stride + 1,
+        s"doc $id: wrong chunk count")
+      cs.zipWithIndex.foreach { case ((_, cid, n, c), i) =>
+        assert(cid == i)
+        assert(n == c.split(" ", -1).length, s"doc $id chunk $i: n_tokens drift")
+        assert(n == math.min(64, toks.length - stride * i))
+      }
+      // chunk i overlaps chunk i+1 by win-stride tokens: taking the first
+      // `stride` tokens of every chunk but the last, then the whole last
+      // chunk, must rebuild the document exactly
+      val rebuilt =
+        (cs.init.flatMap(_._4.split(" ", -1).take(stride)) ++
+          cs.last._4.split(" ", -1)).toSeq
+      assert(rebuilt == toks, s"doc $id: reconstruction drift")
+    }
+  }
 }

@@ -274,6 +274,40 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("q135 two-phase global index == local sort ordinal on sparse keys") {
+    import spark.implicits._
+    val rng = new Random(71)
+    // Sparse keys over 0..50000 → many empty 1000-blocks, skewed ones, and
+    // duplicate orderkeys disambiguated by linenumber — the shapes the
+    // fixture's dense keyspace never exercises.
+    val rows = (0 until 800).map { _ =>
+      (rng.nextInt(50000).toLong * (if (rng.nextBoolean()) 1 else 0),
+        rng.nextInt(7) + 1)
+    }.distinct
+    val dir = java.nio.file.Files.createTempDirectory("gidx").toString
+    try {
+      rows.toDF("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val got = SparkEntry.queries("q135_global_row_index")(spark, dir)
+        .select("idx", "l_orderkey", "l_linenumber")
+        .as[(Long, Long, Int)].collect().toSeq
+      val want = rows.sortBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((ok, ln), i) => (i.toLong, ok, ln) }
+      assert(got == want)
+      // scale shape: the corpus-side row_number window is PARTITIONED (by
+      // block); only the tiny block-offsets window is global
+      val plan = SparkEntry.queries("q135_global_row_index")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("windowspecdefinition(block#"),
+        "corpus-side window lost its block partitioning")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }

@@ -107,4 +107,85 @@ class PandasParitySpec extends SparkSuite {
       }
     }
   }
+
+  test("q137 null-safe join == equality pairs + null-null cross pairs") {
+    import spark.implicits._
+    val rng = new Random(61)
+    val dir = java.nio.file.Files.createTempDirectory("nullsafe").toString
+    try {
+      // Random nationkeys; % 5 == 2 becomes the NULL bucket on both sides.
+      val cust = (0L until 300L).map(k => (k, rng.nextInt(25)))
+      val supp = (0L until 40L).map(k => (k, rng.nextInt(25)))
+      cust.toDF("c_custkey", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      supp.toDF("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      val got = SparkEntry.queries("q137_nullsafe_join")(spark, dir)
+        .select("key_group", "n_pairs").as[(Long, Long)].collect().toMap
+      def key(nk: Int): Option[Int] = Some(nk % 5).filter(_ != 2)
+      val want = (for {
+        (_, cn) <- cust
+        (_, sn) <- supp
+        if key(cn) == key(sn) // None == None: the NaN==NaN merge semantics
+      } yield key(cn).getOrElse(-1).toLong)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"$got != $want")
+      // the NULL group must exist and be the full null×null cross product
+      val nullPairs =
+        cust.count(c => key(c._2).isEmpty).toLong *
+          supp.count(s => key(s._2).isEmpty)
+      assert(got(-1L) == nullPairs)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("q138 pivot_table == naive conditional aggregation, incl. empty cells") {
+    import spark.implicits._
+    val rng = new Random(67)
+    val dir = java.nio.file.Files.createTempDirectory("pivot").toString
+    try {
+      // No '1-URGENT' order ever has status 'P': the empty pivot cell is
+      // the case the shipped fixture never exercises (count 0 vs NULL is
+      // where engines can silently diverge).
+      val rows = (0L until 500L).map { k =>
+        val pri = s"${1 + rng.nextInt(3)}-PRI"
+        val st0 = Seq("F", "O", "P")(rng.nextInt(3))
+        val st = if (pri == "1-PRI" && st0 == "P") "F" else st0
+        (k, pri, st, (100 + rng.nextInt(2000)) / 4.0)
+      }
+      rows.toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val got = SparkEntry.queries("q138_pivot_table_multi")(spark, dir)
+        .select("o_orderpriority", "F_n", "F_total", "O_n", "O_total",
+          "P_n", "P_total")
+        .as[(String, java.lang.Long, java.lang.Double, java.lang.Long,
+          java.lang.Double, java.lang.Long, java.lang.Double)]
+        .collect().map(r => r._1 -> r).toMap
+      rows.groupBy(_._2).foreach { case (pri, g) =>
+        val r = got(pri)
+        def cell(st: String): (Long, Option[Double]) = {
+          val xs = g.filter(_._3 == st).map(t => BigDecimal(t._4))
+          (xs.size.toLong, if (xs.isEmpty) None else Some(xs.sum.toDouble))
+        }
+        val (fn, ft) = cell("F"); val (on, ot) = cell("O"); val (pn, pt) = cell("P")
+        assert(r._2 == fn && r._4 == on && r._6 == pn,
+          s"$pri counts: $r vs ($fn,$on,$pn)")
+        assert(Option(r._3).map(_.toDouble) == ft
+          && Option(r._5).map(_.toDouble) == ot
+          && Option(r._7).map(_.toDouble) == pt,
+          s"$pri sums: $r vs ($ft,$ot,$pt)")
+      }
+      // the engineered empty cell really is empty
+      assert(got("1-PRI")._6 == 0L && got("1-PRI")._7 == null)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
