@@ -21,6 +21,16 @@ import org.apache.spark.sql.types._
   * At scale this costs one extra cast per row inside the partial aggregate —
   * still whole-stage-codegen'd, still a two-phase hash aggregate; the
   * shuffle carries decimal(28,6) instead of double.
+  *
+  * LIMIT of the rule: the final decimal→double cast is only bit-identical
+  * across engines while the sum's SCALED integer fits 2^53 (~9e9 at scale
+  * 6). Beyond that the cast itself rounds, and Spark (BigDecimal,
+  * correctly rounded once) vs DuckDB (int128→double, then scale divide —
+  * two roundings) can differ by 1 ulp. Squared-measure sums (price²)
+  * cross that line at sf0.1 already. Compared outputs built from such
+  * sums must be rounded to fixed decimals on BOTH engines (q27) or the
+  * sum kept scale-0 where the casts agree (q131's integer-cents moments);
+  * plain money sums (≤6 fractional digits, ≤~1e9 magnitude) stay exact.
   */
 object dsl {
   val Money: DecimalType = DecimalType(18, 6)

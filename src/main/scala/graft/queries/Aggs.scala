@@ -84,6 +84,15 @@ object Aggs extends Q.Module {
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // --- q27: dispersion + correlation from exact moment sums. Ops: A1, A10.
+  // Stats surface as values rounded to fixed decimals ON BOTH ENGINES:
+  // the moment sums are exact decimals, but once a sum's scaled integer
+  // exceeds 2^53 (price² sums do at sf0.1 — ~6e21 micro-units) the
+  // decimal→double cast itself rounds, and Spark (BigDecimal, correctly
+  // rounded) vs DuckDB (int128→double, then scale divide) can land 1 ulp
+  // apart — the cross-SF sweep caught exactly that in corr's hidden
+  // stddev(price) factor. Rounding well inside the agreeing digits makes
+  // the comparison scale-independent (q80's established pattern); the
+  // retained digits are still ~9 significant.
   private val q27 = Q(
     "q27_agg_stats",
     "A1/A10 std/var/corr/cov via deterministic decimal moment sums",
@@ -91,19 +100,19 @@ object Aggs extends Q.Module {
       Tables.lineitem(s, d)
         .groupBy(col("l_linestatus"))
         .agg(
-          dvar(col("l_quantity")).as("var_qty"),
-          dstddev(col("l_quantity")).as("std_qty"),
-          dcov(col("l_quantity"), col("l_extendedprice")).as("cov_qty_price"),
-          (dcov(col("l_quantity"), col("l_extendedprice"))
-            / (dstddev(col("l_quantity")) * dstddev(col("l_extendedprice")))).as("corr_qty_price"))
+          round(dvar(col("l_quantity")), 6).as("var_qty"),
+          round(dstddev(col("l_quantity")), 6).as("std_qty"),
+          round(dcov(col("l_quantity"), col("l_extendedprice")), 6).as("cov_qty_price"),
+          round(dcov(col("l_quantity"), col("l_extendedprice"))
+            / (dstddev(col("l_quantity")) * dstddev(col("l_extendedprice"))), 12).as("corr_qty_price"))
         .orderBy(col("l_linestatus"))
     },
     Some(s"""SELECT l_linestatus,
-      ${dvarSql("l_quantity")} AS var_qty,
-      ${dstddevSql("l_quantity")} AS std_qty,
-      ${dcovSql("l_quantity", "l_extendedprice")} AS cov_qty_price,
-      (${dcovSql("l_quantity", "l_extendedprice")}
-        / (${dstddevSql("l_quantity")} * ${dstddevSql("l_extendedprice")})) AS corr_qty_price
+      ROUND(${dvarSql("l_quantity")}, 6) AS var_qty,
+      ROUND(${dstddevSql("l_quantity")}, 6) AS std_qty,
+      ROUND(${dcovSql("l_quantity", "l_extendedprice")}, 6) AS cov_qty_price,
+      ROUND((${dcovSql("l_quantity", "l_extendedprice")}
+        / (${dstddevSql("l_quantity")} * ${dstddevSql("l_extendedprice")})), 12) AS corr_qty_price
     FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
 
   // --- q28: rollup with grouping indicators. Ops: A11.
@@ -548,7 +557,12 @@ object Aggs extends Q.Module {
         .groupBy(col("variant"))
         .agg(count(lit(1)).cast("double").as("n"),
           sum(col("cents")).cast("double").as("sx"),
-          sum(col("cents") * col("cents")).cast("double").as("sxx"))
+          // each cents² fits a LONG (≤ ~2.5e15) but the SUM does not at
+          // sf0.1 (75k rows × 2e15 ≈ 1.5e20): sum in decimal, exactly —
+          // DuckDB is safe without this only because SUM(BIGINT) widens
+          // to HUGEINT. Caught by the cross-SF sweep (ANSI overflow).
+          sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+            .cast("double").as("sxx"))
         .select(col("variant"), col("n"), (col("sx") / col("n")).as("mu"),
           ((col("sxx") - col("sx") * col("sx") / col("n"))
             / (col("n") - lit(1.0))).as("variance"))

@@ -595,6 +595,37 @@ object Events extends Q.Module {
     FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.day = a.day + 1
     GROUP BY a.day ORDER BY day"""))
 
+  // --- q139: TOTAL (`try_*`) FUNCTIONS — the ANSI-safety surface: at
+  //     100 TB one malformed row must yield NULL, not kill the job
+  //     (q98 covers malformed RECORDS at the source; this covers
+  //     malformed VALUES inside expressions). try_cast on a
+  //     mixed-validity string, try_divide with an engineered zero
+  //     denominator every third row, try_element_at past the end of a
+  //     ragged split. All stay codegen'd projections — the try_ forms
+  //     are the same expressions with a null-on-error branch, zero plan
+  //     cost. Oracle twins: TRY_CAST, division by NULLIF(..,0), and
+  //     DuckDB's out-of-range list index (already NULL-total).
+  private val q139 = Q(
+    "q139_try_total",
+    "§2.8 total functions: try_cast/try_divide/try_element_at NULL-on-error",
+    (s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        expr("""try_cast(CASE WHEN event_id % 2 = 0
+                 THEN CAST(event_id AS STRING) ELSE event_type END
+               AS BIGINT)""").as("mixed_int"),
+        expr("try_divide(value, event_id % 3)").as("per_unit"),
+        expr("try_element_at(split(event_type, 'i'), 2)").as("second_tok"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      TRY_CAST(CASE WHEN event_id % 2 = 0
+          THEN CAST(event_id AS VARCHAR) ELSE event_type END
+        AS BIGINT) AS mixed_int,
+      value / NULLIF(event_id % 3, 0) AS per_unit,
+      string_split(event_type, 'i')[2] AS second_tok
+    FROM events ORDER BY event_id"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
-    q106, q108, q125, q127, q128)
+    q106, q108, q125, q127, q128, q139)
 }

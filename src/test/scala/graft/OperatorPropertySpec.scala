@@ -308,6 +308,26 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("results are invariant to spark.sql.shuffle.partitions") {
+    // THE cross-cutting scale claim: the same query on the same data must
+    // return identical rows whether the shuffle fans out over 3 tasks or
+    // 17 (stand-ins for 32 local cores vs 10k cluster cores). Exercises
+    // the decimal-sum determinism rule (q01), both two-phase prefix
+    // decompositions (q104/q135), and the moment-sum t-test (q131).
+    val names = Seq("q01_flagship_agg", "q104_sequence_pack",
+      "q135_global_row_index", "q131_ab_test")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val Seq(a, b) = Seq("3", "17").map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        names.map(q => SparkEntry.queries(q)(spark, sfDir).collect().toSeq)
+      }
+      names.indices.foreach { i =>
+        assert(a(i) == b(i), s"${names(i)} drifted across partition counts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
