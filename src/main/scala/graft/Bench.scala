@@ -54,19 +54,25 @@ object Bench {
       // that failed once but succeeded once still reports its valid time).
       name -> (if (times.isEmpty) -1.0 else times.min)
     }.toMap
-    // Output stays a single SHORT line: the driver keeps only a bounded
+    // Output stays a single SHORT line: the driver keeps only a 2000-byte
     // tail of stdout, and round 1's full-name 9-decimal line (~2.4 KB) got
-    // truncated past parseability. qNN prefixes are unique per query (full
-    // names in SparkEntry/COVERAGE.md); 3 decimals ≈ ms resolution.
+    // truncated past parseability. At 139 queries a 3-decimal line is
+    // ~1.84 KB — too close — so per-query times carry 2 decimals (10 ms,
+    // plenty for plan comparison; the total keeps 3), the sf dir collapses
+    // to its basename, and the line prints AFTER spark.stop() so no
+    // shutdown logging can land behind it and eat the tail budget. qNN
+    // prefixes are unique per query (full names in SparkEntry/COVERAGE.md).
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // failed count is explicit: total sums only successful queries, so
     // without it the headline would silently IMPROVE when a query breaks.
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"mode":"min-of-runs;sinks-write-once","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"mode":"min-of-runs;sinks-write-once","queries":$qs,"sf":"$sfName"}""")
   }
 }
