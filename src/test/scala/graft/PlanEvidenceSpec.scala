@@ -47,4 +47,20 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"a dimension join shuffled the fact table:\n$plan")
   }
+
+  test("q137 null-safe join plans as a hash join, never a cartesian filter") {
+    val plan = planOf("q137_nullsafe_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"EqualNullSafe key fell out of the hash-join path:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality degenerated to an all-pairs join:\n$plan")
+  }
+
+  test("q136 chunking never shuffles by key (explode is partition-local)") {
+    val plan = planOf("q136_doc_chunk")
+    assert(plan.contains("Generate"), s"explode missing:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"chunking introduced a key shuffle:\n$plan")
+  }
 }
