@@ -744,7 +744,61 @@ object TextAnalysis extends Q.Module {
       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk
     FROM s ORDER BY doc_id, chunk_id"""))
 
+  // --- q140: PARAGRAPH-LEVEL EXACT DEDUP (C4/RefinedWeb shape) — drop
+  //     every LATER occurrence of a paragraph repeated anywhere in the
+  //     corpus, then reassemble each document from its surviving
+  //     paragraphs ("paragraph" = aligned 8-word chunk, q103's idiom).
+  //     Unlike q103 (df-threshold boilerplate), this is first-occurrence
+  //     semantics: the canonical copy survives, all echoes die. Shape:
+  //     the first occurrence per paragraph is a MIN over a composite
+  //     BIGINT key (doc_id·2^20 + pos) — a partial-aggregatable hash
+  //     aggregate (map-side combine), NOT a sort window over the
+  //     paragraph partition, so a boilerplate paragraph repeated 10⁸
+  //     times costs one combiner cell per task instead of one sorted
+  //     partition; survivors join back on the paragraph and documents
+  //     reassemble with one doc_id shuffle. The composite key doubles as
+  //     the DuckDB twin (its MIN takes no STRUCT comparator).
+  private val q140 = Q(
+    "q140_paragraph_dedup",
+    "✦ cleaning: corpus-wide exact paragraph dedup, keep first occurrence",
+    (s, d) => {
+      val ws = split(col("text"), " ")
+      val paras = docs(s, d)
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), floor((size(col("ws")) + 7) / 8).cast("int") - 1),
+            j => concat_ws(" ", slice(col("ws"), j * 8 + 1, lit(8))))))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "para")
+        .withColumn("k", col("doc_id") * lit(1048576L) + col("j"))
+      val firsts = paras.groupBy(col("para"))
+        .agg(min(col("k")).as("first_k"))
+      paras.join(firsts, Seq("para"))
+        .withColumn("keep", col("k") === col("first_k"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          count(when(!col("keep"), lit(1))).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("j"), col("para"))))),
+            x => x.getField("para")), " ").as("deduped"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents),
+    ch AS (SELECT doc_id, ws,
+        unnest(generate_series(0, (len(ws) + 7) // 8 - 1)) AS j FROM w),
+    paras AS (SELECT doc_id, j,
+        array_to_string(list_slice(ws, j*8 + 1, j*8 + 8), ' ') AS para,
+        doc_id * 1048576 + j AS k FROM ch),
+    firsts AS (SELECT para, MIN(k) AS first_k FROM paras GROUP BY para)
+    SELECT doc_id, COUNT(*) AS n_paras,
+      COUNT(CASE WHEN k <> first_k THEN 1 END) AS n_removed,
+      COALESCE(string_agg(CASE WHEN k = first_k THEN para END,
+        ' ' ORDER BY j), '') AS deduped
+    FROM paras JOIN firsts USING (para)
+    GROUP BY doc_id ORDER BY doc_id"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116, q134, q136)
+      q114, q116, q134, q136, q140)
 }

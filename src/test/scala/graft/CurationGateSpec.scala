@@ -180,4 +180,23 @@ class CurationGateSpec extends SparkSuite {
       assert(rebuilt == toks, s"doc $id: reconstruction drift")
     }
   }
+
+  test("q140 keeps exactly one survivor per distinct paragraph") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q140_paragraph_dedup")(spark, sfDir)
+      .select("doc_id", "n_paras", "n_removed")
+      .as[(Long, Long, Long)].collect()
+    // naive corpus recomputation: chunk every doc into aligned 8-word
+    // paragraphs; dedup-keep-first leaves one survivor per DISTINCT
+    // paragraph, so Σ(n_paras - n_removed) must equal the distinct count
+    // and Σn_paras the total count
+    val paras = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (_, text) =>
+        text.split(" ", -1).grouped(8).map(_.mkString(" "))
+      }
+    assert(got.map(_._2).sum == paras.length.toLong)
+    assert(got.map(r => r._2 - r._3).sum == paras.distinct.length.toLong)
+    assert(got.exists(_._3 > 0), "fixture has no repeated paragraph — weak test")
+  }
 }
