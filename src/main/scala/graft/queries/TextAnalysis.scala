@@ -798,7 +798,59 @@ object TextAnalysis extends Q.Module {
     FROM paras JOIN firsts USING (para)
     GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --- q141: TEMPERATURE-SCALED MIXTURE SAMPLING — the data-mixing
+  //     math LLM pipelines actually run: per-source weights ∝ n^α
+  //     (α = 0.5 here, i.e. temperature-flattened so small sources are
+  //     up-weighted relative to their share), normalized across sources,
+  //     converted to a per-source keep rate against a global document
+  //     budget, then applied with q102's deterministic hash threshold
+  //     (no rand(), shard-reproducible). Scale: two passes — a tiny
+  //     per-source count aggregate whose α-normalizer is a SEQUENTIAL
+  //     fold over the source-sorted array (the repo's cross-engine
+  //     float rule: both engines fold left-to-right → bit-identical
+  //     doubles), broadcast back over the corpus; the corpus itself is
+  //     never shuffled (the final per-source count aggregate moves
+  //     20 rows per task).
+  private val q141 = Q(
+    "q141_temperature_mix",
+    "✦ mixing: temperature-scaled (n^0.5) source weights, hash-threshold keep",
+    (s, d) => {
+      val budget = 2000.0
+      val counts = docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("sq", sqrt(col("n")))
+      val tot = counts.agg(
+        aggregate(transform(
+          sort_array(collect_list(struct(col("source"), col("sq")))),
+          x => x.getField("sq")), lit(0.0), (a, x) => a + x).as("tot"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("source"),
+          least(lit(1.0), lit(budget) * (col("sq") / col("tot")) / col("n"))
+            .as("rate"))
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("keep",
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+            < col("rate") * lit(1000000.0))
+        .groupBy(col("source"), col("rate"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), lit(1))).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("rate"), col("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n, SQRT(COUNT(*)) AS sq
+      FROM documents GROUP BY source),
+    t AS (SELECT list_sum(list(sq ORDER BY source)) AS tot FROM c),
+    r AS (SELECT source, n,
+        LEAST(1.0, 2000.0 * (sq / tot) / n) AS rate FROM c, t),
+    k AS (SELECT d.source, r.rate,
+        CASE WHEN (d.doc_id * 2654435761) % 1000000 < r.rate * 1000000.0
+          THEN 1 END AS kept
+      FROM documents d JOIN r USING (source))
+    SELECT source, COUNT(*) AS n_docs, rate, COUNT(kept) AS n_kept
+    FROM k GROUP BY source, rate ORDER BY source"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116, q134, q136, q140)
+      q114, q116, q134, q136, q140, q141)
 }
