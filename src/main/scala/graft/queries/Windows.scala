@@ -371,5 +371,93 @@ object Windows extends Q.Module {
               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0 AS rolling_median
     FROM orders ORDER BY o_orderkey"""))
 
-  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105, q120)
+  // --- q142: ROLLING CORRELATION (pandas `rolling(7).corr(other)`) —
+  //     bivariate stats over a sliding frame, the indicator-analytics op
+  //     rolling mean/median (q19/q120) can't express. All five rolling
+  //     moment sums (n, Σx, Σy, Σx², Σy², Σxy) come from ONE window pass
+  //     in exact decimals (the 7-row sums stay far under 2^53 scaled
+  //     units, so decimal→double is exact); corr is then a single
+  //     identical double expression tree on both engines. Frames
+  //     partition by suppkey — one shuffle + partition-local sort, no
+  //     global sort. Short frames (n < 2) and zero-variance frames
+  //     surface as NULL on both sides.
+  private val q142 = Q(
+    "q142_rolling_corr",
+    "W2 rolling(7) corr of quantity vs extendedprice per supplier",
+    (s, d) => {
+      // lineitem has NO unique key — (orderkey, linenumber) repeats with
+      // different measures — so the window order includes BOTH measure
+      // columns: any remaining ties are rows identical in every moment
+      // input, whose frame multisets (hence corr) are order-invariant.
+      // The output sort carries the same columns for the same reason.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(-6, Window.currentRow)
+      // dsl's moment idiom: squares/products multiply in DOUBLE (one
+      // identical IEEE op per row on both engines) and cast ONCE to a
+      // wide decimal — a decimal×decimal square would need int128
+      // physicals DuckDB only applies after an explicit widening cast,
+      // and would also compute a (slightly) different exact value than
+      // the double product. Scale 4, not dsl.Wide's 6: the products
+      // carry ≤4 true decimals, and at scale 6 a 7-row price² sum
+      // (~1.8e10) already passes 2^53 scaled units, where the
+      // decimal→double cast itself rounds differently per engine (the
+      // dsl LIMIT note) — at scale 4 every window sum stays exact.
+      Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        count(lit(1)).over(w).cast("double").as("n"),
+        sum(col("l_quantity").cast(Money)).over(w).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast(Money)).over(w).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(30,4)"))
+          .over(w).cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(30,4)"))
+          .over(w).cast("double").as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(30,4)"))
+          .over(w).cast("double").as("sxy"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          // n>=2 AND both variances > 0: a constant series has no defined
+          // correlation — and under ANSI mode the division would (rightly)
+          // error instead of minting an Infinity. Both engines take the
+          // identical branch because the moment doubles are identical.
+          when(col("n") >= 2
+            && col("sxx") - col("sx") * col("sx") / col("n") > 0
+            && col("syy") - col("sy") * col("sy") / col("n") > 0,
+            (col("sxy") - col("sx") * col("sy") / col("n"))
+              / (sqrt(col("sxx") - col("sx") * col("sx") / col("n"))
+                * sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("roll_corr"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    },
+    Some("""WITH m AS (SELECT l_suppkey, l_shipdate, l_orderkey,
+        l_linenumber, l_quantity, l_extendedprice,
+        CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) OVER w
+          AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) OVER w
+          AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) OVER w
+          AS DOUBLE) AS sxy
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber,
+          l_quantity, l_extendedprice
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      l_quantity, l_extendedprice,
+      CASE WHEN n >= 2 AND sxx - sx * sx / n > 0
+             AND syy - sy * sy / n > 0 THEN
+        (sxy - sx * sy / n)
+          / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n))
+      END AS roll_corr
+    FROM m ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      l_quantity, l_extendedprice"""))
+
+  def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105, q120,
+    q142)
 }
