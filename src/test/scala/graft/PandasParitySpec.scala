@@ -188,4 +188,69 @@ class PandasParitySpec extends SparkSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("q142 rolling corr == naive sliding-window moments on random data") {
+    import spark.implicits._
+    val rng = new Random(73)
+    val dir = java.nio.file.Files.createTempDirectory("rollcorr").toString
+    try {
+      // Duplicate (orderkey, linenumber) keys, colliding shipdates, and a
+      // constant-quantity supplier (zero-variance windows → NULL) — the
+      // degenerate shapes the fixture may not contain.
+      val rows = (0 until 300).map { _ =>
+        val sk = rng.nextInt(6).toLong
+        (sk,
+          java.sql.Timestamp.valueOf(f"1995-01-${1 + rng.nextInt(9)}%02d 00:00:00"),
+          rng.nextInt(40).toLong, rng.nextInt(3) + 1,
+          if (sk == 5L) 7.0 else (rng.nextInt(5000) + 1) / 100.0,
+          (rng.nextInt(2000000) + 1) / 100.0)
+      }
+      rows.toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val key = (r: (Long, java.sql.Timestamp, Long, Int, Double, Double)) =>
+        (r._1, r._2.getTime, r._3, r._4, r._5, r._6)
+      val got = SparkEntry.queries("q142_rolling_corr")(spark, dir)
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "roll_corr")
+        .as[(Long, java.sql.Timestamp, Long, Int, Double, Double,
+          java.lang.Double)]
+        .collect().sortBy(r => key((r._1, r._2, r._3, r._4, r._5, r._6)))
+      // naive recomputation mirroring the query's exact arithmetic: BD
+      // sums of the 2-decimal inputs / half-up scale-4 products, then the
+      // identical double expression tree
+      import scala.math.BigDecimal.RoundingMode.HALF_UP
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val sorted = g.sortBy(key)
+        sorted.indices.map { i =>
+          val fr = sorted.slice(math.max(0, i - 6), i + 1)
+          val n = fr.size.toDouble
+          def bd(f: ((Long, java.sql.Timestamp, Long, Int, Double, Double)) => Double) =
+            fr.map(r => BigDecimal(f(r)).setScale(6, HALF_UP)).sum.toDouble
+          def bd4(f: ((Long, java.sql.Timestamp, Long, Int, Double, Double)) => Double) =
+            fr.map(r => BigDecimal(f(r)).setScale(4, HALF_UP)).sum.toDouble
+          val sx = bd(_._5); val sy = bd(_._6)
+          val sxx = bd4(r => r._5 * r._5); val syy = bd4(r => r._6 * r._6)
+          val sxy = bd4(r => r._5 * r._6)
+          val vx = sxx - sx * sx / n; val vy = syy - sy * sy / n
+          val corr: java.lang.Double =
+            if (n >= 2 && vx > 0 && vy > 0)
+              (sxy - sx * sy / n) / (math.sqrt(vx) * math.sqrt(vy))
+            else null
+          (sorted(i), corr)
+        }
+      }.sortBy(r => key(r._1)).map(_._2)
+      assert(got.length == want.length)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g._7 == w, s"row $i: ${g._7} != $w (${got(i)})")
+      }
+      assert(want.contains(null) && want.exists(_ != null),
+        "fixture failed to exercise both branches")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
