@@ -346,5 +346,53 @@ object Sources extends Q.Module {
       CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
     FROM gens GROUP BY v ORDER BY v"""))
 
-  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q88, q96, q99)
+  // --- q143: BINARY-FILE SOURCE — `spark.read.format("binaryFile")`,
+  //     the ingestion path that turns raw files on disk (images, audio,
+  //     scraped documents) into a (path, length, content) frame — the
+  //     front door of every multimodal pipeline (q55/q56/q81/q133 then
+  //     operate on the binary column). Staging: the first 25 documents
+  //     are written as UTF-8 .txt files by an executor-side
+  //     foreachPartition onto the shared filesystem (local-mode tmpdir
+  //     here; an object-store/NFS mount in production — NOT a driver
+  //     collect), once per process via Sinks. The scan side is the real
+  //     product surface: binaryFile shards by file across tasks, prunes
+  //     with pathGlobFilter, and never materializes more than one file
+  //     per row. Oracle: sha-256 and byte length of the file content
+  //     must equal DuckDB's hash/octet-length of the same documents'
+  //     UTF-8 text — proving the bytes survived the disk round-trip
+  //     bit-for-bit (including multibyte zh docs).
+  private val q143 = Q(
+    "q143_source_binaryfile",
+    "S-family: binaryFile scan of staged raw files, byte-exact round-trip",
+    (s, d) => {
+      val dir = tmp("binfiles", d)
+      Sinks.once(dir) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        Tables.documents(s, d).filter(col("doc_id") < 25)
+          .select(col("doc_id"), col("text"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$dir/doc_${r.getLong(0)}.txt"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+      }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_([0-9]+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("sha"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      sha256(text) AS sha
+    FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
+
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q88,
+    q96, q99, q143)
 }
