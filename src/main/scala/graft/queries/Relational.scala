@@ -552,6 +552,41 @@ object Relational extends Q.Module {
       ON t.ck IS NOT DISTINCT FROM t2.sk
     GROUP BY 1 ORDER BY 1"""))
 
+  // --- q144: BAG SET OPS (U-variant) — `intersectAll`/`exceptAll`
+  //     keep MULTIPLICITY (min / truncated difference of per-row
+  //     counts), where q16/q17's INTERSECT/EXCEPT collapse to distinct.
+  //     pandas users hit this as index-preserving series ops; SQL users
+  //     as INTERSECT ALL. Catalyst plans both as a single aggregate
+  //     carrying two counters per key (no join, no explode): one
+  //     shuffle, map-side combined, then a generate replays min(a,b) /
+  //     greatest(a-b, 0) copies — the output here re-aggregates to
+  //     per-key counts so the compare is deterministic.
+  private val q144 = Q(
+    "q144_set_ops_all",
+    "U-variant: intersectAll/exceptAll multiset semantics per custkey",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val ia = a.intersectAll(b).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea)
+        .select(col("op"), col("o_custkey"), col("n"))
+        .orderBy(col("op"), col("o_custkey"))
+    },
+    Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+    ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+    ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n
+    FROM ia GROUP BY o_custkey
+    UNION ALL
+    SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n
+    FROM ea GROUP BY o_custkey
+    ORDER BY op, o_custkey"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137)
+    q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144)
 }
