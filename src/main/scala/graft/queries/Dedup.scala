@@ -34,15 +34,16 @@ object Dedup extends Q.Module {
   /** (doc_id, shingle) rows: distinct word-3-gram shingles per document,
     * minus shingles with document frequency above `maxShingleDf`.
     *
-    * The repartition is load-bearing: the fixture is one small parquet
-    * file → one input split, and the nested-HOF shingle construction runs
-    * in the interpreted evaluator (HigherOrderFunction nodes don't take
-    * part in whole-stage codegen) — without it the heaviest per-row work
-    * of the dedup family runs on a single core. Callers persist the
-    * result because 3-6 downstream subplans consume it. */
+    * The fan-out is load-bearing ON THE FIXTURE: one small parquet file =
+    * one input split, and the nested-HOF shingle construction runs in the
+    * interpreted evaluator (HigherOrderFunction nodes don't take part in
+    * whole-stage codegen) — without it the heaviest per-row work of the
+    * dedup family runs on a single core. Tables.fanOut adds that shuffle
+    * only when the scan under-splits; on a multi-file lake it is the
+    * identity. Callers persist the result because 3-6 downstream subplans
+    * consume it. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+    shinglesOf(Tables.fanOut(Tables.documents(s, d)))
 
   /** Same shingle pipeline over an arbitrary (doc_id, text) frame —
     * q112 runs it over a corpus with injected near-duplicates. */
@@ -315,8 +316,7 @@ object Dedup extends Q.Module {
     "✦ SimHash: 32-bit weighted fingerprint, banded pairs hamming <= 3",
     (s, d) => {
       val banded = simhashBanded(simhashFp(
-        Tables.documents(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
+        Tables.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), col("text")), "text"))
       // Filter BEFORE distinct: bit_count is a one-instruction projection
       // per banded pair, so applying the hamming cutoff first shrinks the
@@ -538,8 +538,7 @@ object Dedup extends Q.Module {
     "q112_decontam_fuzzy",
     "✦ fuzzy decontamination: eval MinHash bands flag near-dup training docs",
     (s, d) => {
-      val base = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val base = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("text"))
       val ws = split(col("text"), " ")
       val mutated = base.filter(col("doc_id") < 20)

@@ -16,8 +16,7 @@ object Extras extends Q.Module {
     "✦ spark.ml MinHashLSH approxSimilarityJoin demo (no oracle: ml hashes)",
     (s, d) => {
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, Tokenizer}
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("text"))
       // Featurize on word 3-grams, not unigrams: the synthetic vocabulary
       // is ~40 words, so unigram binary vectors are near-identical across
@@ -57,8 +56,7 @@ object Extras extends Q.Module {
     "q65_text_tfidf",
     "✦ TF-IDF: term weights (rational idf), top-3 terms per doc",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = Tables.fanOut(Tables.documents(s, d))
       val words = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("word"))
       // Corpus size folded INTO the plan as a broadcast 1-row cross join
@@ -124,13 +122,11 @@ object Extras extends Q.Module {
     "q67_map_ops",
     "map: from_json to MAP, map_keys/explode entries, per-key stats",
     (s, d) => {
-      // repartition: the fixture is one parquet file → one input split,
-      // and per-row JSON parsing is the whole cost of this query — on a
-      // real multi-file lake the scan parallelism comes from splits and
-      // this collapses to a no-op-sized shuffle (TextAnalysis.docs()
-      // rationale).
-      Tables.events(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      // fanOut: the fixture is one parquet file → one input split, and
+      // per-row JSON parsing is the whole cost of this query. On a real
+      // multi-file lake the scan parallelism comes from splits and fanOut
+      // is the identity — no shuffle is added (Tables.fanOut scaladoc).
+      Tables.fanOut(Tables.events(s, d))
         .select(col("event_id"),
           from_json(col("props"), org.apache.spark.sql.types.DataType
             .fromDDL("MAP<STRING, INT>")).as("m"))

@@ -36,10 +36,10 @@ object Multimodal extends Q.Module {
     "✦ multimodal: binary payload → mapPartitions decode-stub features",
     (s, d) => {
       import s.implicits._
-      // repartition: one fixture parquet file = one split; the typed
-      // decode stage must fan out across cores (round-1 bench: 10 s).
-      val bin = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      // fanOut: one fixture parquet file = one split; the typed decode
+      // stage must fan out across cores (round-1 bench: 10 s). On a
+      // multi-file lake fanOut is the identity — no added shuffle.
+      val bin = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       bin.mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
@@ -64,8 +64,7 @@ object Multimodal extends Q.Module {
     (s, d) => {
       import s.implicits._
       val frameLen = 64
-      val bin = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val bin = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
       bin.mapPartitions(_.flatMap { case (id, payload) =>
@@ -134,8 +133,7 @@ object Multimodal extends Q.Module {
     "✦ multimodal: tolerant decode — corrupt payloads audited, not thrown",
     (s, d) => {
       import s.implicits._
-      val bin = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val bin = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"),
           encode(when(col("doc_id") % 11 === 0, substring(col("text"), 1, 10))
             .otherwise(col("text")), "UTF-8").as("payload"))

@@ -12,17 +12,18 @@ import org.apache.spark.sql.functions._
   * projection + one aggregate — no UDFs, no shuffle beyond the final
   * group-by, which is the shape that survives 100 TB.
   *
-  * Every query repartitions the scan first: the fixture is ONE parquet
-  * file → one input split, and the per-row work here (HOF filters, regex
-  * extraction, per-word md5) is the heaviest in the library — without the
-  * repartition it all runs on a single core (round-1 bench: q53 11 s,
+  * Every query fans the scan out first (Tables.fanOut): the fixture is ONE
+  * parquet file → one input split, and the per-row work here (HOF filters,
+  * regex extraction, per-word md5) is the heaviest in the library — without
+  * the fan-out it all runs on a single core (round-1 bench: q53 11 s,
   * q54 23 s). On a real multi-file lake the scan parallelism comes from
-  * splits and the repartition collapses into a no-op-sized shuffle.
+  * splits and fanOut is the identity — NO shuffle is added (the earlier
+  * unconditional repartition would have re-shuffled the whole corpus).
   */
 object TextAnalysis extends Q.Module {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    Tables.fanOut(Tables.documents(s, d))
 
   // --- q51: quality scoring (length/stopword/diversity components).
   private val q51 = Q(
@@ -712,11 +713,14 @@ object TextAnalysis extends Q.Module {
   //     sequences without losing boundary context. One generate+explode
   //     projection: starts = sequence(0, n−1, stride) — every start < n,
   //     so the tail window is short but never empty — and chunk =
-  //     slice(tokens, start+1, win). No shuffle at all: the corpus is
+  //     slice(tokens, start+1, win). No KEY shuffle: the corpus is
   //     scanned once and rows fan out partition-locally inside
   //     whole-stage codegen, so at 100 TB this is embarrassingly
   //     parallel; the ~win/stride duplication factor is the documented
-  //     storage cost of overlap, paid in output size, not shuffle.
+  //     storage cost of overlap, paid in output size, not shuffle. (On a
+  //     multi-split lake there is no Exchange AT ALL — docs()'s fan-out
+  //     is conditional and collapses to the identity; only the one-file
+  //     fixture pays its round-robin spread.)
   private val q136 = Q(
     "q136_doc_chunk",
     "✦ chunking: overlapping 64-token windows, stride 48, via explode",

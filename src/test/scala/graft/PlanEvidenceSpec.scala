@@ -63,4 +63,36 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(!plan.contains("hashpartitioning"),
       s"chunking introduced a key shuffle:\n$plan")
   }
+
+  test("fanOut adds NO Exchange on multi-split input, spreads one-split input") {
+    // The 100 TB claim behind every text-pipeline ingest: the fixture-only
+    // round-robin spread must NOT become a corpus-wide shuffle when the
+    // scan already parallelizes. defaultParallelism is 4 here, so >= 2
+    // splits must plan Exchange-free and 1 split must fan out.
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    try {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      base.repartition(8).write.mode("overwrite").parquet(s"$dir/many")
+      base.coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+
+      val multi = Tables.fanOut(spark.read.parquet(s"$dir/many"))
+        .select(org.apache.spark.sql.functions.col("doc_id"))
+      val multiPlan = multi.queryExecution.executedPlan.toString
+      assert(!multiPlan.contains("Exchange"),
+        s"fanOut re-shuffled an already-parallel scan:\n$multiPlan")
+
+      val single = Tables.fanOut(spark.read.parquet(s"$dir/one"))
+      val singlePlan = single.queryExecution.executedPlan.toString
+      assert(singlePlan.contains("Exchange") &&
+        singlePlan.toLowerCase.contains("roundrobinpartitioning"),
+        s"one-split scan was not spread across cores:\n$singlePlan")
+      // and both paths return the full corpus
+      assert(multi.count() == base.count() && single.count() == base.count())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
