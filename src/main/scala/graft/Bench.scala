@@ -72,7 +72,14 @@ object Bench {
     // without it the headline would silently IMPROVE when a query breaks.
     val failed = results.values.count(_ < 0)
     val sfName = new java.io.File(sfDir).getName
-    spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"mode":"min-of-runs;sinks-write-once","queries":$qs,"sf":"$sfName"}""")
+    // The record line is built BEFORE stop() and printed in a finally:
+    // printing after stop keeps shutdown logging from eating the driver's
+    // 2000-byte stdout tail, and the finally guarantees the whole run's
+    // output survives even if sink/stream cleanup makes stop() throw.
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"mode":"min-of-runs;sinks-write-once","queries":$qs,"sf":"$sfName"}"""
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getClass.getSimpleName}")
+    } finally println(line)
   }
 }

@@ -57,6 +57,16 @@ object dsl {
     (dsumWide(x * y) - dsum(x) * dsum(y) / n) / (n - lit(1.0))
   }
 
+  /** Deterministic multiplicative hash `id·2654435761 mod m` (Knuth's
+    * constant), the engine's no-rand() sampling/assignment primitive
+    * (q102/q131/q141). The product runs in DECIMAL(38,0): a LONG multiply
+    * overflows for id ≳ 3.5e9 — Spark under ANSI errors at
+    * billion-document ids while DuckDB silently widens to HUGEINT, a
+    * scale-dependent engine divergence (the q131 overflow class). Decimal
+    * keeps it exact for any BIGINT id; the residue always fits a long. */
+  def hashMod(id: Column, m: Long): Column =
+    pmod(id.cast(DecimalType(38, 0)) * lit(2654435761L), lit(m)).cast(LongType)
+
   // ---- DuckDB cosine twins (single source of truth; used by the
   // Vectors / Scale / Dedup oracle builders — one drifting copy of this
   // fold would silently break a hash match). Same sequential

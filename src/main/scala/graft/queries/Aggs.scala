@@ -379,9 +379,12 @@ object Aggs extends Q.Module {
   //     rounded from identical inputs. Guards make the result total:
   //     n>=2 (a lone order has no sample std) and sigma>0, spelled
   //     identically on both sides so the row set matches exactly.
-  //     At 100 TB, sum(cents²) per group can exceed 2^63 around 2.5e3
-  //     rows·(6e7 cents)² — production would widen that one sum to
-  //     decimal(38,0), which stays exact integer arithmetic.
+  //     The cents² SUM runs in decimal(38,0) (q131's idiom): each product
+  //     fits a LONG but the per-group sum crosses 2^63 around 2.5e3
+  //     rows·(6e7 cents)² — Spark under ANSI would error where DuckDB
+  //     silently widens to HUGEINT. Both engines cast their exact integer
+  //     sum to double with one correctly-rounded op, so the hash match
+  //     survives any group size (OperatorPropertySpec pins a >2^63 case).
   private val q121 = Q(
     "q121_group_transform_zscore",
     "A12 groupby.transform: per-customer z-score joined back to rows",
@@ -390,7 +393,8 @@ object Aggs extends Q.Module {
       val o = Tables.orders(s, d).withColumn("cents", cents)
       val stats = o.groupBy(col("o_custkey"))
         .agg(sum(col("cents")).cast("double").as("sx"),
-          sum(col("cents") * col("cents")).cast("double").as("sxx"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+            .cast("double").as("sxx"),
           count(lit(1)).cast("double").as("n"))
         .select(col("o_custkey"), (col("sx") / col("n")).as("mu"),
           sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
@@ -552,7 +556,7 @@ object Aggs extends Q.Module {
     (s, d) => {
       val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
       val stats = Tables.orders(s, d)
-        .select(when(pmod(col("o_orderkey") * lit(2654435761L), lit(100)) < 50, "A")
+        .select(when(hashMod(col("o_orderkey"), 100) < 50, "A")
           .otherwise("B").as("variant"), cents.as("cents"))
         .groupBy(col("variant"))
         .agg(count(lit(1)).cast("double").as("n"),
@@ -577,7 +581,7 @@ object Aggs extends Q.Module {
             / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))).as("t_stat"))
     },
     Some("""WITH t AS (SELECT
-        CASE WHEN (o_orderkey * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END AS variant,
+        CASE WHEN (CAST(o_orderkey AS HUGEINT) * 2654435761) % 100 < 50 THEN 'A' ELSE 'B' END AS variant,
         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM orders),
     stats AS (SELECT variant,

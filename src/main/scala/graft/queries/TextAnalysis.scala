@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.dsl.hashMod
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -357,8 +358,9 @@ object TextAnalysis extends Q.Module {
       // so the helper's corpus-wide shuffle would cost more than it buys.
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), pct.as("target_pct"),
-          (pmod(col("doc_id") * lit(2654435761L), lit(100)) < col("target_pct"))
-            .as("keep"))
+          // dsl.hashMod: the multiply runs in decimal so billion-scale
+          // doc_ids cannot overflow LONG under ANSI (DuckDB widens).
+          (hashMod(col("doc_id"), 100) < col("target_pct")).as("keep"))
         .groupBy(col("source"), col("target_pct"))
         .agg(count(lit(1)).as("n_total"),
           count(when(col("keep"), lit(1))).as("n_kept"))
@@ -369,7 +371,7 @@ object TextAnalysis extends Q.Module {
     Some("""WITH t AS (SELECT doc_id, source,
         CAST(20 + (7 * COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS INT), 0)) % 60
           AS BIGINT) AS target_pct,
-        (doc_id * 2654435761) % 100
+        (CAST(doc_id AS HUGEINT) * 2654435761) % 100
           < 20 + (7 * COALESCE(TRY_CAST(regexp_extract(source, '[0-9]+') AS INT), 0)) % 60 AS keep
       FROM documents)
     SELECT source, target_pct, COUNT(*) AS n_total,
@@ -773,6 +775,14 @@ object TextAnalysis extends Q.Module {
           transform(sequence(lit(0), floor((size(col("ws")) + 7) / 8).cast("int") - 1),
             j => concat_ws(" ", slice(col("ws"), j * 8 + 1, lit(8))))))
         .withColumnRenamed("pos", "j").withColumnRenamed("col", "para")
+        // LIMIT of the composite key (dsl.scala-style note): j must fit
+        // the 2^20 field, i.e. <= 2^20 aligned 8-word paragraphs per doc
+        // (~8.4M words); beyond that j bleeds into the doc_id field and
+        // "first occurrence" silently mis-orders. doc_id must stay under
+        // 2^43 for the product to fit a LONG. Production at bigger docs
+        // widens the shift to 2^33 with the product in DECIMAL(38,0)
+        // (both engines exact); the fixture's ~500-word docs sit 4 orders
+        // of magnitude below the bound.
         .withColumn("k", col("doc_id") * lit(1048576L) + col("j"))
       val firsts = paras.groupBy(col("para"))
         .agg(min(col("k")).as("first_k"))
@@ -834,8 +844,7 @@ object TextAnalysis extends Q.Module {
       docs(s, d).select(col("doc_id"), col("source"))
         .join(broadcast(rates), Seq("source"))
         .withColumn("keep",
-          pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
-            < col("rate") * lit(1000000.0))
+          hashMod(col("doc_id"), 1000000L) < col("rate") * lit(1000000.0))
         .groupBy(col("source"), col("rate"))
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("keep"), lit(1))).as("n_kept"))
@@ -848,7 +857,7 @@ object TextAnalysis extends Q.Module {
     r AS (SELECT source, n,
         LEAST(1.0, 2000.0 * (sq / tot) / n) AS rate FROM c, t),
     k AS (SELECT d.source, r.rate,
-        CASE WHEN (d.doc_id * 2654435761) % 1000000 < r.rate * 1000000.0
+        CASE WHEN (CAST(d.doc_id AS HUGEINT) * 2654435761) % 1000000 < r.rate * 1000000.0
           THEN 1 END AS kept
       FROM documents d JOIN r USING (source))
     SELECT source, COUNT(*) AS n_docs, rate, COUNT(kept) AS n_kept

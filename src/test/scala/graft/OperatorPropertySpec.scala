@@ -298,8 +298,58 @@ class OperatorPropertySpec extends SparkSuite {
       // block); only the tiny block-offsets window is global
       val plan = SparkEntry.queries("q135_global_row_index")(spark, dir)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("windowspecdefinition(block#"),
-        "corpus-side window lost its block partitioning")
+      // Must match PARTITION BY block: the partition column printed first,
+      // then the sort keys. A bare "windowspecdefinition(block#" would
+      // also match the tiny block-offsets window's ORDER BY block spec,
+      // so it could not detect the corpus-side window losing its
+      // partitioning — anchor on the partition+sort sequence instead.
+      assert("""windowspecdefinition\(block#\d+L?, l_orderkey#""".r
+        .findFirstIn(plan).nonEmpty,
+        s"corpus-side window lost its block partitioning:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("q121 z-score survives group moment sums past 2^63 (decimal widening)") {
+    import spark.implicits._
+    val rng = new Random(93)
+    // 4 customers x 2900 max-scale prices: sum(cents^2) per group ~ 9.6e18
+    // > Long.MaxValue — the exact overflow class q131 hit at sf0.1. Under
+    // ANSI a LONG sum would error; the decimal(38,0) widening must stay
+    // exact and round to double identically to an unbounded-integer mirror.
+    val rows = for {
+      cust <- 1L to 4L
+      i <- 1 to 2900
+    } yield (cust * 100000 + i, cust, // unique orderkey, custkey
+      (550000.0 + rng.nextInt(5000000) / 100.0)) // 2-decimal prices ~ 5.5-6e5
+    val dir = java.nio.file.Files.createTempDirectory("zscore").toString
+    try {
+      rows.toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val got = SparkEntry.queries("q121_group_transform_zscore")(spark, dir)
+        .as[(Long, Long, Double)].collect()
+        .map { case (ok, _, z) => (ok, z) }.toMap
+      // naive mirror: exact BigInt moments, then the same double formula
+      def centsOf(price: Double): BigInt =
+        (BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt
+      val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val cents = g.map(r => centsOf(r._3))
+        val n = cents.size.toDouble
+        val sx = BigDecimal(cents.sum).toDouble
+        val sxx = BigDecimal(cents.map(c => c * c).sum).toDouble
+        assert(cents.map(c => c * c).sum > BigInt(Long.MaxValue),
+          "test data no longer crosses 2^63 — raise row count or prices")
+        val mu = sx / n
+        val sigma = math.sqrt((sxx - sx * sx / n) / (n - 1.0))
+        g.map(r => r._1 -> (centsOf(r._3).toDouble - mu) / sigma)
+      }
+      assert(got.size == want.size)
+      want.foreach { case (ok, z) =>
+        assert(got(ok) == z, s"orderkey $ok: got ${got(ok)}, want $z") }
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
