@@ -241,12 +241,13 @@ object Dedup extends Q.Module {
     * width-column aggregate instead of explode(0..width-1): the per-bit
     * weighted sums all fold in the same HashAggregate pass, so the word
     * stream is scanned once at 1× volume (the explode form multiplied it
-    * 32-fold — it was the round-2 profile's hot spot). Width 32 is the
-    * fixture/oracle geometry; width 64 (bits 0-31 from md5 hex chars
-    * 1-8, bits 32-63 from chars 9-16 — independent slices of the same
-    * digest) is the 1e9-doc production geometry the banding scaladoc
-    * promises: double the fingerprint, same per-row cost, one md5 (CSE
-    * collapses the two substring() calls onto a single digest). The fp
+    * 32-fold — it was the round-2 profile's hot spot). Width 64 (bits
+    * 0-31 from md5 hex chars 1-8, bits 32-63 from chars 9-16 —
+    * independent slices of the same digest) is the registry/oracle
+    * default since round 6, the 1e9-doc production geometry: double the
+    * fingerprint, same per-row cost, one md5 (CSE collapses the two
+    * substring() calls onto a single digest). Width 32 remains for the
+    * narrow-geometry tests (SimhashWidthSpec). The fp
     * assembles with bitwiseOR of disjoint one-bit masks, so bit 63
     * (sign) needs no overflow-sensitive arithmetic. Shared by q49
     * (whole-text near-dup) and q78/q84 (head-prefix candidates). */
@@ -278,46 +279,77 @@ object Dedup extends Q.Module {
     * agree on all of them). Band extraction is an UNSIGNED shift so a
     * 64-bit fingerprint with the sign bit set still yields non-negative
     * band values. Band geometry is the dial that trades recall against
-    * in-bucket pair volume: q49 uses 4×8 over 32 bits (Hamming<=3
-    * guarantee, 256 buckets/band), the q78/q84 candidate generators use
-    * 2×16 (65536 buckets/band — ~100× fewer band collisions at the same
-    * N, exact-dup recall kept). At 1e9 docs: width=64 with 4×16 bands —
-    * same Hamming<=3 guarantee as q49 at 65536 buckets/band
-    * (SimhashWidthSpec exercises both geometries). */
+    * in-bucket pair volume: q49/q78/q84 all run the production 4×16 over
+    * 64 bits (Hamming<=3 pigeonhole guarantee at 65536 buckets/band —
+    * band cardinality that keeps in-bucket pair volume sub-quadratic out
+    * to 1e9 docs, where the old 4×8/32-bit shape saturated at 256
+    * buckets). SimhashWidthSpec keeps BOTH geometries equal to
+    * brute-force banding. */
   private[graft] def simhashBanded(fp: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
     fp.select(col("doc_id"), col("fp"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bandval", expr(s"shiftrightunsigned(fp, b * $bits) % ${1L << bits}"))
 
-  /** DuckDB twin of simhashFp + simhashBanded: CTEs wc/bits/fp/banded over
-    * `src`'s (doc_id, `headExpr`) rows. */
+  /** DuckDB twin of the 64-bit simhashFp + simhashBanded: CTEs
+    * wc/bits/fp/banded over `src`'s (doc_id, `headExpr`) rows.
+    *
+    * The fingerprint lives as TWO non-negative 32-bit halves (fplo/fphi):
+    * DuckDB BIGINT cannot materialize bit 63 (`1::BIGINT << 63` and
+    * `power(2,63)::BIGINT` both overflow, and there is no unsigned
+    * shift), so the oracle never packs the signed 64-bit word Spark
+    * uses — hamming is the sum of the halves' bit_counts and each band
+    * extracts from the half that covers it. Bijective with Spark's
+    * packed long; band geometry must not straddle the 32-bit boundary
+    * (true for the 16-bit bands at offsets 0/16/32/48 used here). */
   private def simhashSql(src: String, headExpr: String,
-      bands: Int = 4, bits: Int = 8): String =
+      bands: Int = 4, bits: Int = 16): String = {
+    require(bands * bits <= 64 && bits <= 32 &&
+      (0 until bands).forall(b => b * bits % 32 + bits <= 32),
+      s"band geometry ${bands}x$bits straddles the 32-bit oracle halves")
     s"""wc AS (
       SELECT doc_id, word, COUNT(*) cnt,
         CAST(list_sum(list_transform(generate_series(1, 8),
           k -> (strpos('0123456789abcdef', substr(md5(word), k, 1)) - 1)
-               * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) AS h32
+               * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) AS h32,
+        CAST(list_sum(list_transform(generate_series(1, 8),
+          k -> (strpos('0123456789abcdef', substr(md5(word), k + 8, 1)) - 1)
+               * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) AS hhi
       FROM (SELECT doc_id, unnest(string_split($headExpr, ' ')) AS word FROM $src)
       GROUP BY doc_id, word),
     bits AS (SELECT doc_id, j,
-        SUM(cnt * (((h32 // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)) AS sj
-      FROM wc, (SELECT unnest(generate_series(0, 31)) AS j)
+        SUM(cnt * ((((CASE WHEN j < 32 THEN h32 ELSE hhi END)
+          // CAST(power(2, j % 32) AS BIGINT)) % 2) * 2 - 1)) AS sj
+      FROM wc, (SELECT unnest(generate_series(0, 63)) AS j)
       GROUP BY doc_id, j),
     fp AS (SELECT doc_id,
-        CAST(SUM(CASE WHEN sj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+        CAST(SUM(CASE WHEN j < 32 AND sj > 0
+          THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS fplo,
+        CAST(SUM(CASE WHEN j >= 32 AND sj > 0
+          THEN CAST(power(2, j - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS fphi
       FROM bits GROUP BY doc_id),
-    banded AS (SELECT doc_id, fp, b, (fp // CAST(power(2, b * $bits) AS BIGINT)) % ${1L << bits} AS bandval
+    banded AS (SELECT doc_id, fplo, fphi, b,
+        CASE WHEN b * $bits < 32
+          THEN (fplo // CAST(power(2, b * $bits) AS BIGINT)) % ${1L << bits}
+          ELSE (fphi // CAST(power(2, b * $bits - 32) AS BIGINT)) % ${1L << bits}
+        END AS bandval
       FROM fp, (SELECT unnest(generate_series(0, ${bands - 1})) AS b))"""
+  }
 
   // --- q49: SimHash fingerprints + banded Hamming near-dup.
-  //     32-bit fingerprint (simhashFp), 4 bands of 8 bits (simhashBanded).
+  //     64-bit fingerprint (simhashFp), 4 bands of 16 bits — the
+  //     production geometry (registry default since round 6): same
+  //     Hamming<=3 pigeonhole guarantee as the old 4×8/32-bit shape at
+  //     65536 buckets per band, so band cardinality no longer saturates
+  //     at 256 buckets — the cap that made the narrow geometry collapse
+  //     into quadratic in-bucket pair volume well below 1e9 docs.
+  //     (SimhashWidthSpec keeps both geometries equal to brute force.)
   private val q49 = Q(
     "q49_dedup_simhash",
-    "✦ SimHash: 32-bit weighted fingerprint, banded pairs hamming <= 3",
+    "✦ SimHash: 64-bit weighted fingerprint, 4x16 bands, hamming <= 3",
     (s, d) => {
       val banded = simhashBanded(simhashFp(
         Tables.fanOut(Tables.documents(s, d))
-          .select(col("doc_id"), col("text")), "text"))
+          .select(col("doc_id"), col("text")), "text", width = 64),
+        bands = 4, bits = 16)
       // Filter BEFORE distinct: bit_count is a one-instruction projection
       // per banded pair, so applying the hamming cutoff first shrinks the
       // distinct's shuffle to the (tiny) survivor set instead of deduping
@@ -333,9 +365,11 @@ object Dedup extends Q.Module {
     },
     Some(s"""WITH ${simhashSql("documents", "text")}
     SELECT DISTINCT a.doc_id da, b.doc_id db,
-      CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      CAST(bit_count(xor(a.fplo, b.fplo)) + bit_count(xor(a.fphi, b.fphi))
+        AS INT) AS hamming
     FROM banded a JOIN banded b USING(b, bandval)
-    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.fplo, b.fplo)) + bit_count(xor(a.fphi, b.fphi)) <= 3
     ORDER BY da, db"""))
 
   // --- q50: embedding-cosine near-dup, blocked by label (the realistic
@@ -409,12 +443,13 @@ object Dedup extends Q.Module {
   //     source) scheme has O(1) blocks so in-block pair volume grows
   //     O(N²) (at 1e9 docs the lang='en' block alone is ~1e17 pairs),
   //     while band-key cardinality scales with fingerprint width — the
-  //     dial that grows with the corpus. 2 bands × 16 bits here: 65536
-  //     buckets per band keep band collisions sparse, and identical
-  //     heads share both bands, so distance-0 pairs always survive
-  //     candidate generation; recall of distance>0 pairs is the standard
-  //     LSH trade tuned by band geometry (4×8 would guarantee
-  //     Hamming<=3 at ~100× the candidate volume — see simhashBanded).
+  //     dial that grows with the corpus. 4 bands × 16 bits over the
+  //     64-bit fingerprint (registry default since round 6): 65536
+  //     buckets per band keep band collisions sparse, identical heads
+  //     share ALL bands so distance-0 pairs always survive candidate
+  //     generation, and pigeonhole guarantees any Hamming<=3 fingerprint
+  //     pair a shared band; recall of farther pairs is the standard LSH
+  //     trade tuned by band geometry (see simhashBanded).
   //     The 3-arg `levenshtein(a, b, k)` builtin verifies
   //     candidates with a banded early-exit O(k·n) scan (-1 beyond k)
   //     instead of the 2-arg form's full O(n·m) matrix. Corpus doubled
@@ -437,7 +472,8 @@ object Dedup extends Q.Module {
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("head")))
         .persist()
-      val banded = simhashBanded(simhashFp(corpus, "head"), bands = 2, bits = 16)
+      val banded = simhashBanded(simhashFp(corpus, "head", width = 64),
+        bands = 4, bits = 16)
       val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
         .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
           Seq("b", "bandval"))
@@ -456,7 +492,7 @@ object Dedup extends Q.Module {
       UNION ALL
       SELECT doc_id + 10000, substr(text, 1, 40)
       FROM documents WHERE doc_id % 10 = 0),
-    ${simhashSql("corpus", "head", bands = 2, bits = 16)},
+    ${simhashSql("corpus", "head")},
     cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
              FROM banded a JOIN banded b USING(b, bandval)
              WHERE a.doc_id < b.doc_id)
@@ -487,7 +523,8 @@ object Dedup extends Q.Module {
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("head")))
         .persist()
-      val banded = simhashBanded(simhashFp(corpus, "head"), bands = 2, bits = 16)
+      val banded = simhashBanded(simhashFp(corpus, "head", width = 64),
+        bands = 4, bits = 16)
       val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
         .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
           Seq("b", "bandval"))
@@ -506,7 +543,7 @@ object Dedup extends Q.Module {
       UNION ALL
       SELECT doc_id + 10000, substr(text, 1, 24)
       FROM documents WHERE doc_id % 10 = 0),
-    ${simhashSql("corpus", "head", bands = 2, bits = 16)},
+    ${simhashSql("corpus", "head")},
     cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
              FROM banded a JOIN banded b USING(b, bandval)
              WHERE a.doc_id < b.doc_id)
