@@ -626,6 +626,56 @@ object Events extends Q.Module {
       string_split(event_type, 'i')[2] AS second_tok
     FROM events ORDER BY event_id"""))
 
+  // --- q146: resample + DOWNSAMPLE aggregation — pandas/dask
+  //     `resample('1D').sum()/count()`, the more common resample call
+  //     (q93 covers the upsample+ffill direction). One date-bucket
+  //     group-by per (event_type, day) — partial-aggregated map-side,
+  //     one shuffle of aggregate-sized data — plus q93's dense-grid
+  //     idiom (bounds as a broadcast 1-row aggregate, explode(sequence))
+  //     so empty days report n=0 / sum=0 exactly as pandas emits them.
+  //     Bucket arithmetic stays in integer µs; sums are decimal-exact
+  //     (dsum). The grid is generated, never driver-materialized, and is
+  //     days×types-sized — trivial at any corpus scale.
+  private val q146 = Q(
+    "q146_resample_daily_sum",
+    "ST1: resample('1D').sum()/count() per event_type (downsample twin of q93)",
+    (s, d) => {
+      val stepUs = 86400000000L
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"(ts div 1000) div $stepUs").as("bucket"), col("value"))
+      val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      val agg = e.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("nn"), dsum(col("value")).as("sv"))
+      grid.join(agg, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"),
+          timestamp_micros(col("bucket") * stepUs).cast("timestamp_ntz").as("day"),
+          coalesce(col("nn"), lit(0L)).as("n"),
+          coalesce(col("sv"), lit(0.0)).as("day_value"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS bucket, value FROM events),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM e),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM e) t,
+        (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                       (SELECT hi FROM bounds))) AS bucket) g),
+    agg AS (SELECT event_type, bucket, COUNT(*) AS nn,
+        ${dsumSql("value")} AS sv
+      FROM e GROUP BY 1, 2)
+    SELECT grid.event_type AS event_type,
+      make_timestamp(grid.bucket * 86400000000) AS day,
+      CAST(COALESCE(agg.nn, 0) AS BIGINT) AS n,
+      COALESCE(agg.sv, 0.0) AS day_value
+    FROM grid LEFT JOIN agg USING(event_type, bucket)
+    ORDER BY event_type, day"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
-    q106, q108, q125, q127, q128, q139)
+    q106, q108, q125, q127, q128, q139, q146)
 }

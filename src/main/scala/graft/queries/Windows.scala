@@ -287,6 +287,54 @@ object Windows extends Q.Module {
         AS ema
     FROM l ORDER BY user_id"""))
 
+  // --- q145: EWM VARIANCE / STD (pandas `ewm(alpha, adjust=False).var()`,
+  //     bias=False) — the next thing a q105 user types. Same two-phase
+  //     block fold, now over all three moment sums (ewmMomentsTwoPhase):
+  //     var = (Σw·x² − (Σw·x)²) / (1 − Σw²) since Σw = 1 — the debias
+  //     factor (Σw)²/((Σw)²−Σw²) with the weight-squared sum folded
+  //     exactly like the mean (decay (1−α)² instead of (1−α)). The
+  //     oracle stays the NAIVE sequential recurrence (list_reduce seeded
+  //     by the first element), so the hash match PROVES the three-fold
+  //     decomposition equals the one-pass form; compared columns are
+  //     rounded to 6 digits on both engines (q105's regrouped-double
+  //     rule), with variance clamped at 0 BEFORE rounding (Σw·x² ≥
+  //     (Σw·x)² can dip an ulp under 0 on constant series, and sqrt
+  //     must never see it). Single-event keys report NULL (no sample
+  //     variance), spelled identically in both engines.
+  private val q145 = Q(
+    "q145_ewm_var",
+    "W-family ✦: per-key EWM variance/std via two-phase moment fold",
+    (s, d) => {
+      val t = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val varRaw = (col("ems2") - col("ema") * col("ema")) /
+        (lit(1.0) - col("sw2"))
+      val varCol = when(col("n_events") >= 2,
+        round(greatest(varRaw, lit(0.0)), 6))
+      ewmMomentsTwoPhase(t, alpha = 0.25, blockRows = 64)
+        .select(col("user_id"), col("n_events"),
+          varCol.as("ewm_var"), round(sqrt(varCol), 6).as("ewm_std"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH l AS (SELECT user_id,
+        list(value ORDER BY ts, event_id) AS xs, COUNT(*) AS n
+      FROM events GROUP BY user_id),
+    m AS (SELECT user_id, n,
+      list_reduce(xs, (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE) AS ema,
+      list_reduce(list_transform(xs, x -> x * x),
+        (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE) AS ems2,
+      list_reduce(list_concat([1.0::DOUBLE],
+          list_transform(xs[2:], x -> 0.0625::DOUBLE)),
+        (acc, w) -> acc * 0.5625::DOUBLE + w) AS sw2
+      FROM l),
+    v AS (SELECT user_id, n,
+      CASE WHEN n >= 2 THEN
+        ROUND(GREATEST((ems2 - ema * ema) / (1.0 - sw2), 0.0), 6) END AS ewm_var
+      FROM m)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, ewm_var,
+      ROUND(SQRT(ewm_var), 6) AS ewm_std
+    FROM v ORDER BY user_id"""))
+
   /** Scale-safe per-key EMA over (user_id, ts, event_id, value) rows:
     * returns (user_id, n_events, ema) where ema equals the sequential
     * recurrence ema_i = α·x_i + (1−α)·ema_{i−1} seeded with the key's
@@ -309,7 +357,32 @@ object Windows extends Q.Module {
     * window (one shuffle + partition-local sort, O(1) state), giving a
     * HARD blockRows bound per block regardless of timestamp skew. */
   private[graft] def emaTwoPhase(events: org.apache.spark.sql.DataFrame,
+      alpha: Double, blockRows: Int): org.apache.spark.sql.DataFrame =
+    ewmMomentsTwoPhase(events, alpha, blockRows)
+      .select(col("user_id"), col("n_events"), col("ema"))
+
+  /** The q105 two-phase block fold generalized to ALL three EWM moment
+    * sums (q145 consumes the full set; q105 selects just `ema`):
+    * returns (user_id, n_events, ema, ems2, sw2) where, over the key's
+    * values x in (ts, event_id) order with adjust=False weights
+    * (w₁ = (1−α)^{n−1}, wᵢ = α(1−α)^{n−i}, Σw = 1):
+    *   ema  = Σ wᵢ·xᵢ   (the q105 recurrence),
+    *   ems2 = Σ wᵢ·xᵢ²  (same fold on squares — same decay (1−α)),
+    *   sw2  = Σ wᵢ²     (fold with decay (1−α)², step α², seed 1).
+    * Each is a fold f(acc,·) = d·acc + s whose block decomposition is
+    * the q105 algebra verbatim (acc₀·d^m + fold-from-0), so per-task
+    * state stays bounded by blockRows. Seed corrections: the fold from 0
+    * gives the first element step-weight α (resp. α²) where the
+    * recurrence seeds with weight 1, so the difference — x₁(1−α)·Πdecay
+    * factors as x₁·Πdecay with Πdecay = (1−α)^n (q105's note), x₁²
+    * likewise over decay, and for sw2 the weight-squared gap
+    * (1−α)^{2(n−1)}(1−α²) = Πdecay2·(1−α²)/(1−α)². (1−α)^m runs as m
+    * sequential multiplies, not pow(): bit-stable, no libm. */
+  private[graft] def ewmMomentsTwoPhase(events: org.apache.spark.sql.DataFrame,
       alpha: Double, blockRows: Int): org.apache.spark.sql.DataFrame = {
+    val d1 = 1 - alpha
+    val d2 = d1 * d1
+    val a2 = alpha * alpha
     val wKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val t = events.withColumn("block",
       ((row_number().over(wKey) - 1) / blockRows).cast("long"))
@@ -319,24 +392,36 @@ object Windows extends Q.Module {
       .select(col("user_id"), col("block"),
         size(col("xs")).cast("long").as("m"),
         aggregate(col("xs"), lit(0.0),
-          (acc, x) => acc * lit(1 - alpha) + x.getField("value") * lit(alpha))
-          .as("part"),
-        // (1−α)^m as m sequential multiplies, not pow(): bit-stable and
-        // free of libm differences; m <= blockRows keeps the fold short.
-        aggregate(col("xs"), lit(1.0), (acc, _) => acc * lit(1 - alpha))
+          (acc, x) => acc * lit(d1) + x.getField("value") * lit(alpha))
+          .as("part1"),
+        aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc * lit(d1)
+            + x.getField("value") * x.getField("value") * lit(alpha))
+          .as("part2"),
+        aggregate(col("xs"), lit(0.0), (acc, _) => acc * lit(d2) + lit(a2))
+          .as("partw2"),
+        aggregate(col("xs"), lit(1.0), (acc, _) => acc * lit(d1))
           .as("decay"),
+        aggregate(col("xs"), lit(1.0), (acc, _) => acc * lit(d2))
+          .as("decay2"),
         when(col("block") === 0, element_at(col("xs"), 1).getField("value"))
           .as("x1"))
+    val x1 = element_at(col("bs"), 1).getField("x1")
+    def foldPart(part: String, decay: String) =
+      aggregate(col("bs"), lit(0.0),
+        (acc, b) => acc * b.getField(decay) + b.getField(part))
+    def foldDecay(decay: String) =
+      aggregate(col("bs"), lit(1.0), (acc, b) => acc * b.getField(decay))
     blk.groupBy(col("user_id"))
       .agg(sum(col("m")).as("n_events"),
         array_sort(collect_list(
-          struct(col("block"), col("part"), col("decay"), col("x1")))).as("bs"))
+          struct(col("block"), col("part1"), col("part2"), col("partw2"),
+            col("decay"), col("decay2"), col("x1")))).as("bs"))
       .select(col("user_id"), col("n_events"),
-        (aggregate(col("bs"), lit(0.0),
-          (acc, b) => acc * b.getField("decay") + b.getField("part"))
-          + element_at(col("bs"), 1).getField("x1")
-            * aggregate(col("bs"), lit(1.0),
-                (acc, b) => acc * b.getField("decay"))).as("ema"))
+        (foldPart("part1", "decay") + x1 * foldDecay("decay")).as("ema"),
+        (foldPart("part2", "decay") + x1 * x1 * foldDecay("decay")).as("ems2"),
+        (foldPart("partw2", "decay2")
+          + foldDecay("decay2") * lit((1 - alpha * alpha) / d2)).as("sw2"))
   }
 
   // --- q120: ROLLING MEDIAN — pandas `rolling(5).median()` per customer.
@@ -459,5 +544,5 @@ object Windows extends Q.Module {
       l_quantity, l_extendedprice"""))
 
   def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105, q120,
-    q142)
+    q142, q145)
 }

@@ -222,6 +222,56 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  // q145's generalized moment folds: ema, Σw·x² and Σw² from the same
+  // two-phase decomposition must equal the naive sequential recurrences
+  // (and the derived variance must match a naive weighted-moment mirror)
+  // across the same block-boundary lengths as the EMA test.
+  test("two-phase EWM moments (q145) == naive sequential recurrences") {
+    import spark.implicits._
+    val rng = new Random(29)
+    val alpha = 0.25
+    val lens = Seq(1, 2, 63, 64, 65, 129, 5000)
+    val data = lens.zipWithIndex.flatMap { case (n, k) =>
+      (0 until n).map { i =>
+        (k.toLong, math.abs(rng.nextLong()) % 1000000000L,
+          (k * 100000 + i).toLong,
+          math.round(rng.nextDouble() * 20000) / 100.0)
+      }
+    }
+    val df = data.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.queries.Windows.ewmMomentsTwoPhase(df, alpha, blockRows = 64)
+      .select("user_id", "n_events", "ema", "ems2", "sw2")
+      .as[(Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    data.groupBy(_._1).foreach { case (k, g) =>
+      val xs = g.sortBy(r => (r._2, r._3)).map(_._4)
+      val ema = xs.tail.foldLeft(xs.head)((acc, x) => acc * (1 - alpha) + x * alpha)
+      val ems2 = xs.tail.foldLeft(xs.head * xs.head)(
+        (acc, x) => acc * (1 - alpha) + x * x * alpha)
+      val sw2 = xs.tail.foldLeft(1.0)(
+        (acc, _) => acc * (1 - alpha) * (1 - alpha) + alpha * alpha)
+      val (gn, gema, gems2, gsw2) = got(k)
+      assert(gn == xs.size.toLong)
+      def close(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"key $k $what: $a vs $b")
+      close(gema, ema, "ema"); close(gems2, ems2, "ems2"); close(gsw2, sw2, "sw2")
+      // and the derived unbiased variance against an explicit-weight mirror
+      if (xs.size >= 2) {
+        val n = xs.size
+        val w = (1 to n).map(i =>
+          if (i == 1) math.pow(1 - alpha, n - 1)
+          else alpha * math.pow(1 - alpha, n - i))
+        val mu = w.zip(xs).map { case (a, b) => a * b }.sum
+        val varW = w.zip(xs).map { case (a, b) => a * b * b }.sum - mu * mu
+        val unb = varW / (1 - w.map(a => a * a).sum)
+        val gotVar = (gems2 - gema * gema) / (1 - gsw2)
+        assert(math.abs(gotVar - unb) <= 1e-6 * math.max(1.0, math.abs(unb)),
+          s"key $k var: $gotVar vs $unb")
+      }
+    }
+  }
+
   // A7 one-call form: q32 reconstructs describe() from explicit aggs for
   // the oracle; this exercises the actual builtins' stat surface.
   test("df.summary()/describe() builtins expose the A7 stat rows") {
