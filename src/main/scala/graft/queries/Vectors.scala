@@ -132,27 +132,60 @@ object Vectors extends Q.Module {
       WHERE q.vec_id < 20)
     WHERE rank <= 5 ORDER BY qid, rank"""))
 
-  // --- q45: per-label centroid (mean vector). Row-order-dependent double
-  //     sums across rows → no cross-engine oracle; driver records rows>0.
-  //     Output stays in (label, pos, mean_v) long format — all-scalar
-  //     columns the rows-only check can sort and hash (an ARRAY<DOUBLE>
-  //     column crashed the harness's pandas sort in round 1). The array
-  //     re-assembly is one extra groupBy(label) + array_sort(collect_list)
-  //     when a caller wants the packed vector.
-  //     Plan shape: posexplode → (label, dim) partial/final agg; scales as
-  //     sum, not as collect.
+  // --- q45: per-label centroid (mean vector). `avg(double)` across rows
+  //     is addition-order dependent, so through round 5 this was a
+  //     rows-only query. Oracle-grade since round 6 via the repo's
+  //     sequential-fold discipline (q105's two-phase shape): per
+  //     (label, pos, block = vec_id div 64) the values fold left-to-right
+  //     in vec_id order (bounded ≤64-element lists), then the block
+  //     partials fold in block order — and the DuckDB twin spells the
+  //     SAME blocked grouping, so both engines execute identical fold
+  //     trees and the means are bit-identical with NO rounding. (Unlike
+  //     q105 there is no recurrence to prove, so mirroring the blocking
+  //     in the oracle is legitimate — the check proves cross-engine
+  //     executability, not a decomposition.) The single mean division is
+  //     one identical double op. Output stays in (label, pos, mean_v)
+  //     long format — all-scalar columns (an ARRAY<DOUBLE> column
+  //     crashed the harness's pandas sort in round 1); re-assembly is
+  //     one groupBy(label) + array_sort(collect_list) away. Scale: the
+  //     only lists are per-(label,pos,block) ≤64 values and the
+  //     block-partials frame at corpus/64 structs per (label,pos) — an
+  //     adversarially deep corpus applies the same decomposition
+  //     recursively (q105's note).
   private val q45 = Q(
     "q45_vector_centroid",
-    "array: per-label mean embedding via posexplode (no oracle: fp sums)",
+    "array: per-label mean embedding, blocked sequential fold (exact oracle)",
     (s, d) => {
-      Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("mean_v"))
-        .select(col("label"), col("pos").cast("int").as("pos"), col("mean_v"))
+      val t = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"), expr("vec_id div 64").as("block"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+      val parts = t.groupBy(col("label"), col("pos"), col("block"))
+        .agg(count(lit(1)).as("m"),
+          array_sort(collect_list(struct(col("vec_id"), col("v")))).as("xs"))
+        .select(col("label"), col("pos"), col("block"), col("m"),
+          aggregate(col("xs"), lit(0.0),
+            (acc, x) => acc + x.getField("v").cast("double")).as("part"))
+      parts.groupBy(col("label"), col("pos"))
+        .agg(sum(col("m")).as("n"),
+          array_sort(collect_list(struct(col("block"), col("part")))).as("bs"))
+        .select(col("label"), col("pos").cast("int").as("pos"),
+          (aggregate(col("bs"), lit(0.0),
+            (acc, b) => acc + b.getField("part")) / col("n")).as("mean_v"))
         .orderBy(col("label"), col("pos"))
     },
-    None)
+    Some("""WITH x AS (
+      SELECT label, vec_id, vec_id // 64 AS block,
+        unnest(generate_series(1, len(embedding))) AS p,
+        unnest(embedding) AS v
+      FROM embeddings),
+    parts AS (
+      SELECT label, p, block, COUNT(*) AS m,
+        list_sum(list_transform(list(v ORDER BY vec_id),
+          y -> CAST(y AS DOUBLE))) AS part
+      FROM x GROUP BY label, p, block)
+    SELECT label, CAST(p - 1 AS INT) AS pos,
+      list_sum(list(part ORDER BY block)) / SUM(m) AS mean_v
+    FROM parts GROUP BY label, p ORDER BY label, pos"""))
 
   // --- q57: LSH-bucketed ANN — the scale path for q44. Sign-random-
   //     projection with 32 pseudo-random hyperplanes (md5-derived ±1
