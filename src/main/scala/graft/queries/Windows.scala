@@ -335,6 +335,98 @@ object Windows extends Q.Module {
       ROUND(SQRT(ewm_var), 6) AS ewm_std
     FROM v ORDER BY user_id"""))
 
+  // --- q147: pandas-DEFAULT EWM (`ewm(alpha).mean()/var()/std()` with
+  //     adjust=True, the form users actually get without flags) — the
+  //     un-adjusted q105/q145 recurrences seed on the first value, while
+  //     adjust=True is a plain decaying weighted average: w_i = (1−α)^{n−i},
+  //     mean = Σw·x / Σw, var = (Σw·x²/Σw − mean²)·(Σw)²/((Σw)²−Σw²).
+  //     All four sums (S, W, S2, W2) are geometric folds FROM ZERO — no
+  //     seed corrections at all — so the q105 block decomposition applies
+  //     verbatim (ewmAdjustedTwoPhase). The oracle runs the naive
+  //     fold-from-0 recurrences (list_reduce with a prepended 0 as init);
+  //     compared columns rounded to 6 digits, variance clamped at 0
+  //     before rounding, single-event keys NULL — q145's conventions.
+  private val q147 = Q(
+    "q147_ewm_adjusted",
+    "W-family ✦: pandas-default ewm (adjust=True) mean/var/std, two-phase",
+    (s, d) => {
+      val t = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val mean = col("sx") / col("sw")
+      val varRaw = (col("sx2") / col("sw") - mean * mean) *
+        (col("sw") * col("sw")) /
+        (col("sw") * col("sw") - col("sw2"))
+      val varCol = when(col("n_events") >= 2,
+        round(greatest(varRaw, lit(0.0)), 6))
+      ewmAdjustedTwoPhase(t, alpha = 0.25, blockRows = 64)
+        .select(col("user_id"), col("n_events"),
+          round(mean, 6).as("ewm_mean"),
+          varCol.as("ewm_var"), round(sqrt(varCol), 6).as("ewm_std"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH l AS (SELECT user_id,
+        list(value ORDER BY ts, event_id) AS xs, COUNT(*) AS n
+      FROM events GROUP BY user_id),
+    m AS (SELECT user_id, n,
+      list_reduce(list_concat([0.0::DOUBLE], xs),
+        (acc, x) -> acc * 0.75::DOUBLE + x) AS sx,
+      list_reduce(list_concat([0.0::DOUBLE],
+          list_transform(xs, x -> 1.0::DOUBLE)),
+        (acc, x) -> acc * 0.75::DOUBLE + x) AS sw,
+      list_reduce(list_concat([0.0::DOUBLE], list_transform(xs, x -> x * x)),
+        (acc, x) -> acc * 0.75::DOUBLE + x) AS sx2,
+      list_reduce(list_concat([0.0::DOUBLE],
+          list_transform(xs, x -> 1.0::DOUBLE)),
+        (acc, x) -> acc * 0.5625::DOUBLE + x) AS sw2
+      FROM l),
+    v AS (SELECT user_id, n, sx / sw AS mean,
+      CASE WHEN n >= 2 THEN
+        ROUND(GREATEST((sx2 / sw - (sx / sw) * (sx / sw))
+          * (sw * sw) / (sw * sw - sw2), 0.0), 6) END AS ewm_var
+      FROM m)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      ROUND(mean, 6) AS ewm_mean, ewm_var,
+      ROUND(SQRT(ewm_var), 6) AS ewm_std
+    FROM v ORDER BY user_id"""))
+
+  /** adjust=True EWM sums via the q105 two-phase block fold: returns
+    * (user_id, n_events, sx, sw, sx2, sw2) where over the key's values in
+    * (ts, event_id) order sx = Σ(1−α)^{n−i}·xᵢ, sw = Σ(1−α)^{n−i},
+    * sx2 the same over xᵢ², and sw2 = Σ(1−α)^{2(n−i)}. Every sum is the
+    * geometric fold f(acc,s) = d·acc + s from 0 (d = 1−α, or (1−α)² for
+    * sw2), so each decomposes over blocks as acc₀·d^m + fold-from-0 with
+    * NO seed corrections — per-task state bounded by blockRows. */
+  private[graft] def ewmAdjustedTwoPhase(events: org.apache.spark.sql.DataFrame,
+      alpha: Double, blockRows: Int): org.apache.spark.sql.DataFrame = {
+    val d1 = 1 - alpha
+    val d2 = d1 * d1
+    val blk = ewmBlockFrame(events, blockRows)
+      .select(col("user_id"), col("block"),
+        size(col("xs")).cast("long").as("m"),
+        aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc * lit(d1) + x.getField("value")).as("psx"),
+        aggregate(col("xs"), lit(0.0), (acc, _) => acc * lit(d1) + lit(1.0))
+          .as("psw"),
+        aggregate(col("xs"), lit(0.0),
+          (acc, x) => acc * lit(d1)
+            + x.getField("value") * x.getField("value")).as("psx2"),
+        aggregate(col("xs"), lit(0.0), (acc, _) => acc * lit(d2) + lit(1.0))
+          .as("psw2"),
+        aggregate(col("xs"), lit(1.0), (acc, _) => acc * lit(d1)).as("decay"),
+        aggregate(col("xs"), lit(1.0), (acc, _) => acc * lit(d2)).as("decay2"))
+    def fold(part: String, decay: String) =
+      aggregate(col("bs"), lit(0.0),
+        (acc, b) => acc * b.getField(decay) + b.getField(part))
+    blk.groupBy(col("user_id"))
+      .agg(sum(col("m")).as("n_events"),
+        array_sort(collect_list(
+          struct(col("block"), col("psx"), col("psw"), col("psx2"),
+            col("psw2"), col("decay"), col("decay2")))).as("bs"))
+      .select(col("user_id"), col("n_events"),
+        fold("psx", "decay").as("sx"), fold("psw", "decay").as("sw"),
+        fold("psx2", "decay").as("sx2"), fold("psw2", "decay2").as("sw2"))
+  }
+
   /** Scale-safe per-key EMA over (user_id, ts, event_id, value) rows:
     * returns (user_id, n_events, ema) where ema equals the sequential
     * recurrence ema_i = α·x_i + (1−α)·ema_{i−1} seeded with the key's
@@ -378,17 +470,28 @@ object Windows extends Q.Module {
     * likewise over decay, and for sw2 the weight-squared gap
     * (1−α)^{2(n−1)}(1−α²) = Πdecay2·(1−α²)/(1−α)². (1−α)^m runs as m
     * sequential multiplies, not pow(): bit-stable, no libm. */
+  /** (user_id, block, xs): the per-key series cut into blockRows-bounded
+    * blocks with the block's rows as a (ts, event_id, value)-sorted
+    * array — the shared phase-1 frame of every EWM fold (q105/q145/q147).
+    * Blocks come from a per-key row_number (one shuffle + partition-local
+    * sort, O(1) state), so the blockRows bound holds under any timestamp
+    * skew. */
+  private def ewmBlockFrame(events: org.apache.spark.sql.DataFrame,
+      blockRows: Int): org.apache.spark.sql.DataFrame = {
+    val wKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.withColumn("block",
+      ((row_number().over(wKey) - 1) / blockRows).cast("long"))
+      .groupBy(col("user_id"), col("block"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+  }
+
   private[graft] def ewmMomentsTwoPhase(events: org.apache.spark.sql.DataFrame,
       alpha: Double, blockRows: Int): org.apache.spark.sql.DataFrame = {
     val d1 = 1 - alpha
     val d2 = d1 * d1
     val a2 = alpha * alpha
-    val wKey = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val t = events.withColumn("block",
-      ((row_number().over(wKey) - 1) / blockRows).cast("long"))
-    val blk = t.groupBy(col("user_id"), col("block"))
-      .agg(array_sort(collect_list(
-        struct(col("ts"), col("event_id"), col("value")))).as("xs"))
+    val blk = ewmBlockFrame(events, blockRows)
       .select(col("user_id"), col("block"),
         size(col("xs")).cast("long").as("m"),
         aggregate(col("xs"), lit(0.0),
@@ -544,5 +647,5 @@ object Windows extends Q.Module {
       l_quantity, l_extendedprice"""))
 
   def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105, q120,
-    q142, q145)
+    q142, q145, q147)
 }

@@ -272,6 +272,89 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  // q147's adjust=True sums against the explicit-weight definition
+  // (w_i = (1-alpha)^(n-i)): mean, variance and the debias factor must
+  // match a direct weighted computation on every block-boundary length.
+  test("two-phase adjusted EWM (q147) == explicit decaying weights") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val alpha = 0.25
+    val lens = Seq(1, 2, 63, 64, 65, 129, 5000)
+    val data = lens.zipWithIndex.flatMap { case (n, k) =>
+      (0 until n).map { i =>
+        (k.toLong, math.abs(rng.nextLong()) % 1000000000L,
+          (k * 100000 + i).toLong,
+          math.round(rng.nextDouble() * 20000) / 100.0)
+      }
+    }
+    val df = data.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.queries.Windows.ewmAdjustedTwoPhase(df, alpha, blockRows = 64)
+      .select("user_id", "n_events", "sx", "sw", "sx2", "sw2")
+      .as[(Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    data.groupBy(_._1).foreach { case (k, g) =>
+      val xs = g.sortBy(r => (r._2, r._3)).map(_._4)
+      val n = xs.size
+      val w = (1 to n).map(i => math.pow(1 - alpha, (n - i).toDouble))
+      val (_, gn, gsx, gsw, gsx2, gsw2) = got(k)
+      def close(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"key $k $what: $a vs $b")
+      assert(gn == n.toLong)
+      close(gsx, w.zip(xs).map { case (a, b) => a * b }.sum, "sx")
+      close(gsw, w.sum, "sw")
+      close(gsx2, w.zip(xs).map { case (a, b) => a * b * b }.sum, "sx2")
+      close(gsw2, w.map(a => a * a).sum, "sw2")
+      if (n >= 2) {
+        val mu = gsx / gsw
+        val varU = (gsx2 / gsw - mu * mu) * gsw * gsw / (gsw * gsw - gsw2)
+        // pandas-definition mirror from the explicit weights
+        val wm = w.zip(xs).map { case (a, b) => a * b }.sum / w.sum
+        val wv = (w.zip(xs).map { case (a, b) => a * b * b }.sum / w.sum - wm * wm) *
+          math.pow(w.sum, 2) / (math.pow(w.sum, 2) - w.map(a => a * a).sum)
+        assert(math.abs(varU - wv) <= 1e-6 * math.max(1.0, math.abs(wv)),
+          s"key $k var: $varU vs $wv")
+      }
+    }
+  }
+
+  // The trained-IVF recall gate: q74's nprobe=2 cell search must recover
+  // a meaningful share of the exact brute-force top-3 (q44's metric) —
+  // the property arbitrary "centroids" could only deliver by luck. Runs
+  // on sf0.1 (2000 vectors, ~31/cell): at that geometry the 2-step
+  // k-means measured recall 0.37 vs 0.27 for raw seed centroids at the
+  // SAME ~630-pair candidate pool — training is signal, not pool size.
+  // (sf0.001 has only ~8 vectors/cell, where recall is dominated by pool
+  // size and the comparison is noise.) Floor 0.3 sits between the two,
+  // ~12x above the random-pool baseline of 630/19990 ≈ 0.03.
+  test("q74 trained IVF recall@3 vs exact kNN beats untrained seeds") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.keys.filter(_ < 10).toSeq.sorted
+    val exact = queries.map { q =>
+      q -> vecs.collect { case (id, v) if id != q => (id, cos(vecs(q), v)) }
+        .toSeq.sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val got = SparkEntry.queries("q74_ann_ivf_cells")(spark, dir)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val hits = queries.map(q => (exact(q) & got.getOrElse(q, Set())).size).sum
+    val recall = hits.toDouble / (queries.size * 3)
+    assert(recall >= 0.3, f"IVF recall@3 $recall%.2f below floor 0.3")
+  }
+
   // A7 one-call form: q32 reconstructs describe() from explicit aggs for
   // the oracle; this exercises the actual builtins' stat surface.
   test("df.summary()/describe() builtins expose the A7 stat rows") {
