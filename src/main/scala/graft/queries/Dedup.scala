@@ -677,5 +677,81 @@ object Dedup extends Q.Module {
     SELECT doc_id, h, n_in_shard FROM intra
     WHERE h NOT IN (SELECT h FROM idx) ORDER BY doc_id"""))
 
-  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115)
+  // --- q148: CANONICALIZED dedup + KEEP-BEST policy — two production
+  //     upgrades over q46's raw-hash/keep-min shape in one operator:
+  //     (1) the group key is the sha2 of the NORMALIZED text (stopwords
+  //     stripped), so trivially-mutated copies (boilerplate padding,
+  //     filler-word injection) that raw hashing misses land in the same
+  //     group — C4-style canonicalize-then-exact-hash, which costs ONE
+  //     hash aggregate where simhash/minhash near-dup costs a banded
+  //     self-join; (2) the survivor is the HIGHEST-QUALITY copy (q51's
+  //     integer-derived score), not the lowest id — the policy real
+  //     curation runs, because the canonical copy should be the clean
+  //     one. The argmax rides a composite BIGINT key
+  //     floor(quality·1e9)·2^33 − doc_id (quality ∈ [0,1] keeps the
+  //     product ≤ 8.6e18; doc_id < 2^33 documented — DuckDB's arg_max
+  //     takes no struct comparator, and the integer key is exact in both
+  //     engines because quality is the same double everywhere). Shape:
+  //     one corpus scan, one hash aggregate, one broadcast-sized join
+  //     back — no pairs, no CC; the q76 fixpoint remains the tool for
+  //     clusters canonicalization can't see.
+  private val q148 = Q(
+    "q148_dedup_keep_best",
+    "✦ canonicalized dedup: normalized-text groups, keep highest-quality copy",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val stop = Seq("the", "a")
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      // every 10th doc re-enters as a DEGRADED copy: stopword padding
+      // lowers diversity and raises stop_ratio, so quality strictly drops
+      // and the keep-best policy is non-vacuous (and raw sha2 would NOT
+      // group these — the normalization is load-bearing).
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" the a the a the the")).as("text")))
+      val scored = corpus.select(col("doc_id"),
+        sha2(array_join(filter(w, x => !x.isin(stop.map(lit(_)): _*)), " "), 256)
+          .as("h"),
+        (size(array_distinct(w)).cast("double") / size(w)
+          * (lit(1.0) - size(filter(w, x => x.isin(stop.map(lit(_)): _*)))
+              .cast("double") / size(w))).as("quality"))
+      val key = floor(col("quality") * 1e9).cast("long") * lit(8589934592L) -
+        col("doc_id")
+      val groups = scored.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("cluster"),
+          count(lit(1)).as("n_copies"),
+          max_by(col("doc_id"), key).as("keep_id"))
+      scored.join(groups, Seq("h"))
+        .select(col("cluster"), col("doc_id"), col("quality"),
+          (col("doc_id") === col("keep_id")).as("kept"), col("n_copies"))
+        .orderBy(col("cluster"), col("doc_id"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text || ' the a the a the the'
+      FROM documents WHERE doc_id % 10 = 0),
+    scored AS (SELECT doc_id,
+        sha256(array_to_string(list_filter(string_split(text, ' '),
+          x -> x NOT IN ('the', 'a')), ' ')) AS h,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' '))
+          * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' '))) AS quality
+      FROM corpus),
+    groups AS (SELECT h, MIN(doc_id) AS cluster, COUNT(*) AS n_copies,
+        arg_max(doc_id,
+          CAST(floor(quality * 1e9) AS BIGINT) * 8589934592 - doc_id)
+          AS keep_id
+      FROM scored GROUP BY h)
+    SELECT cluster, doc_id, quality, doc_id = keep_id AS kept,
+      CAST(n_copies AS BIGINT) AS n_copies
+    FROM scored JOIN groups USING (h)
+    ORDER BY cluster, doc_id"""))
+
+  def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
+    q148)
 }

@@ -863,7 +863,62 @@ object TextAnalysis extends Q.Module {
     SELECT source, COUNT(*) AS n_docs, rate, COUNT(kept) AS n_kept
     FROM k GROUP BY source, rate ORDER BY source"""))
 
+  // --- q149: TRAIN/VAL/TEST SPLIT + LEAKAGE AUDIT — the split every
+  //     training run needs, done the reproducible way (q102's hash
+  //     threshold: 80/10/10 by dsl.hashMod, no rand(), shard-stable
+  //     across engines/runs/retries), plus the audit every split should
+  //     ship with: how many val/test documents are EXACT duplicates of a
+  //     training document (content-hash leakage across the boundary —
+  //     the q97 n-gram check's cheaper exact sibling, and the number a
+  //     leaderboard reviewer asks for first). Every 10th doc re-enters
+  //     under a shifted id so the fixture provably contains cross-split
+  //     duplicates — shifted by 10007, NOT q46's 10000: the multiplicative
+  //     hash is taken mod 100 and 10000 ≡ 0 (mod 100), so a +10000 copy
+  //     would land in exactly its original's split and the audit would be
+  //     vacuous (caught by inspecting the fixture output; 10007·61 ≢ 0
+  //     mod 100 decorrelates the pair). Scale: split assignment is a
+  //     pure projection; the audit is one semi-join of the val/test
+  //     hashes against the distinct train hashes — train-side distinct
+  //     first, so the join carries one row per unique training document,
+  //     and the final readout is a 3-row aggregate. The corpus shuffles
+  //     once, on the content hash.
+  private val q149 = Q(
+    "q149_split_leakage",
+    "✦ split: deterministic 80/10/10 train/val/test + exact-dup leak audit",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10007).as("doc_id"), col("text")))
+      val t = corpus.select(col("doc_id"), sha2(col("text"), 256).as("h"),
+        when(hashMod(col("doc_id"), 100) < 80, "train")
+          .when(hashMod(col("doc_id"), 100) < 90, "val")
+          .otherwise("test").as("split"))
+      val trainH = t.filter(col("split") === "train").select(col("h")).distinct()
+        .withColumn("in_train", lit(true))
+      t.join(trainH, Seq("h"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("split") =!= "train" && col("in_train"), lit(1)))
+            .as("n_leaked"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10007, text FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT doc_id, sha256(text) AS h,
+        CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 100 < 80 THEN 'train'
+             WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM corpus),
+    th AS (SELECT DISTINCT h FROM t WHERE split = 'train')
+    SELECT split, COUNT(*) AS n_docs,
+      CAST(COUNT(CASE WHEN split <> 'train' AND t.h IN (SELECT h FROM th)
+        THEN 1 END) AS BIGINT) AS n_leaked
+    FROM t GROUP BY split ORDER BY split"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116, q134, q136, q140, q141)
+      q114, q116, q134, q136, q140, q141, q149)
 }
