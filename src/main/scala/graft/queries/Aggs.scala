@@ -541,6 +541,55 @@ object Aggs extends Q.Module {
     FROM vc v JOIN (SELECT * FROM top WHERE rk = 1) t USING (col_name)
     GROUP BY v.col_name ORDER BY col_name"""))
 
+  // --- q150: QUANTILE BINNING (pandas `qcut`) — q132 covers `cut` with
+  //     explicit edges; qcut derives the edges FROM the data (quartiles
+  //     here), the equal-population binning analysts reach for first.
+  //     Edges: exact interpolated percentiles over integer CENTS (the
+  //     q26/q120 cross-engine-stable combination: interpolation between
+  //     two integers is bit-stable, between arbitrary doubles is not),
+  //     computed as ONE 1-row aggregate and folded back into the plan as
+  //     a broadcast cross join — no driver scalar, corpus scanned twice
+  //     (once for edges, once for binning) but shuffled only as per-bin
+  //     partials. Bin = 1 + how many edges the row exceeds (q132's
+  //     counted-comparison idiom, total for every value). The per-bin
+  //     counts in the checked output make the equal-population property
+  //     visible.
+  private val q150 = Q(
+    "q150_qcut",
+    "A1/A9 pandas.qcut: quartile edges derived from the data, per-bin stats",
+    (s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val o = Tables.orders(s, d).withColumn("cents", cents)
+      val edges = o.agg(
+        expr("percentile(cents, 0.25)").as("e1"),
+        expr("percentile(cents, 0.5)").as("e2"),
+        expr("percentile(cents, 0.75)").as("e3"))
+      o.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          (lit(1) + when(col("cents") > col("e1"), 1).otherwise(0)
+            + when(col("cents") > col("e2"), 1).otherwise(0)
+            + when(col("cents") > col("e3"), 1).otherwise(0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH c AS (SELECT o_totalprice,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    e AS (SELECT quantile_cont(cents, 0.25) AS e1,
+        quantile_cont(cents, 0.5) AS e2,
+        quantile_cont(cents, 0.75) AS e3 FROM c),
+    b AS (SELECT o_totalprice,
+        1 + CASE WHEN cents > e1 THEN 1 ELSE 0 END
+          + CASE WHEN cents > e2 THEN 1 ELSE 0 END
+          + CASE WHEN cents > e3 THEN 1 ELSE 0 END AS bin
+      FROM c, e)
+    SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+      MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+      ${dsumSql("o_totalprice")} AS total
+    FROM b GROUP BY bin ORDER BY bin"""))
+
   // --- q131: A/B EXPERIMENT READOUT — deterministic variant assignment
   //     (q102's multiplicative-hash idiom: reproducible across engines,
   //     runs, and retries — the property an experiment system needs) and
@@ -672,5 +721,5 @@ object Aggs extends Q.Module {
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138)
+    q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150)
 }
