@@ -544,26 +544,59 @@ object Aggs extends Q.Module {
   // --- q150: QUANTILE BINNING (pandas `qcut`) — q132 covers `cut` with
   //     explicit edges; qcut derives the edges FROM the data (quartiles
   //     here), the equal-population binning analysts reach for first.
-  //     Edges: exact interpolated percentiles over integer CENTS (the
-  //     q26/q120 cross-engine-stable combination: interpolation between
-  //     two integers is bit-stable, between arbitrary doubles is not),
-  //     computed as ONE 1-row aggregate and folded back into the plan as
-  //     a broadcast cross join — no driver scalar, corpus scanned twice
-  //     (once for edges, once for binning) but shuffled only as per-bin
-  //     partials. Bin = 1 + how many edges the row exceeds (q132's
-  //     counted-comparison idiom, total for every value). The per-bin
-  //     counts in the checked output make the equal-population property
-  //     visible.
+  //     The builtin exact `percentile` is deliberately NOT used for the
+  //     edges: it buffers the whole column in ONE aggregation buffer —
+  //     the global-collect trap at 100 TB. Instead the edges come from a
+  //     distributed VALUE HISTOGRAM: group by the integer cents value
+  //     (shuffle bounded by the VALUE DOMAIN, not the row count, with
+  //     map-side combine), then the q135 two-phase cumulative rank over
+  //     the histogram (per-block partials + a tiny offsets window), then
+  //     value-at-rank selection and the explicit linear interpolation
+  //     q = lo + frac·(hi − lo) — which the oracle spells IDENTICALLY
+  //     over its own histogram, so exactness never depends on matching
+  //     some builtin's internal interpolation. All ranks are integers;
+  //     lo/hi are integer cents; frac = (n−1)p − floor((n−1)p) is the
+  //     same double in both engines. Edges fold back as a broadcast
+  //     1-row frame (no driver scalar); bin = 1 + #edges exceeded
+  //     (q132's counted-comparison idiom). Per-bin counts in the output
+  //     make the equal-population property visible.
   private val q150 = Q(
     "q150_qcut",
-    "A1/A9 pandas.qcut: quartile edges derived from the data, per-bin stats",
+    "A1/A9 pandas.qcut: histogram-derived quartile edges, per-bin stats",
     (s, d) => {
       val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
       val o = Tables.orders(s, d).withColumn("cents", cents)
-      val edges = o.agg(
-        expr("percentile(cents, 0.25)").as("e1"),
-        expr("percentile(cents, 0.5)").as("e2"),
-        expr("percentile(cents, 0.75)").as("e3"))
+      // distributed exact ranks: value histogram + two-phase cumsum
+      val vc = o.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+        .withColumn("block", expr("cents div 1048576"))
+      val wB = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = vc.groupBy(col("block")).agg(sum(col("cnt")).as("bn"))
+        .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+        .select(col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("block")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.join(broadcast(off), Seq("block"))
+        .withColumn("cumend", col("boff") + sum(col("cnt")).over(wIn))
+        .select(col("cents"), col("cumend"))
+      val nF = o.agg(count(lit(1)).as("n"))
+      val ks = nF.select(explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"),
+          col("n"))
+        .select(col("p"),
+          (floor((col("n") - 1) * col("p")).cast("long") + 1).as("klo"),
+          ((col("n") - 1) * col("p") - floor((col("n") - 1) * col("p")))
+            .as("frac"))
+      val qq = cum.crossJoin(broadcast(ks))
+        .groupBy(col("p"), col("frac"))
+        .agg(min(when(col("cumend") >= col("klo"), col("cents"))).as("lo_v"),
+          min(when(col("cumend") >= col("klo") + 1, col("cents"))).as("hi_v"))
+        .select(col("p"),
+          (col("lo_v") + col("frac")
+            * (coalesce(col("hi_v"), col("lo_v")) - col("lo_v"))).as("qval"))
+      val edges = qq.agg(
+        max(when(col("p") === 0.25, col("qval"))).as("e1"),
+        max(when(col("p") === 0.5, col("qval"))).as("e2"),
+        max(when(col("p") === 0.75, col("qval"))).as("e3"))
       o.crossJoin(broadcast(edges))
         .withColumn("bin",
           (lit(1) + when(col("cents") > col("e1"), 1).otherwise(0)
@@ -577,9 +610,22 @@ object Aggs extends Q.Module {
     Some(s"""WITH c AS (SELECT o_totalprice,
         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM orders),
-    e AS (SELECT quantile_cont(cents, 0.25) AS e1,
-        quantile_cont(cents, 0.5) AS e2,
-        quantile_cont(cents, 0.75) AS e3 FROM c),
+    vc AS (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents),
+    cum AS (SELECT cents, CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT)
+        AS cumend FROM vc),
+    nn AS (SELECT COUNT(*) AS n FROM c),
+    ks AS (SELECT p, CAST(floor((n - 1) * p) AS BIGINT) + 1 AS klo,
+        (n - 1) * p - floor((n - 1) * p) AS frac
+      FROM (SELECT unnest([0.25, 0.5, 0.75]) AS p) t, nn),
+    qq AS (SELECT p, frac,
+        MIN(CASE WHEN cumend >= klo THEN cents END) AS lo_v,
+        MIN(CASE WHEN cumend >= klo + 1 THEN cents END) AS hi_v
+      FROM cum, ks GROUP BY p, frac),
+    e AS (SELECT
+        MAX(CASE WHEN p = 0.25 THEN lo_v + frac * (COALESCE(hi_v, lo_v) - lo_v) END) AS e1,
+        MAX(CASE WHEN p = 0.5 THEN lo_v + frac * (COALESCE(hi_v, lo_v) - lo_v) END) AS e2,
+        MAX(CASE WHEN p = 0.75 THEN lo_v + frac * (COALESCE(hi_v, lo_v) - lo_v) END) AS e3
+      FROM qq),
     b AS (SELECT o_totalprice,
         1 + CASE WHEN cents > e1 THEN 1 ELSE 0 END
           + CASE WHEN cents > e2 THEN 1 ELSE 0 END
