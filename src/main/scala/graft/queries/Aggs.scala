@@ -579,7 +579,8 @@ object Aggs extends Q.Module {
       val cum = vc.join(broadcast(off), Seq("block"))
         .withColumn("cumend", col("boff") + sum(col("cnt")).over(wIn))
         .select(col("cents"), col("cumend"))
-      val nF = o.agg(count(lit(1)).as("n"))
+      // n from the histogram, not a second corpus scan
+      val nF = vc.agg(sum(col("cnt")).as("n"))
       val ks = nF.select(explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"),
           col("n"))
         .select(col("p"),
@@ -613,7 +614,7 @@ object Aggs extends Q.Module {
     vc AS (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents),
     cum AS (SELECT cents, CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT)
         AS cumend FROM vc),
-    nn AS (SELECT COUNT(*) AS n FROM c),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vc),
     ks AS (SELECT p, CAST(floor((n - 1) * p) AS BIGINT) + 1 AS klo,
         (n - 1) * p - floor((n - 1) * p) AS frac
       FROM (SELECT unnest([0.25, 0.5, 0.75]) AS p) t, nn),
