@@ -56,12 +56,14 @@ def compare(got, exp):
     return None
 
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, names=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS "
                     f"SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if names:
+        oracle = {k: v for k, v in oracle.items() if k in set(names)}
     nfail = 0
     for name in sorted(oracle):
         try:
@@ -80,4 +82,4 @@ def main(sfdir, outdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3:]))

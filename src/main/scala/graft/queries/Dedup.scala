@@ -276,9 +276,14 @@ object Dedup extends Q.Module {
   /** (doc_id, fp, b, bandval): the fingerprint split into `bands` bands
     * of `bits` bits — pigeonhole guarantees any pair at Hamming distance
     * <= bands-1 agrees on at least one band (and identical fingerprints
-    * agree on all of them). Band extraction is an UNSIGNED shift so a
-    * 64-bit fingerprint with the sign bit set still yields non-negative
-    * band values. Band geometry is the dial that trades recall against
+    * agree on all of them). Band extraction is an UNSIGNED shift followed
+    * by a bit MASK (`& (2^bits - 1)`), never a remainder: for band 0 the
+    * shift is a no-op, so a fingerprint with bit 63 set is still
+    * negative, and Spark's `%` keeps the sign — a negative fp whose low
+    * bits equal L would band to L-2^bits while a positive fp with the
+    * same low bits bands to L, silently dropping every cross-sign pair
+    * that agrees only on band 0. The mask is sign-blind, so band values
+    * are always in [0, 2^bits). Band geometry is the dial that trades recall against
     * in-bucket pair volume: q49/q78/q84 all run the production 4×16 over
     * 64 bits (Hamming<=3 pigeonhole guarantee at 65536 buckets/band —
     * band cardinality that keeps in-bucket pair volume sub-quadratic out
@@ -287,7 +292,7 @@ object Dedup extends Q.Module {
     * brute-force banding. */
   private[graft] def simhashBanded(fp: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
     fp.select(col("doc_id"), col("fp"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
-      .withColumn("bandval", expr(s"shiftrightunsigned(fp, b * $bits) % ${1L << bits}"))
+      .withColumn("bandval", expr(s"shiftrightunsigned(fp, b * $bits) & ${(1L << bits) - 1}"))
 
   /** DuckDB twin of the 64-bit simhashFp + simhashBanded: CTEs
     * wc/bits/fp/banded over `src`'s (doc_id, `headExpr`) rows.

@@ -55,6 +55,24 @@ class SimhashWidthSpec extends SparkSuite {
     }
   }
 
+  test("band 0 is sign-blind: fps differing only in bit 63 stay candidates") {
+    import spark.implicits._
+    // Regression for the band-0 remainder bug: doc 1's fp has bit 63 set
+    // (negative long), doc 2's differs ONLY in bit 63 — they agree on
+    // bits 0-15 (= band 0 of the 4×16 geometry) and on nothing else that
+    // matters for the pigeonhole (Hamming distance 1 <= bands-1). With
+    // `%` extraction doc 1's band 0 was 0xBEEF - 65536 (negative) while
+    // doc 2's was 0xBEEF, so the pair never met in a bucket; the mask
+    // extraction makes both 0xBEEF. brutePairs is the ground truth.
+    val lo = 0xBEEFL
+    val fps = Map(1L -> ((1L << 63) | lo), 2L -> lo)
+    val fp = fps.toSeq.toDF("doc_id", "fp")
+    val got = bandedPairs(fp, bands = 4, bits = 16, maxHam = 3)
+    val want = brutePairs(fps, maxHam = 3)
+    assert(want == Set((1L, 2L)), "fixture must be a genuine Hamming-1 pair")
+    assert(got == want, s"cross-sign band-0 pair lost: banded $got vs brute $want")
+  }
+
   test("q78-style head candidates keep exact-dup recall at width 64") {
     import spark.implicits._
     // The q78/q84 candidate generator (2×16 bands over 40-char heads, the
