@@ -641,9 +641,19 @@ object Events extends Q.Module {
     "ST1: resample('1D').sum()/count() per event_type (downsample twin of q93)",
     (s, d) => {
       val stepUs = 86400000000L
+      // FLOOR division, spelled as (x - pmod(x, step)) / step on BOTH
+      // engines: Spark's `div` truncates toward zero while DuckDB's `//`
+      // floors, so a bare `us div step` would shift pre-epoch (negative)
+      // timestamps one day relative to the oracle. Subtracting the
+      // non-negative pmod first makes the numerator an exact multiple of
+      // the step, where truncation and floor agree. Same treatment for
+      // the ns→µs conversion (fixture timestamps are whole µs, but the
+      // spelling shouldn't depend on that).
       val e = Tables.events(s, d)
+        .withColumn("us", expr("(ts - pmod(ts, 1000)) div 1000"))
         .select(col("event_type"),
-          expr(s"(ts div 1000) div $stepUs").as("bucket"), col("value"))
+          expr(s"(us - pmod(us, $stepUs)) div $stepUs").as("bucket"),
+          col("value"))
       val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       val grid = e.select(col("event_type")).distinct()
         .crossJoin(broadcast(bounds))
@@ -659,7 +669,10 @@ object Events extends Q.Module {
         .orderBy(col("event_type"), col("day"))
     },
     Some(s"""WITH e AS (
-      SELECT event_type, epoch_us(ts) // 86400000000 AS bucket, value FROM events),
+      SELECT event_type,
+        (epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000))
+          // 86400000000 AS bucket,
+        value FROM events),
     bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM e),
     grid AS (
       SELECT t.event_type, g.bucket
