@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.dsl._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -389,6 +390,54 @@ object Windows extends Q.Module {
       ROUND(SQRT(ewm_var), 6) AS ewm_std
     FROM v ORDER BY user_id"""))
 
+  // --- q151: TIME-INDEXED EWM — pandas `ewm(halflife='1h',
+  //     times=ts).mean()`, the form a real event stream needs: q105/q145/
+  //     q147 weight by ROW COUNT (unit-spaced observations), but events
+  //     arrive irregularly, and pandas' `times` variant decays by the
+  //     actual gap — weight 0.5^{Δt/halflife}. (pandas defines only
+  //     mean() over `times`, so that is the surface here.) Two-phase
+  //     block fold with a STRUCT accumulator carrying the previous
+  //     timestamp (ewmHalflifeTwoPhase); the oracle is the NAIVE
+  //     timestamp-aware recurrence (DuckDB list_reduce over struct_pack
+  //     state), so the hash match proves the per-gap decay decomposition
+  //     equals the sequential scan. Both engines compute each decay as
+  //     pow(0.5, Δµs/3.6e9) on IDENTICAL double inputs; compared columns
+  //     round to 6 digits (q105's regrouped-double rule — exponent
+  //     regrouping across blocks is ulp-level). Timestamps convert ns→µs
+  //     by explicit floor division (q146's pmod spelling).
+  private val q151 = Q(
+    "q151_ewm_halflife_times",
+    "W-family ✦: time-indexed ewm(halflife=1h, times=ts) mean, two-phase",
+    (s, d) => {
+      val t = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(ts - pmod(ts, 1000)) div 1000").as("ts"),
+          col("event_id"), col("value"))
+      ewmHalflifeTwoPhase(t, halflife = 3600000000.0, blockRows = 64)
+        .select(col("user_id"), col("n_events"),
+          round(col("sx") / col("sw"), 6).as("ewm_mean"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH l AS (SELECT user_id,
+        list(struct_pack(t := epoch_us(ts), v := value)
+             ORDER BY ts, event_id) AS xs,
+        COUNT(*) AS n
+      FROM events GROUP BY user_id),
+    r AS (SELECT user_id, n,
+      list_reduce(
+        list_transform(xs, x ->
+          struct_pack(s := x.v, w := 1.0::DOUBLE, t := x.t)),
+        (acc, x) -> struct_pack(
+          s := acc.s * pow(0.5::DOUBLE,
+                 CAST(x.t - acc.t AS DOUBLE) / 3600000000.0) + x.s,
+          w := acc.w * pow(0.5::DOUBLE,
+                 CAST(x.t - acc.t AS DOUBLE) / 3600000000.0) + x.w,
+          t := x.t)) AS f
+      FROM l)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      ROUND(f.s / f.w, 6) AS ewm_mean
+    FROM r ORDER BY user_id"""))
+
   /** adjust=True EWM sums via the q105 two-phase block fold: returns
     * (user_id, n_events, sx, sw, sx2, sw2) where over the key's values in
     * (ts, event_id) order sx = Σ(1−α)^{n−i}·xᵢ, sw = Σ(1−α)^{n−i},
@@ -425,6 +474,62 @@ object Windows extends Q.Module {
       .select(col("user_id"), col("n_events"),
         fold("psx", "decay").as("sx"), fold("psw", "decay").as("sw"),
         fold("psx2", "decay").as("sx2"), fold("psw2", "decay2").as("sw2"))
+  }
+
+  /** Time-indexed EWM sums (pandas `ewm(halflife=h, times=ts).mean()`,
+    * the only op pandas defines over `times`): returns
+    * (user_id, n_events, sx, sw) where, over the key's rows in
+    * (ts, event_id) order with t_n the key's LAST timestamp,
+    *   sx = Σ xᵢ·0.5^{(t_n−tᵢ)/h},  sw = Σ 0.5^{(t_n−tᵢ)/h},
+    * so mean = sx/sw. `ts` and `halflife` share one caller-chosen unit.
+    *
+    * Unlike the row-indexed folds above, the decay is PER GAP —
+    * dᵢ = 0.5^{(tᵢ−tᵢ₋₁)/h} — so the accumulator must carry the previous
+    * timestamp: both phases fold a STRUCT (s, w, t) instead of a scalar.
+    * The block algebra still holds because re-anchoring is multiplicative:
+    * a block's partial sums are anchored at the block's LAST timestamp,
+    * and phase 2 re-anchors the running sums across blocks with one decay
+    * 0.5^{(L_b−L_{b−1})/h} per block (exponent regrouping is the usual
+    * ulp-level difference vs the naive scanLeft — same rounding rule as
+    * q105). Per-task state stays bounded by blockRows; the block frame is
+    * series/blockRows structs. Seeding needs NO correction: the first
+    * element enters with gap 0 (d=1, weight 1), exactly the naive
+    * recurrence's init. */
+  private[graft] def ewmHalflifeTwoPhase(events: org.apache.spark.sql.DataFrame,
+      halflife: Double, blockRows: Int): org.apache.spark.sql.DataFrame = {
+    def decay(gapFrom: Column, gapTo: Column): Column =
+      pow(lit(0.5), (gapTo - gapFrom).cast("double") / lit(halflife))
+    val blk = ewmBlockFrame(events, blockRows)
+      .select(col("user_id"), col("block"),
+        size(col("xs")).cast("long").as("m"),
+        element_at(col("xs"), -1).getField("ts").as("last_ts"),
+        aggregate(col("xs"),
+          struct(lit(0.0).as("s"), lit(0.0).as("w"),
+            element_at(col("xs"), 1).getField("ts").as("t")),
+          (acc, x) => {
+            val d = decay(acc.getField("t"), x.getField("ts"))
+            struct((acc.getField("s") * d + x.getField("value")).as("s"),
+              (acc.getField("w") * d + lit(1.0)).as("w"),
+              x.getField("ts").as("t"))
+          }).as("p"))
+      .select(col("user_id"), col("block"), col("m"), col("last_ts"),
+        col("p").getField("s").as("ps"), col("p").getField("w").as("pw"))
+    blk.groupBy(col("user_id"))
+      .agg(sum(col("m")).as("n_events"),
+        array_sort(collect_list(struct(col("block"), col("ps"), col("pw"),
+          col("last_ts")))).as("bs"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(col("bs"),
+          struct(lit(0.0).as("s"), lit(0.0).as("w"),
+            element_at(col("bs"), 1).getField("last_ts").as("t")),
+          (acc, b) => {
+            val d = decay(acc.getField("t"), b.getField("last_ts"))
+            struct((acc.getField("s") * d + b.getField("ps")).as("s"),
+              (acc.getField("w") * d + b.getField("pw")).as("w"),
+              b.getField("last_ts").as("t"))
+          }).as("f"))
+      .select(col("user_id"), col("n_events"),
+        col("f").getField("s").as("sx"), col("f").getField("w").as("sw"))
   }
 
   /** Scale-safe per-key EMA over (user_id, ts, event_id, value) rows:
@@ -647,5 +752,5 @@ object Windows extends Q.Module {
       l_quantity, l_extendedprice"""))
 
   def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105, q120,
-    q142, q145, q147)
+    q142, q145, q147, q151)
 }

@@ -318,6 +318,51 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  // q151's time-indexed form: the struct-accumulator two-phase fold must
+  // equal the naive timestamp-aware scanLeft (per-gap decay 0.5^(dt/h))
+  // on irregularly spaced series across every block-boundary length.
+  // Timestamps are strictly increasing with gaps spanning 5 orders of
+  // magnitude (0 included — simultaneous events), so block re-anchoring
+  // sees both near-1 and underflowing decays.
+  test("two-phase halflife EWM (q151) == naive timestamp-aware fold") {
+    import spark.implicits._
+    val rng = new Random(41)
+    val h = 1.0e7
+    val lens = Seq(1, 2, 63, 64, 65, 129, 5000)
+    val data = lens.zipWithIndex.flatMap { case (n, k) =>
+      var t = rng.nextLong() % 1000000L
+      (0 until n).map { i =>
+        t += (if (rng.nextInt(10) == 0) 0L
+              else math.abs(rng.nextLong()) % (if (rng.nextBoolean()) 1000000L
+                                               else 100000000000L))
+        (k.toLong, t, (k * 100000 + i).toLong,
+          math.round(rng.nextDouble() * 20000) / 100.0)
+      }
+    }
+    val df = data.toDF("user_id", "ts", "event_id", "value")
+    val got = graft.queries.Windows.ewmHalflifeTwoPhase(df, h, blockRows = 64)
+      .select("user_id", "n_events", "sx", "sw")
+      .as[(Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    data.groupBy(_._1).foreach { case (k, g) =>
+      val rows = g.sortBy(r => (r._2, r._3)).map(r => (r._2, r._4))
+      val (sx, sw, _) = rows.tail.foldLeft((rows.head._2, 1.0, rows.head._1)) {
+        case ((s, w, tp), (t, x)) =>
+          val d = math.pow(0.5, (t - tp).toDouble / h)
+          (s * d + x, w * d + 1.0, t)
+      }
+      val (gn, gsx, gsw) = got(k)
+      assert(gn == rows.size.toLong, s"key $k: n_events $gn vs ${rows.size}")
+      def close(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"key $k $what: $a vs $b")
+      close(gsx, sx, "sx"); close(gsw, sw, "sw")
+      // sw >= 1 always (the last element's weight is exactly 1), so the
+      // mean is well-defined even when every older weight underflows.
+      assert(gsw >= 1.0 - 1e-9, s"key $k: sw $gsw < 1")
+    }
+  }
+
   // The trained-IVF recall gate: q74's nprobe=2 cell search must recover
   // a meaningful share of the exact brute-force top-3 (q44's metric) —
   // the property arbitrary "centroids" could only deliver by luck. Runs
