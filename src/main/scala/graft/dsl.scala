@@ -67,6 +67,24 @@ object dsl {
   def hashMod(id: Column, m: Long): Column =
     pmod(id.cast(DecimalType(38, 0)) * lit(2654435761L), lit(m)).cast(LongType)
 
+  /** hashMod with a PER-ROW modulus and a second mixing round (the IVF
+    * per-cell sub-split). One multiply is not enough when the modulus is
+    * small: `id·c mod 2^k` only reads `id mod 2^k` (c is odd), so a hot
+    * set whose ids share a residue class — every 4th doc id, say — lands
+    * in ONE sub-cell and the split is vacuous (the q149 mod-coprimality
+    * trap in per-row form). Folding through a Mersenne prime first
+    * (`mod 2^31−1`) spreads any input residue class across the full
+    * range; the second multiply then distributes it over ANY modulus.
+    * All arithmetic is exact in DECIMAL(38,0) / HUGEINT on the two
+    * engines — see hashMod2Sql for the DuckDB twin. */
+  def hashMod2(id: Column, m: Column): Column =
+    pmod(pmod(id.cast(DecimalType(38, 0)) * lit(2654435761L), lit(2147483647L))
+      * lit(2654435761L), m.cast(DecimalType(38, 0))).cast(LongType)
+
+  /** DuckDB twin of hashMod2 (HUGEINT keeps the double multiply exact). */
+  def hashMod2Sql(id: String, m: String): String =
+    s"(((CAST($id AS HUGEINT) * 2654435761) % 2147483647) * 2654435761 % ($m))"
+
   // ---- DuckDB cosine twins (single source of truth; used by the
   // Vectors / Scale / Dedup oracle builders — one drifting copy of this
   // fold would silently break a hash match). Same sequential

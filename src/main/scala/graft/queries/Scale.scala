@@ -87,6 +87,49 @@ object Scale extends Q.Module {
   private val ivfK = 64
   private val ivfIters = 2
 
+  // ---- Per-cell size cap (round 7) ----
+  //
+  // K bounds AVERAGE cell size at N/K, but nothing bounds one hot cell:
+  // a dense paraphrase cluster — exactly what SemDeDup targets — can put
+  // a large fraction of the corpus into a single cell, where the
+  // within-cell pair join degenerates to (cell size)². The cap makes the
+  // worst case a dial: any cell with cnt > ivfCellCap deterministically
+  // sub-splits into ceil(cnt/cap) sub-cells by an engine-portable hash
+  // of vec_id (dsl.hashMod2 — double-multiplicative, so ids sharing a
+  // residue class still spread), and pairs/candidates are generated
+  // within (cid, sub) only. Pair volume per cell is then bounded by
+  // ~numSub·cap² ≈ cnt·cap instead of cnt². The cost is recall on
+  // OVERFLOWING cells only (a pair straddling two sub-cells of a capped
+  // cell is never scored — the standard large-scale SemDeDup trade;
+  // cells at or under the cap get numSub=1, sub=0, and are untouched).
+  // The cap is far above every fixture cell size (sf0.1: ~31 vectors per
+  // cell), so fixture results are bitwise those of the uncapped form —
+  // but the SQL twins still mirror the sub-split arithmetic exactly, so
+  // the oracle match holds at ANY scale, overflowing or not.
+  private val ivfCellCap = 512L
+
+  /** (cid, cell_cnt) for the rn=1 cell membership frame. */
+  private def cellCounts(cell: DataFrame): DataFrame =
+    cell.groupBy(col("cid")).agg(count(lit(1)).as("cell_cnt"))
+
+  /** Adds the capped sub-cell id for `idCol` within its `cid`:
+    * sub = hashMod2(id, ceil(cell_cnt / cap)). `counts` is the
+    * K-row (cid, cell_cnt) frame (broadcast); rows whose cid has no
+    * count row (empty trained cell — impossible for members, possible
+    * for probes of a dropped cell) keep no sub and are filtered by the
+    * inner join. */
+  private[graft] def subSplit(df: DataFrame, counts: DataFrame,
+      idCol: String, cap: Long = ivfCellCap): DataFrame =
+    df.join(broadcast(counts), Seq("cid"))
+      .withColumn("nsub", expr(s"(cell_cnt + ${cap - 1}) div $cap"))
+      .withColumn("sub", graft.dsl.hashMod2(col(idCol), col("nsub")))
+      .drop("cell_cnt", "nsub")
+
+  /** SQL twin of subSplit's sub expression over a joined cell_cnt. */
+  private def subSql(idExpr: String): String =
+    graft.dsl.hashMod2Sql(idExpr,
+      s"(cell_cnt + ${ivfCellCap - 1}) // $ivfCellCap")
+
   private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val cos = graft.functions.CosineSimilarity.cosineSim _
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -179,14 +222,22 @@ object Scale extends Q.Module {
       // without it the whole k-means lineage runs twice (harness-owned
       // cache: Verify/Bench clearCache after each query releases it).
       val assigned = ivfAssigned(s, d).persist()
-      val cell = assigned.filter(col("rn") === 1)
+      val cellRaw = assigned.filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid"))
-      val q = assigned.filter(col("rn") <= 2 && col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cid"))
+      val counts = cellCounts(cellRaw)
+      // per-cell cap: members AND probes sub-split with the probed
+      // cell's count, so a query only scans its own sub-cell of an
+      // overflowing cell (no-op below the cap — every fixture cell).
+      val cell = subSplit(cellRaw, counts, "vec_id")
+      val q = subSplit(
+        assigned.filter(col("rn") <= 2 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cid")),
+        counts, "qid")
       val wRank = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("nid"))
-      q.join(cell.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cid")),
-          Seq("cid"))
+      q.join(cell.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+            col("cid"), col("sub")),
+          Seq("cid", "sub"))
         .filter(col("qid") =!= col("nid"))
         .withColumn("score", cos(col("qemb"), col("ne")))
         .withColumn("rank", row_number().over(wRank))
@@ -196,12 +247,18 @@ object Scale extends Q.Module {
         .orderBy(col("qid"), col("rank"))
     },
     Some(s"""WITH $ivfSql,
-    cell AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
-    probe AS (SELECT vec_id, embedding, cid FROM asn WHERE rn <= 2 AND vec_id < 10),
+    cell0 AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
+    cellc AS (SELECT cid, COUNT(*) AS cell_cnt FROM cell0 GROUP BY cid),
+    cell AS (SELECT cell0.*, ${subSql("vec_id")} AS sub
+      FROM cell0 JOIN cellc USING(cid)),
+    probe AS (SELECT p.vec_id, p.embedding, p.cid, ${subSql("p.vec_id")} AS sub
+      FROM (SELECT vec_id, embedding, cid FROM asn
+            WHERE rn <= 2 AND vec_id < 10) p JOIN cellc ON p.cid = cellc.cid),
     cand AS (
       SELECT p.vec_id AS qid, x.vec_id AS nid, p.cid AS cell,
         ${cosineSql("p.embedding", "x.embedding")} AS score
-      FROM probe p JOIN cell x ON p.cid = x.cid AND p.vec_id != x.vec_id),
+      FROM probe p JOIN cell x
+        ON p.cid = x.cid AND p.sub = x.sub AND p.vec_id != x.vec_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
       FROM cand)
@@ -349,10 +406,11 @@ object Scale extends Q.Module {
   //     This is the embedding-space dedup that catches paraphrases
   //     exact/minhash dedup can't — and trained centroids matter here
   //     more than anywhere: cell quality IS recall, since only same-cell
-  //     pairs are ever scored. Scale: clustering bounds pair volume at
-  //     K·(N/K)² = N²/K — the K dial (fixed 64 here, ~N/1000 plus a
-  //     per-cell size cap in production) is what makes all-pairs cosine
-  //     tractable at 1e9 vectors; the corpus is shuffled once on cell
+  //     pairs are ever scored. Scale: clustering bounds AVERAGE pair
+  //     volume at K·(N/K)² = N²/K (the K dial — fixed 64 here, ~N/1000
+  //     in production), and the ivfCellCap sub-split above bounds the
+  //     WORST case: a hot cell pairs within (cid, sub) only, ~cnt·cap
+  //     pairs instead of cnt²; the corpus is shuffled once on cell
   //     id, scores stay in the fused codegen'd cosine kernel, and only
   //     drop FLAGS leave the join (scores are never compared
   //     cross-engine, so float determinism reduces to the sequential-
@@ -364,12 +422,16 @@ object Scale extends Q.Module {
       val cos = graft.functions.CosineSimilarity.cosineSim _
       // persist: the cell frame feeds both sides of the pair join and the
       // final readout (3 consumers) — one k-means run, not three.
-      val cell = ivfAssigned(s, d).filter(col("rn") === 1)
+      val cellRaw = ivfAssigned(s, d).filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid"))
-        .persist()
-      val dup = cell.select(col("cid"), col("vec_id").as("da"), col("embedding").as("ea"))
-        .join(cell.select(col("cid"), col("vec_id").as("db"), col("embedding").as("eb")),
-          Seq("cid"))
+      // per-cell cap: pairs are generated within (cid, sub), so a hot
+      // cell's pair volume is ~cnt·cap, never cnt² (see ivfCellCap note).
+      val cell = subSplit(cellRaw, cellCounts(cellRaw), "vec_id").persist()
+      val dup = cell.select(col("cid"), col("sub"),
+          col("vec_id").as("da"), col("embedding").as("ea"))
+        .join(cell.select(col("cid"), col("sub"),
+            col("vec_id").as("db"), col("embedding").as("eb")),
+          Seq("cid", "sub"))
         .filter(col("da") < col("db"))
         .filter(cos(col("ea"), col("eb")) >= 0.35)
         .select(col("db").as("vec_id")).distinct()
@@ -380,9 +442,13 @@ object Scale extends Q.Module {
         .orderBy(col("vec_id"))
     },
     Some(s"""WITH $ivfSql,
-    cell AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
+    cell0 AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
+    cellc AS (SELECT cid, COUNT(*) AS cell_cnt FROM cell0 GROUP BY cid),
+    cell AS (SELECT cell0.*, ${subSql("vec_id")} AS sub
+      FROM cell0 JOIN cellc USING(cid)),
     dup AS (SELECT DISTINCT b.vec_id
-      FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      FROM cell a JOIN cell b
+        ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
       WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35)
     SELECT cell.vec_id, cell.cid AS cell,
       cell.vec_id IN (SELECT vec_id FROM dup) AS dropped

@@ -363,6 +363,37 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  // The per-cell cap (q74/q109): an adversarial corpus putting EVERY
+  // vector into one cell must still have bounded pair volume after the
+  // deterministic sub-split — and the split must survive ids that share
+  // a residue class (every 4th id here), which a single-multiply hash
+  // mod a power-of-two sub-count would send to ONE sub-cell (hashMod2's
+  // reason to exist).
+  test("IVF per-cell cap sub-splits an adversarial hot cell") {
+    import spark.implicits._
+    val n = 2048
+    val cap = 512L
+    val cell = (0 until n).map(i => (i * 4L, 0L)).toDF("vec_id", "cid")
+    val counts = cell.groupBy(col("cid")).agg(count(lit(1)).as("cell_cnt"))
+    val sizes = graft.queries.Scale.subSplit(cell, counts, "vec_id", cap)
+      .groupBy("sub").count().as[(Long, Long)].collect().toMap
+    assert(sizes.values.sum == n.toLong, "sub-split must keep every vector")
+    assert(sizes.keySet == (0L until 4L).toSet,
+      s"ceil(2048/512)=4 sub-cells, all populated: $sizes")
+    val pairs = sizes.values.map(c => c * (c - 1) / 2).sum
+    val uncapped = n.toLong * (n - 1) / 2
+    assert(pairs * 3 < uncapped,
+      s"pair volume $pairs not meaningfully below uncapped $uncapped")
+    assert(sizes.values.max <= 2 * cap,
+      s"hash imbalance past 2x cap: $sizes")
+    // below the cap the split is a no-op: one sub-cell, id 0
+    val small = (0 until 100).map(i => (i.toLong, 7L)).toDF("vec_id", "cid")
+    val smallCnt = small.groupBy(col("cid")).agg(count(lit(1)).as("cell_cnt"))
+    val subs = graft.queries.Scale.subSplit(small, smallCnt, "vec_id", cap)
+      .select("sub").distinct().as[Long].collect().toSeq
+    assert(subs == Seq(0L), s"under-cap cell must keep sub=0: $subs")
+  }
+
   // The trained-IVF recall gate: q74's nprobe=2 cell search must recover
   // a meaningful share of the exact brute-force top-3 (q44's metric) —
   // the property arbitrary "centroids" could only deliver by luck. Runs
