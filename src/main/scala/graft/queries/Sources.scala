@@ -184,6 +184,12 @@ object Sources extends Q.Module {
       val fr = Map("en" -> 0.2, "de" -> 0.5, "es" -> 0.5, "fr" -> 1.0, "zh" -> 1.0)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       def draw() = docs.stat.sampleBy("lang", fr, 42L)
+      // NOTE (bench reader): the seed-stability self-check below runs 3
+      // sampling plans + 2 exceptAll().count() ACTIONS inside this
+      // builder — q87's bench time measures that self-check, not one
+      // query (isolated ~0.6 s; a contended driver window multiplies
+      // it). Legitimate only because this is a no-oracle query whose
+      // checks must live in the result itself.
       // persist: harness-owned cache (see q63) — the returned frame
       // outlives this builder.
       val s1 = draw().persist()
@@ -202,6 +208,35 @@ object Sources extends Q.Module {
         .orderBy(col("lang"))
     },
     None)
+
+  // --- q152: DETERMINISTIC stratified sample — q87's rebalancing with
+  //     per-stratum HASH thresholds instead of engine RNG, which moves
+  //     class rebalancing into the hard oracle gate: keep a doc iff
+  //     hashMod(doc_id, 1000) < thr(lang), thr = frac·1000 (q102's
+  //     mixture idiom, per-stratum). Same fractions as q87; unknown
+  //     strata default to 0 (dropped) on both engines. The sample is a
+  //     pure codegen'd filter — no shuffle, no state, reproducible
+  //     across engines/runs/retries, which is what a training-data
+  //     shard spec needs (q87 stays as the engine-RNG sampleBy surface
+  //     demo). Output is the sampled ROWS, so the hash match pins the
+  //     exact membership, not just rates.
+  private val q152 = Q(
+    "q152_stratified_hash_sample",
+    "P9✦ deterministic stratified sample via per-stratum hash thresholds",
+    (s, d) => {
+      val thr = typedLit(Map(
+        "en" -> 200L, "de" -> 500L, "es" -> 500L, "fr" -> 1000L, "zh" -> 1000L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .filter(hashMod(col("doc_id"), 1000)
+          < coalesce(element_at(thr, col("lang")), lit(0L)))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang FROM documents
+    WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 1000 <
+      CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500 WHEN 'es' THEN 500
+        WHEN 'fr' THEN 1000 WHEN 'zh' THEN 1000 ELSE 0 END
+    ORDER BY doc_id"""))
 
   // --- q85: XML sink + scan round-trip (built into Spark 4's spark-sql —
   //     the spark-xml package was merged upstream in 4.0). Explicit schema
@@ -393,6 +428,6 @@ object Sources extends Q.Module {
       sha256(text) AS sha
     FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
 
-  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q88,
+  def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q152, q88,
     q96, q99, q143)
 }
