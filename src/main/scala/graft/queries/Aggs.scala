@@ -65,6 +65,13 @@ object Aggs extends Q.Module {
 
   // --- q26: quantiles/median. Ops: A9. Exact percentile with linear
   //     interpolation matches DuckDB quantile_cont on integral doubles.
+  //     LIMIT: the builtin exact `percentile` buffers an OpenHashMap of
+  //     DISTINCT (value, count) pairs per group — safe here ONLY because
+  //     l_quantity's value domain is ~50 integral values, so the buffer
+  //     is bounded regardless of corpus size. On a continuous/near-unique
+  //     column (prices, floats) distinct ≈ rows and this becomes the
+  //     unbounded-buffer trap; use the distributed value-histogram rank
+  //     instead — q150 (global) / q153 (per group) are the scale forms.
   private val q26 = Q(
     "q26_agg_quantile",
     "A9 quantile: exact percentiles + median of l_quantity per returnflag",
@@ -545,8 +552,11 @@ object Aggs extends Q.Module {
   //     explicit edges; qcut derives the edges FROM the data (quartiles
   //     here), the equal-population binning analysts reach for first.
   //     The builtin exact `percentile` is deliberately NOT used for the
-  //     edges: it buffers the whole column in ONE aggregation buffer —
-  //     the global-collect trap at 100 TB. Instead the edges come from a
+  //     edges: it buffers DISTINCT (value, count) pairs in ONE
+  //     aggregation buffer — for a near-unique column like prices,
+  //     distinct ≈ rows, i.e. the global-collect trap at 100 TB (q26's
+  //     LIMIT note is the bounded-domain case where the builtin is
+  //     fine). Instead the edges come from a
   //     distributed VALUE HISTOGRAM: group by the integer cents value
   //     (shuffle bounded by the VALUE DOMAIN, not the row count, with
   //     map-side combine), then the q135 two-phase cumulative rank over
@@ -636,6 +646,84 @@ object Aggs extends Q.Module {
       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
       ${dsumSql("o_totalprice")} AS total
     FROM b GROUP BY bin ORDER BY bin"""))
+
+  // --- q153: GROUPED QUANTILES AT SCALE (pandas `groupby.quantile`) —
+  //     q26's surface on a CONTINUOUS column (o_totalprice: near-unique,
+  //     so the builtin `percentile`'s distinct-value buffer would grow
+  //     with the corpus — its LIMIT note). This is q150's value-histogram
+  //     rank with the group key threaded through every stage: histogram
+  //     on (grp, cents) — shuffle bounded by groups × value domain, with
+  //     map-side combine — then the two-phase cumulative rank per group
+  //     (per-(grp,block) partials + an offsets window over the
+  //     blocks-per-group frame; every window partition is bounded by the
+  //     2^20-cent block span, never by group row count), then per-group
+  //     value-at-rank selection with the SAME explicit interpolation
+  //     spelled in the oracle. All ranks and cents are integers; the
+  //     single /100.0 at the end is one identical double op per engine.
+  //     High-cardinality groups cost nothing extra: every stage is keyed
+  //     by (grp, ...) — no per-group loop, no driver state.
+  private val q153 = Q(
+    "q153_groupby_quantile",
+    "A9✦ groupby.quantile on a continuous column via per-group histogram rank",
+    (s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"), cents.as("cents"))
+      val vc = o.groupBy(col("o_orderpriority"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("block", expr("cents div 1048576"))
+      val wB = Window.partitionBy(col("o_orderpriority")).orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = vc.groupBy(col("o_orderpriority"), col("block"))
+        .agg(sum(col("cnt")).as("bn"))
+        .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+        .select(col("o_orderpriority"), col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("o_orderpriority"), col("block"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.join(broadcast(off), Seq("o_orderpriority", "block"))
+        .withColumn("cumend", col("boff") + sum(col("cnt")).over(wIn))
+        .select(col("o_orderpriority"), col("cents"), col("cumend"))
+      val ks = vc.groupBy(col("o_orderpriority")).agg(sum(col("cnt")).as("n"))
+        .select(col("o_orderpriority"),
+          explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"), col("n"))
+        .select(col("o_orderpriority"), col("p"),
+          (floor((col("n") - 1) * col("p")).cast("long") + 1).as("klo"),
+          ((col("n") - 1) * col("p") - floor((col("n") - 1) * col("p")))
+            .as("frac"))
+      cum.join(broadcast(ks), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"), col("p"), col("frac"))
+        .agg(min(when(col("cumend") >= col("klo"), col("cents"))).as("lo_v"),
+          min(when(col("cumend") >= col("klo") + 1, col("cents"))).as("hi_v"))
+        .select(col("o_orderpriority"), col("p"),
+          ((col("lo_v") + col("frac")
+            * (coalesce(col("hi_v"), col("lo_v")) - col("lo_v"))) / 100.0)
+            .as("quantile"))
+        .orderBy(col("o_orderpriority"), col("p"))
+    },
+    Some("""WITH c AS (SELECT o_orderpriority,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    vc AS (SELECT o_orderpriority, cents, COUNT(*) AS cnt
+      FROM c GROUP BY o_orderpriority, cents),
+    cum AS (SELECT o_orderpriority, cents,
+        CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents)
+          AS BIGINT) AS cumend
+      FROM vc),
+    nn AS (SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM vc GROUP BY o_orderpriority),
+    ks AS (SELECT o_orderpriority, p,
+        CAST(floor((n - 1) * p) AS BIGINT) + 1 AS klo,
+        (n - 1) * p - floor((n - 1) * p) AS frac
+      FROM (SELECT unnest([0.25, 0.5, 0.75]) AS p) t, nn),
+    qq AS (SELECT cum.o_orderpriority, p, frac,
+        MIN(CASE WHEN cumend >= klo THEN cents END) AS lo_v,
+        MIN(CASE WHEN cumend >= klo + 1 THEN cents END) AS hi_v
+      FROM cum JOIN ks ON cum.o_orderpriority = ks.o_orderpriority
+      GROUP BY cum.o_orderpriority, p, frac)
+    SELECT o_orderpriority, p,
+      (lo_v + frac * (COALESCE(hi_v, lo_v) - lo_v)) / 100.0 AS quantile
+    FROM qq ORDER BY o_orderpriority, p"""))
 
   // --- q131: A/B EXPERIMENT READOUT — deterministic variant assignment
   //     (q102's multiplicative-hash idiom: reproducible across engines,
@@ -768,5 +856,6 @@ object Aggs extends Q.Module {
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
-    q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150)
+    q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
+    q153)
 }
