@@ -570,6 +570,14 @@ object Aggs extends Q.Module {
   //     1-row frame (no driver scalar); bin = 1 + #edges exceeded
   //     (q132's counted-comparison idiom). Per-bin counts in the output
   //     make the equal-population property visible.
+  //     pandas `duplicates` parity: on degenerate distributions quantile
+  //     edges COINCIDE (constant column → e1=e2=e3). pandas' default
+  //     raises ValueError; duplicates='drop' merges the bins. This takes
+  //     the drop-like path without raising: every coincident edge's
+  //     `cents > edge` test fails together, upper bins come out EMPTY
+  //     (absent from the grouped output), and the surviving bins form
+  //     pandas' merged partition under the original 1-based labels
+  //     (PandasParitySpec pins the constant-column single-bin result).
   private val q150 = Q(
     "q150_qcut",
     "A1/A9 pandas.qcut: histogram-derived quartile edges, per-bin stats",

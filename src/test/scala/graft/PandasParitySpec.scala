@@ -253,4 +253,34 @@ class PandasParitySpec extends SparkSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  // pandas qcut parity edge: on a CONSTANT column all quantile edges
+  // coincide. pandas' default raises ValueError("Bin edges must be
+  // unique"); with duplicates='drop' it merges the coincident bins and
+  // returns ONE bin holding every row. q150 takes the drop-like path
+  // without raising: `cents > edge` is false for every coincident edge,
+  // so every row lands in bin 1 and bins 2-4 are EMPTY (absent from the
+  // grouped output) — the same single-bin partition, keeping 1-based
+  // positional labels where pandas renumbers. This test pins that
+  // divergence-by-design (documented in q150's scaladoc).
+  test("q150 qcut constant column: coincident edges collapse to one bin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qcut_const").toString
+    try {
+      (0L until 100L).map(k =>
+          (k, k % 7, java.sql.Date.valueOf("1995-01-01"), 42.5))
+        .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val got = SparkEntry.queries("q150_qcut")(spark, dir)
+        .select("bin", "n", "lo", "hi").as[(Long, Long, Double, Double)]
+        .collect().toSeq
+      assert(got == Seq((1L, 100L, 42.5, 42.5)),
+        s"constant column must yield exactly bin 1 with all rows: $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
