@@ -63,6 +63,11 @@ def main(sfdir, outdir, names=()):
                     f"SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if names:
+        # A typo'd name would otherwise filter to zero queries and exit
+        # green without checking anything — fail loudly instead.
+        missing = sorted(set(names) - set(oracle))
+        if missing:
+            raise SystemExit(f"unknown query name(s): {', '.join(missing)}")
         oracle = {k: v for k, v in oracle.items() if k in set(names)}
     nfail = 0
     for name in sorted(oracle):

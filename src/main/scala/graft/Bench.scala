@@ -56,16 +56,18 @@ object Bench {
     }.toMap
     // Output stays a single SHORT line: the driver keeps only a 2000-byte
     // tail of stdout, and round 1's full-name 9-decimal line (~2.4 KB) got
-    // truncated past parseability. At 139 queries a 3-decimal line is
-    // ~1.84 KB — too close — so per-query times carry 2 decimals (10 ms,
-    // plenty for plan comparison; the total keeps 3), the sf dir collapses
-    // to its basename, and the line prints AFTER spark.stop() so no
-    // shutdown logging can land behind it and eat the tail budget. qNN
-    // prefixes are unique per query (full names in SparkEntry/COVERAGE.md).
+    // truncated past parseability. At 153 queries the 2-decimal line hit
+    // 1,866 bytes — ~9 queries from the cliff — so per-query times carry
+    // 1 decimal (100 ms granularity; round-over-round plan regressions of
+    // interest are ≥2×, and PLANS.md carries the isolated 3-decimal
+    // record), the total keeps 3, the sf dir collapses to its basename,
+    // and the line prints AFTER spark.stop() so no shutdown logging can
+    // land behind it and eat the tail budget. qNN prefixes are unique per
+    // query (full names in SparkEntry/COVERAGE.md).
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def r1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + r1(v)
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // failed count is explicit: total sums only successful queries, so

@@ -76,7 +76,13 @@ object dsl {
     * (`mod 2^31−1`) spreads any input residue class across the full
     * range; the second multiply then distributes it over ANY modulus.
     * All arithmetic is exact in DECIMAL(38,0) / HUGEINT on the two
-    * engines — see hashMod2Sql for the DuckDB twin. */
+    * engines — see hashMod2Sql for the DuckDB twin.
+    *
+    * PRECONDITION: `id` must be non-negative. Spark's pmod is always
+    * non-negative while the DuckDB twin uses sign-preserving `%`, so the
+    * two diverge for negative ids (safe for every current caller —
+    * vec_id/doc_id are ≥ 0; a signed-id caller must wrap the twin in the
+    * `((x % m) + m) % m` idiom q146 uses for floor semantics). */
   def hashMod2(id: Column, m: Column): Column =
     pmod(pmod(id.cast(DecimalType(38, 0)) * lit(2654435761L), lit(2147483647L))
       * lit(2654435761L), m.cast(DecimalType(38, 0))).cast(LongType)

@@ -420,10 +420,13 @@ object Scale extends Q.Module {
     "✦ SemDeDup: trained IVF cells + within-cell cosine drop-higher-id",
     (s, d) => {
       val cos = graft.functions.CosineSimilarity.cosineSim _
-      // persist: the cell frame feeds both sides of the pair join and the
-      // final readout (3 consumers) — one k-means run, not three.
+      // persist BOTH stages: cellRaw caps the trained-assignment lineage
+      // (cellCounts and subSplit each read it — without this k-means
+      // trains twice, q74's pattern), and cell feeds both sides of the
+      // pair join plus the final readout. One k-means run total
+      // (harness-owned cache: Verify/Bench clearCache releases both).
       val cellRaw = ivfAssigned(s, d).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
+        .select(col("vec_id"), col("embedding"), col("cid")).persist()
       // per-cell cap: pairs are generated within (cid, sub), so a hot
       // cell's pair volume is ~cnt·cap, never cnt² (see ivfCellCap note).
       val cell = subSplit(cellRaw, cellCounts(cellRaw), "vec_id").persist()

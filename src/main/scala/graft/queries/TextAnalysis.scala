@@ -812,6 +812,86 @@ object TextAnalysis extends Q.Module {
     FROM paras JOIN firsts USING (para)
     GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --- q154: EXACT SUBSTRING DEDUP (ExactSubstr / k-gram span family,
+  //     the deduplicate-text-datasets shape) — find every maximal token
+  //     span whose content is an echo of text seen EARLIER in the corpus,
+  //     the train-set-memorization spans a suffix-array dedup would
+  //     remove. Distributed approximation, no suffix array: (1) every
+  //     overlapping K-token shingle (stride 1 — q136's chunker at full
+  //     overlap) keyed by its composite first-occurrence key
+  //     (doc_id·2^20 + pos, q140's idiom and its same 2^20/2^43 LIMITs);
+  //     (2) the duplicate-shingle index is one hash aggregate
+  //     MIN(k) GROUP BY shingle — partial-aggregatable, so a boilerplate
+  //     shingle repeated 10^8 times costs one combiner cell per task,
+  //     never a sorted partition; (3) join back and flag every
+  //     occurrence that is NOT the canonical MIN — count-1 shingles have
+  //     k = first_k and drop out for free, no separate count filter;
+  //     (4) flagged start positions merge into MAXIMAL spans with a
+  //     per-doc window: a new span opens when the gap to the previous
+  //     flagged start exceeds K (intervals [p,p+K) and [q,q+K) overlap
+  //     or touch exactly when q − p ≤ K), then one (doc_id, span_id) aggregate
+  //     emits [start_tok, end_tok). Scale: no pair join anywhere —
+  //     candidate volume is the duplicate-shingle index size; the only
+  //     corpus-sized shuffles are the shingle aggregate + join-back, and
+  //     the window is partitioned by doc_id (state bounded by doc
+  //     length, not corpus). At 100 TB the shingle JOIN KEY would be
+  //     xxhash64(shingle) — 8 bytes instead of ~K words, a collision
+  //     costing one spurious span — kept as the raw string here because
+  //     Spark and DuckDB share no string hash and the gate compares
+  //     engines exactly.
+  private val q154 = Q(
+    "q154_substring_dedup",
+    "✦ exact substring dedup: duplicated K-gram index → maximal echo spans",
+    (s, d) => {
+      val K = 8
+      val sh = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= K)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("n") - K)).as("pos"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          array_join(slice(col("toks"), col("pos") + 1, lit(K)), " ").as("sh"))
+        .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
+      val firsts = sh.groupBy(col("sh")).agg(min(col("k")).as("first_k"))
+      val flagged = sh.join(firsts, Seq("sh"))
+        .filter(col("k") =!= col("first_k"))
+        .select(col("doc_id"), col("pos"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      flagged
+        .withColumn("brk",
+          when(lag(col("pos"), 1).over(w).isNull ||
+            col("pos") - lag(col("pos"), 1).over(w) > K, 1).otherwise(0))
+        .withColumn("span_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) - 1)
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg(min(col("pos")).as("start_tok"),
+          (max(col("pos")) + K).as("end_tok"))
+        .withColumn("n_toks", col("end_tok") - col("start_tok"))
+        .orderBy(col("doc_id"), col("start_tok"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        len(string_split(text, ' ')) AS n FROM documents),
+    s AS (SELECT doc_id, toks,
+        unnest(generate_series(0, n - 8, 1)) AS pos FROM t WHERE n >= 8),
+    g AS (SELECT doc_id, pos, doc_id * 1048576 + pos AS k,
+        array_to_string(toks[pos + 1 : pos + 8], ' ') AS sh FROM s),
+    f AS (SELECT sh, MIN(k) AS first_k FROM g GROUP BY sh),
+    d2 AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (sh)
+      WHERE g.k <> f.first_k),
+    m AS (SELECT doc_id, pos,
+        CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+          OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        THEN 1 ELSE 0 END AS brk FROM d2),
+    sp AS (SELECT doc_id, pos,
+        CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+          AS span_id FROM m)
+    SELECT doc_id, span_id, MIN(pos) AS start_tok, MAX(pos) + 8 AS end_tok,
+      MAX(pos) + 8 - MIN(pos) AS n_toks
+    FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, start_tok"""))
+
   // --- q141: TEMPERATURE-SCALED MIXTURE SAMPLING — the data-mixing
   //     math LLM pipelines actually run: per-source weights ∝ n^α
   //     (α = 0.5 here, i.e. temperature-flattened so small sources are
@@ -920,5 +1000,5 @@ object TextAnalysis extends Q.Module {
 
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116, q134, q136, q140, q141, q149)
+      q114, q116, q134, q136, q140, q141, q149, q154)
 }

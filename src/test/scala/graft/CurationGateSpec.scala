@@ -199,4 +199,70 @@ class CurationGateSpec extends SparkSuite {
     assert(got.map(r => r._2 - r._3).sum == paras.distinct.length.toLong)
     assert(got.exists(_._3 > 0), "fixture has no repeated paragraph — weak test")
   }
+
+  // q154 edge semantics on a crafted corpus with KNOWN echo placement:
+  // multi-shingle span coalescing, two separated spans in one doc, the
+  // touching-interval merge (gap exactly K), keep-first WITHIN a doc, and
+  // the sub-K doc emitting nothing. Hand-computed expected rows — the
+  // fixture oracle proves engine agreement, this proves the semantics.
+  test("q154 spans on injected cross-doc echoes match hand-computed intervals") {
+    import spark.implicits._
+    val R = (0 to 9).map(i => s"r$i")           // 10-token echo source
+    val E = (0 to 7).map(i => s"e$i")           // 8-token echo source
+    val S = (0 to 7).map(i => s"s$i")
+    def f(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val corpus = Seq(
+      0L -> (R ++ f("f0", 5) ++ E),                          // all firsts
+      1L -> (f("f1", 3) ++ R ++ f("g1", 9) ++ E ++ f("h1", 2)), // 2 spans
+      2L -> (E ++ E ++ f("k2", 4)),                          // touching merge
+      3L -> (S ++ f("m3", 2) ++ S),                          // within-doc echo
+      4L -> f("t4", 3))                                      // shorter than K
+    val dir = java.nio.file.Files.createTempDirectory("q154_inject").toString
+    corpus.map { case (id, ws) =>
+      val t = ws.mkString(" "); (id, t, "xx", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q154_substring_dedup")(spark, dir)
+      .select("doc_id", "span_id", "start_tok", "end_tok", "n_toks")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    // doc 1: R echo covers shingle starts 3..5 → [3,13); E echo [22,30).
+    // doc 2: flagged starts {0, 8}, gap == K → ONE merged span [0,16).
+    // doc 3: only the SECOND in-doc occurrence flagged → [10,18).
+    val want = Seq((1L, 0L, 3L, 13L, 10L), (1L, 1L, 22L, 30L, 8L),
+      (2L, 0L, 0L, 16L, 16L), (3L, 0L, 10L, 18L, 8L))
+    assert(got == want, s"got $got want $want")
+  }
+
+  // Full naive JVM recomputation of q154 on the real fixture: same
+  // shingle/first-key/merge algorithm written sequentially — proves the
+  // distributed decomposition (hash-agg MIN + join-back + per-doc window)
+  // equals the straight-line definition on data it didn't choose.
+  test("q154 == naive JVM recomputation on the fixture corpus") {
+    import spark.implicits._
+    val K = 8
+    val got = SparkEntry.queries("q154_substring_dedup")(spark, sfDir)
+      .select("doc_id", "start_tok", "end_tok")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sh = raw.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 to ws.length - K).map(p => (id, p.toLong, ws.slice(p, p + K).mkString(" ")))
+    }
+    val first = sh.groupBy(_._3).view
+      .mapValues(_.map(x => x._1 * 1048576L + x._2).min).toMap
+    val want = sh.filter { case (id, p, g) => id * 1048576L + p != first(g) }
+      .groupBy(_._1).toSeq.flatMap { case (id, occ) =>
+        val ps = occ.map(_._2).sorted
+        val spans = ps.tail.foldLeft(List((ps.head, ps.head))) {
+          case ((a, b) :: rest, p) =>
+            if (p - b <= K) (a, p) :: rest else (p, p) :: (a, b) :: rest
+          case (Nil, p) => List((p, p))
+        }
+        spans.map { case (a, b) => (id, a, b + K) }
+      }.sorted
+    assert(got.nonEmpty, "fixture produced no echo spans — weak test")
+    assert(got == want, s"span sets differ: got ${got.size} want ${want.size}")
+  }
 }
