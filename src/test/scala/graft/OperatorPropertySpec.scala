@@ -394,6 +394,51 @@ class OperatorPropertySpec extends SparkSuite {
     assert(subs == Seq(0L), s"under-cap cell must keep sub=0: $subs")
   }
 
+  // The cap's RECALL cost, measured: 256 groups of 8 near-duplicates all
+  // landing in ONE trained cell — the dense-paraphrase hot cell SemDeDup
+  // (q109) exists for. Under q109's scoring premise (within-group cosine
+  // above the drop threshold, cross-group below), duplicate DETECTION is
+  // purely a co-location property of the sub-split: uncapped, every
+  // vector shares the cell with its 7 group-mates (recall 1 by
+  // construction); capped, a vector is missed exactly when it is ALONE
+  // among its group in its sub-cell — P ≈ (3/4)^7 ≈ 0.13 per vector if
+  // the hash spreads group-mates independently over the 4 sub-cells, so
+  // expected recall ≈ 0.87 for a ~4× pair-volume cut. The floor (0.7)
+  // is the property; the printed number is the record. Consecutive ids
+  // within a group make this also a second adversarial-spread check: a
+  // residue-preserving split would send whole groups to one sub-cell
+  // and fake recall 1 — the companion assertion that SOME group splits
+  // (recall < 1) guards the measurement itself from that failure mode.
+  test("IVF cap on a hot cell: detection recall vs uncapped, floor 0.7") {
+    import spark.implicits._
+    val groups = 256
+    val gsz = 8
+    val cap = 512L
+    val n = groups * gsz
+    val cell = (0 until n).map(i => (i.toLong, 0L)).toDF("vec_id", "cid")
+    val counts = cell.groupBy(col("cid")).agg(count(lit(1)).as("cell_cnt"))
+    val sub = graft.queries.Scale.subSplit(cell, counts, "vec_id", cap)
+      .select("vec_id", "sub").as[(Long, Long)].collect().toMap
+    assert(sub.size == n, "sub-split must keep every vector")
+    val cappedPairs = sub.values.groupBy(identity).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val uncappedPairs = n.toLong * (n - 1) / 2
+    val detected = (0 until n).count { i =>
+      val g = i / gsz
+      (g * gsz until (g + 1) * gsz)
+        .exists(j => j != i && sub(j.toLong) == sub(i.toLong))
+    }
+    val recall = detected.toDouble / n
+    info(f"hot-cell detection recall capped=$recall%.3f uncapped=1.000 " +
+      f"pairs=$cappedPairs vs $uncappedPairs")
+    assert(recall >= 0.7,
+      f"capped detection recall $recall%.3f below floor 0.7")
+    assert(recall < 1.0,
+      "no group was ever split across sub-cells — fixture too weak to measure the trade")
+    assert(cappedPairs * 3 < uncappedPairs,
+      s"pair volume $cappedPairs not meaningfully below $uncappedPairs")
+  }
+
   // The trained-IVF recall gate: q74's nprobe=2 cell search must recover
   // a meaningful share of the exact brute-force top-3 (q44's metric) —
   // the property arbitrary "centroids" could only deliver by luck. Runs

@@ -254,6 +254,67 @@ class PandasParitySpec extends SparkSuite {
     }
   }
 
+  // q151 parity edge 1: DUPLICATE timestamps. pandas `ewm(halflife=h,
+  // times=t)` permits non-strictly-increasing times; coincident
+  // observations get Δt = 0 → decay 0.5^0 = 1, i.e. EQUAL weights
+  // (w_i = 0.5^{(t_last − t_i)/h} coincide). The struct fold must
+  // reproduce that — and keep doing so when the equal-time run straddles
+  // a block boundary (blockRows = 2 forces the first duplicate pair
+  // astride blocks 0/1, so phase 2's re-anchor decay is exactly 1).
+  // Values are halves and the lone decay is 0.5 (a power of two), so
+  // every sum is exact in binary — the pins are exact constants.
+  test("q151 duplicate timestamps: Δt=0 decays by 1 (pandas equal weights)") {
+    import spark.implicits._
+    val h = 3600.0
+    val data = Seq( // (user_id, ts sec, event_id, value)
+      (1L, 0L, 0L, 10.0), (1L, 0L, 1L, 20.0),
+      (1L, 3600L, 2L, 30.0), (1L, 3600L, 3L, 40.0), (1L, 3600L, 4L, 50.0))
+    val df = data.toDF("user_id", "ts", "event_id", "value")
+    val (n, sx, sw) = graft.queries.Windows
+      .ewmHalflifeTwoPhase(df, h, blockRows = 2)
+      .select("n_events", "sx", "sw").as[(Long, Double, Double)]
+      .collect().head
+    // explicit pandas weights: 0.5^{(3600−0)/3600} = 0.5 for the two
+    // t=0 rows, 1 for the three t=3600 rows
+    assert(n == 5L)
+    assert(sx == 0.5 * (10.0 + 20.0) + 30.0 + 40.0 + 50.0, s"sx $sx") // 135
+    assert(sw == 0.5 * 2 + 3.0, s"sw $sw")                            // 4
+    assert(sx / sw == 33.75, s"mean ${sx / sw}")
+  }
+
+  // q151 parity edge 2: min_periods. pandas `ewm(..., times=...,
+  // min_periods=k).mean()` leaves the result NaN until k observations
+  // have arrived — at the series' LAST row (q151's per-key surface)
+  // that is NaN iff the key has fewer than k events. q151 ships
+  // n_events for exactly this gate: `when(n_events >= k, mean)` is the
+  // documented consumer idiom, pinned here against keys below, at, and
+  // above the floor.
+  test("q151 min_periods floor: n_events gates the mean like pandas") {
+    import spark.implicits._
+    val h = 3600.0
+    val minP = 3
+    val data = (1 to 4).flatMap { k => // key k has exactly k events
+      (0 until k).map(i => (k.toLong, i * 1800L, i.toLong, (k * 10 + i).toDouble))
+    }
+    val got = graft.queries.Windows
+      .ewmHalflifeTwoPhase(data.toDF("user_id", "ts", "event_id", "value"),
+        h, blockRows = 2)
+      .select(col("user_id"),
+        when(col("n_events") >= minP, col("sx") / col("sw")).as("mean"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty,
+      s"keys under min_periods=3 must be NULL: $got")
+    Seq(3L, 4L).foreach { k =>
+      val rows = data.filter(_._1 == k)
+      val tLast = rows.map(_._2).max
+      val w = rows.map(r => math.pow(0.5, (tLast - r._2).toDouble / h))
+      val want = w.zip(rows.map(_._4)).map { case (a, b) => a * b }.sum / w.sum
+      val m = got(k).getOrElse(fail(s"key $k unexpectedly NULL"))
+      assert(math.abs(m - want) <= 1e-12 * math.max(1.0, math.abs(want)),
+        s"key $k: $m vs pandas-weight $want")
+    }
+  }
+
   // pandas qcut parity edge: on a CONSTANT column all quantile edges
   // coincide. pandas' default raises ValueError("Bin edges must be
   // unique"); with duplicates='drop' it merges the coincident bins and
