@@ -682,6 +682,116 @@ object Dedup extends Q.Module {
     SELECT doc_id, h, n_in_shard FROM intra
     WHERE h NOT IN (SELECT h FROM idx) ORDER BY doc_id"""))
 
+  // --- q156: INCREMENTAL FUZZY INGEST — q115's daily-shard shape at
+  //     NEAR-duplicate resolution: the existing corpus (ids < 400) owns a
+  //     MinHash band index (q48's 8-hash / 2-band geometry — in
+  //     production a stored table keyed by band, built once and appended
+  //     to); each new shard doc (ids ≥ 400, plus every 20th corpus doc
+  //     re-injected under id+30000 with word 5 replaced — no exact hash
+  //     survives the edit, but the shingle sets stay ~85% Jaccard, so
+  //     q115's exact probe would wrongly ingest them) is signed, probed
+  //     against the index by band equality, and candidates are verified
+  //     with exact Jaccard BETWEEN THE CANDIDATE PAIRS ONLY (q48's
+  //     verification stage — unlike q112, which stops at band evidence
+  //     because decontamination wants recall; ingest wants precision,
+  //     since a false drop loses data forever). A shard doc is ingested
+  //     iff no verified index match reaches 0.5.
+  //     Scale shape: the shard is orders smaller than the index, so the
+  //     band probe broadcasts the SHARD side over the stored index and
+  //     the corpus is never pairwise-joined; verification touches only
+  //     candidate docs' shingle rows (semi-join slivers). Cost is
+  //     O(shard) + one band probe + candidate-sized Jaccard — the fuzzy
+  //     analog of q115's affordable daily ingest.
+  private val q156 = Q(
+    "q156_incremental_fuzzy",
+    "✦ incremental ingest: shard MinHash probe vs corpus band index, verified",
+    (s, d) => {
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val mutated = base.filter(col("doc_id") % 20 === 0 && col("doc_id") < 400)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat_ws(" ", transform(ws,
+            (x, i) => when(i === 5, lit("xqzv")).otherwise(x))).as("text"))
+      val corpus = base.unionByName(mutated)
+      // persist pair: harness-owned cache (q47's rule — Verify/Bench
+      // clearCache after each query). sh feeds signatures AND both
+      // verification sides; sig feeds both band sides.
+      val sh = shinglesOf(corpus).persist()
+      val h = Seq(md5(col("shingle")), md5(concat(lit("x:"), col("shingle"))))
+      val sliced = sh.select(col("doc_id") +:
+        (0 to 7).map(i =>
+          conv(substring(h(i / 4), 1 + 8 * (i % 4), 8), 16, 10)
+            .cast("long").as(s"s$i")): _*)
+      val sig = sliced.groupBy(col("doc_id"))
+        .agg(min(col("s0")).as("m0"),
+          (1 to 7).map(i => min(col(s"s$i")).as(s"m$i")): _*)
+        .persist()
+      val banded = sig.select(col("doc_id"),
+        explode(array(
+          md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3"))),
+          md5(concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7")))))
+          .as("band"))
+      // Index side = the stored corpus bands; shard side is small →
+      // broadcast it over the index probe.
+      val cand = banded.filter(col("doc_id") < 400)
+        .select(col("doc_id").as("da"), col("band"))
+        .join(broadcast(banded.filter(col("doc_id") >= 400)
+          .select(col("doc_id").as("db"), col("band"))), Seq("band"))
+        .select(col("da"), col("db")).distinct()
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("da"),
+          xxhash64(col("shingle")).as("sid")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"),
+          xxhash64(col("shingle")).as("sid")).hint("shuffle_hash"),
+          Seq("db", "sid"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      val verified = inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .groupBy(col("db").as("doc_id"))
+        .agg(count(lit(1)).as("n_cand"), max(col("jacc")).as("best_jacc"))
+      corpus.filter(col("doc_id") >= 400).select(col("doc_id"))
+        .join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("best_jacc"),
+          (coalesce(col("best_jacc"), lit(0.0)) < 0.5).as("ingest"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 30000,
+        array_to_string(list_transform(string_split(text, ' '),
+          (x, i) -> CASE WHEN i = 6 THEN 'xqzv' ELSE x END), ' ')
+      FROM documents WHERE doc_id % 20 = 0 AND doc_id < 400),
+    ${shinglesSqlFrom("corpus")},
+    sig AS (SELECT doc_id,
+      ${(0 to 7).map { i =>
+        val digest = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+        s"MIN(${hex8Sql(digest, 1 + 8 * (i % 4))}) m$i"
+      }.mkString(", ")}
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+             FROM banded a JOIN banded b USING (band)
+             WHERE a.doc_id < 400 AND b.doc_id >= 400),
+    $jaccardPairsSql,
+    v AS (SELECT cand.db AS doc_id, COUNT(*) AS n_cand, MAX(jp.jacc) AS best_jacc
+          FROM cand JOIN jp ON jp.da = cand.da AND jp.db = cand.db
+          GROUP BY cand.db)
+    SELECT s.doc_id, CAST(COALESCE(v.n_cand, 0) AS BIGINT) AS n_cand,
+      v.best_jacc, COALESCE(v.best_jacc, 0) < 0.5 AS ingest
+    FROM (SELECT doc_id FROM corpus WHERE doc_id >= 400) s
+    LEFT JOIN v USING (doc_id) ORDER BY doc_id"""))
+
   // --- q148: CANONICALIZED dedup + KEEP-BEST policy — two production
   //     upgrades over q46's raw-hash/keep-min shape in one operator:
   //     (1) the group key is the sha2 of the NORMALIZED text (stopwords
@@ -758,5 +868,5 @@ object Dedup extends Q.Module {
     ORDER BY cluster, doc_id"""))
 
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148)
+    q148, q156)
 }

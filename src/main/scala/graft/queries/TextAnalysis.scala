@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.dsl.hashMod
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -685,6 +686,68 @@ object TextAnalysis extends Q.Module {
       FROM documents)
     WHERE rk <= 15 ORDER BY source, rk"""))
 
+  // --- q157: TOKEN-BUDGET SELECTION — q116 caps each source by document
+  //     COUNT; real mixture specs are written in TOKENS ("at most B
+  //     tokens of src7"), and the docs kept should be the BEST ones, not
+  //     a uniform draw. Per source: rank docs by quality (q51's
+  //     integer-derived score) descending, admit while the running token
+  //     total stays within budget. Ordering rides q148's composite
+  //     BIGINT key floor(quality·1e9)·2^33 − doc_id — exact in both
+  //     engines (quality ∈ [0,1] keeps the product ≤ 8.6e18; doc_id <
+  //     2^33 documented there), so the sort and therefore the admitted
+  //     set is deterministic and engine-identical, no rand() anywhere.
+  //     Scale: every doc carries n_tokens ≥ 1 (split('') is ['']), so
+  //     cum_tokens ≤ B implies row_number ≤ B — the row_number()≤B
+  //     pre-filter is therefore a no-op on results but Catalyst rewrites
+  //     it into WindowGroupLimit: every task keeps at most B rows per
+  //     source BEFORE the exchange (q116's map-side cap), so a hot
+  //     source never funnels its full doc list into one task's sort —
+  //     the cum-sum window then runs on ≤ B rows per source. Both
+  //     windows share one spec → one sort, asserted in CurationGateSpec.
+  private val q157 = Q(
+    "q157_token_budget",
+    "✦ curation: per-source token budget, quality-ranked greedy admit",
+    (s, d) => {
+      val budget = 600L
+      val w = split(col("text"), " ")
+      val stop = Seq("the", "a")
+      val scored = docs(s, d).select(col("doc_id"), col("source"),
+        size(w).cast("long").as("n_tokens"),
+        (size(array_distinct(w)).cast("double") / size(w)
+          * (lit(1.0) - size(filter(w, x => x.isin(stop.map(lit(_)): _*)))
+              .cast("double") / size(w))).as("quality"))
+      val key = floor(col("quality") * 1e9).cast("long") * lit(8589934592L) -
+        col("doc_id")
+      val win = Window.partitionBy(col("source")).orderBy(key.desc)
+      scored
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= budget)
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(win.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("source"), col("doc_id"), col("quality"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    },
+    Some("""WITH sc AS (SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' '))
+          * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('the', 'a'))) AS DOUBLE)
+            / len(string_split(text, ' '))) AS quality
+      FROM documents),
+    c AS (SELECT source, doc_id, quality, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source
+          ORDER BY CAST(floor(quality * 1e9) AS BIGINT) * 8589934592 - doc_id
+            DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens
+      FROM sc)
+    SELECT source, doc_id, quality, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= 600 ORDER BY source, cum_tokens"""))
+
   // --- q134: OUTER EXPLODE — the generator-with-empties semantics every
   //     extraction pipeline hits: a document with ZERO matches must
   //     survive the explode as a null row (plain explode silently drops
@@ -839,24 +902,48 @@ object TextAnalysis extends Q.Module {
   //     costing one spurious span — kept as the raw string here because
   //     Spark and DuckDB share no string hash and the gate compares
   //     engines exactly.
+  /** Flagged echo starts (doc_id, pos): every position whose K-token
+    * shingle is a repeat of text seen EARLIER in the corpus (composite
+    * first-occurrence key doc_id·2^20+pos — q140's idiom and its same
+    * 2^20/2^43 LIMITs). The duplicate-shingle index is one
+    * partial-aggregatable MIN(k) GROUP BY shingle; count-1 shingles have
+    * k = first_k and drop out of the join-back for free. Shared by q154
+    * (span readout) and q155 (span removal + reassembly). */
+  private def echoStarts(corpus: DataFrame, K: Int): DataFrame = {
+    val sh = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= K)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - K)).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        array_join(slice(col("toks"), col("pos") + 1, lit(K)), " ").as("sh"))
+      .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
+    val firsts = sh.groupBy(col("sh")).agg(min(col("k")).as("first_k"))
+    sh.join(firsts, Seq("sh"))
+      .filter(col("k") =!= col("first_k"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** DuckDB twin of [[echoStarts]]: CTEs t/s/g/f ending in d2 =
+    * (doc_id, pos) of flagged starts. */
+  private def echoStartsSql(k: Int): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        len(string_split(text, ' ')) AS n FROM documents),
+    s AS (SELECT doc_id, toks,
+        unnest(generate_series(0, n - $k, 1)) AS pos FROM t WHERE n >= $k),
+    g AS (SELECT doc_id, pos, doc_id * 1048576 + pos AS k,
+        array_to_string(toks[pos + 1 : pos + $k], ' ') AS sh FROM s),
+    f AS (SELECT sh, MIN(k) AS first_k FROM g GROUP BY sh),
+    d2 AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (sh)
+      WHERE g.k <> f.first_k)"""
+
   private val q154 = Q(
     "q154_substring_dedup",
     "✦ exact substring dedup: duplicated K-gram index → maximal echo spans",
     (s, d) => {
       val K = 8
-      val sh = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") >= K)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0), col("n") - K)).as("pos"))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          array_join(slice(col("toks"), col("pos") + 1, lit(K)), " ").as("sh"))
-        .withColumn("k", col("doc_id") * lit(1048576L) + col("pos"))
-      val firsts = sh.groupBy(col("sh")).agg(min(col("k")).as("first_k"))
-      val flagged = sh.join(firsts, Seq("sh"))
-        .filter(col("k") =!= col("first_k"))
-        .select(col("doc_id"), col("pos"))
+      val flagged = echoStarts(docs(s, d), K)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       flagged
         .withColumn("brk",
@@ -871,15 +958,7 @@ object TextAnalysis extends Q.Module {
         .withColumn("n_toks", col("end_tok") - col("start_tok"))
         .orderBy(col("doc_id"), col("start_tok"))
     },
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
-        len(string_split(text, ' ')) AS n FROM documents),
-    s AS (SELECT doc_id, toks,
-        unnest(generate_series(0, n - 8, 1)) AS pos FROM t WHERE n >= 8),
-    g AS (SELECT doc_id, pos, doc_id * 1048576 + pos AS k,
-        array_to_string(toks[pos + 1 : pos + 8], ' ') AS sh FROM s),
-    f AS (SELECT sh, MIN(k) AS first_k FROM g GROUP BY sh),
-    d2 AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (sh)
-      WHERE g.k <> f.first_k),
+    Some(s"""WITH ${echoStartsSql(8)},
     m AS (SELECT doc_id, pos,
         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
           OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
@@ -891,6 +970,61 @@ object TextAnalysis extends Q.Module {
     SELECT doc_id, span_id, MIN(pos) AS start_tok, MAX(pos) + 8 AS end_tok,
       MAX(pos) + 8 - MIN(pos) AS n_toks
     FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, start_tok"""))
+
+  // --- q155: EXACT SUBSTRING REMOVAL — q154 finds the echo spans; this is
+  //     the pipeline step that actually APPLIES them: every token covered
+  //     by some flagged K-shingle occurrence is cut and the survivors are
+  //     rejoined into the cleaned corpus (the write-side of
+  //     deduplicate-text-datasets — q154 is the report, q155 the edit).
+  //     Coverage is computed from flagged STARTS directly (start p covers
+  //     tokens [p, p+K)) rather than from q154's merged spans: the union
+  //     of start intervals IS the union of the merged spans, and it joins
+  //     to the token stream on (doc_id, pos) equality — no range join.
+  //     Reassembly is q140's collect/sort/rejoin idiom, so docs that lose
+  //     EVERY token still emit a row (cleaned = ''), and sub-K docs pass
+  //     through untouched via the left join. Scale: the covered-position
+  //     expansion is bounded by K × flagged-start volume (duplicated text
+  //     only, not the corpus); the token explode is a partition-local
+  //     generator inside codegen (q136's shape — no key shuffle to
+  //     produce it); the only corpus-sized shuffles are the shingle MIN
+  //     aggregate, the join-back, and the per-doc reassembly aggregate,
+  //     whose state is bounded by doc length, never corpus size.
+  private val q155 = Q(
+    "q155_substring_remove",
+    "✦ exact substring dedup: cut echo-covered tokens, reassemble cleaned docs",
+    (s, d) => {
+      val K = 8
+      val corpus = docs(s, d)
+      val cov = echoStarts(corpus, K)
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + K - 1)).as("tp"))
+        .distinct()
+        .withColumn("covered", lit(true))
+      val tok = corpus
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("tp", "w")))
+        .withColumn("tp", col("tp").cast("long"))
+      tok.join(cov, Seq("doc_id", "tp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          count(when(col("covered"), lit(1))).as("n_removed"),
+          array_join(transform(
+            array_sort(collect_list(when(col("covered").isNull,
+              struct(col("tp"), col("w"))))),
+            x => x.getField("w")), " ").as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${echoStartsSql(8)},
+    cov AS (SELECT DISTINCT doc_id, pos + u AS tp FROM
+      (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS u FROM d2)),
+    tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, toks[i] AS w FROM
+      (SELECT doc_id, toks, unnest(generate_series(1, n)) AS i FROM t)),
+    j AS (SELECT tk.doc_id, tk.tp, tk.w, cov.tp AS ctp
+      FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.tp = tk.tp)
+    SELECT doc_id, COUNT(*) AS n_toks, COUNT(ctp) AS n_removed,
+      COALESCE(string_agg(CASE WHEN ctp IS NULL THEN w END,
+        ' ' ORDER BY tp), '') AS cleaned
+    FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
   // --- q141: TEMPERATURE-SCALED MIXTURE SAMPLING — the data-mixing
   //     math LLM pipelines actually run: per-source weights ∝ n^α
@@ -1000,5 +1134,5 @@ object TextAnalysis extends Q.Module {
 
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116, q134, q136, q140, q141, q149, q154)
+      q114, q116, q134, q136, q140, q141, q149, q154, q155, q157)
 }

@@ -234,6 +234,87 @@ class CurationGateSpec extends SparkSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  // q155 on the same crafted corpus as the q154 span test: the cleaned
+  // output must cut EXACTLY the tokens covered by q154's spans — firsts
+  // untouched, both spans of doc 1 cut, the touching merge of doc 2 cut
+  // whole, only the SECOND in-doc echo of doc 3 cut, sub-K doc 4 intact.
+  test("q155 removal on injected echoes matches hand-computed cleaned docs") {
+    import spark.implicits._
+    val R = (0 to 9).map(i => s"r$i")
+    val E = (0 to 7).map(i => s"e$i")
+    val S = (0 to 7).map(i => s"s$i")
+    def f(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val corpus = Seq(
+      0L -> (R ++ f("f0", 5) ++ E),
+      1L -> (f("f1", 3) ++ R ++ f("g1", 9) ++ E ++ f("h1", 2)),
+      2L -> (E ++ E ++ f("k2", 4)),
+      3L -> (S ++ f("m3", 2) ++ S),
+      4L -> f("t4", 3))
+    val dir = java.nio.file.Files.createTempDirectory("q155_inject").toString
+    corpus.map { case (id, ws) =>
+      val t = ws.mkString(" "); (id, t, "xx", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q155_substring_remove")(spark, dir)
+      .select("doc_id", "n_toks", "n_removed", "cleaned")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    spark.catalog.clearCache()
+    val want = Seq(
+      (0L, 23L, 0L, (R ++ f("f0", 5) ++ E).mkString(" ")),
+      (1L, 32L, 18L, (f("f1", 3) ++ f("g1", 9) ++ f("h1", 2)).mkString(" ")),
+      (2L, 20L, 16L, f("k2", 4).mkString(" ")),
+      (3L, 18L, 8L, (S ++ f("m3", 2)).mkString(" ")),
+      (4L, 3L, 0L, f("t4", 3).mkString(" ")))
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("q156 drops mutated injections, keeps index out, covers the shard") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q156_incremental_fuzzy")(spark, sfDir)
+      .select("doc_id", "ingest").as[(Long, Boolean)].collect()
+    spark.catalog.clearCache() // release the harness-owned sh/sig caches
+    val ids = rows.map(_._1).toSet
+    assert(ids.forall(_ >= 400L), "an index doc (id<400) leaked into the output")
+    val nShard = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") >= 400).count()
+    assert(rows.length == nShard + 20,
+      s"shard coverage: got ${rows.length}, want $nShard originals + 20 injected")
+    // One-word edits keep ~85% Jaccard; with 2 bands of 4 the per-doc miss
+    // odds are a few percent (q112's bound) — and verification must not
+    // turn band recalls into false keeps at 0.5.
+    val dropped = rows.count { case (id, ing) => id >= 30000L && !ing }
+    assert(dropped >= 15, s"only $dropped/20 mutated injections were dropped")
+  }
+
+  // Full naive JVM recomputation of q157's greedy admit: score every doc
+  // with q51's quality formula, rank per source on the composite BIGINT
+  // key, admit while the running token sum stays within 600 — the
+  // distributed two-window form must pick exactly this set.
+  test("q157 == naive greedy token-budget admit; prunes via WindowGroupLimit") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q157_token_budget")(spark, sfDir)
+    val got = df.select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank<=B filter must compile to map-side WindowGroupLimit pruning")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val want = raw.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val scored = ds.map { case (id, _, text) =>
+        val ws = text.split(" ", -1).toSeq
+        val stop = ws.count(w => w == "the" || w == "a")
+        val q = ws.distinct.size.toDouble / ws.size *
+          (1.0 - stop.toDouble / ws.size)
+        (id, ws.size.toLong, math.floor(q * 1e9).toLong * 8589934592L - id)
+      }.sortBy(-_._3)
+      scored.scanLeft((0L, 0L)) { case ((_, cum), (id, n, _)) => (id, cum + n) }
+        .drop(1).takeWhile(_._2 <= 600L)
+        .map { case (id, cum) => (src, id, cum) }
+    }.sorted
+    assert(got.nonEmpty && got == want,
+      s"admit sets differ: got ${got.size} want ${want.size}")
+  }
+
   // Full naive JVM recomputation of q154 on the real fixture: same
   // shingle/first-key/merge algorithm written sequentially — proves the
   // distributed decomposition (hash-agg MIN + join-back + per-doc window)
