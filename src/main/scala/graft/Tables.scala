@@ -46,13 +46,29 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
   }
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects by default (`PARQUET_TYPE_ILLEGAL`). With the legacy conf the
-    * column reads as nanoseconds-since-epoch BIGINT; convert with
-    * `timestamp_micros(ts div 1000)` when a real timestamp is needed.
+  /** `events.parquet` — the fixture's timestamp physical type has varied
+    * across driver generations: INT64 TIMESTAMP(NANOS) (which Spark 4
+    * rejects without the legacy conf, then reads as nanos-since-epoch
+    * BIGINT) and plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Every
+    * downstream query is written against ONE stable contract — `ts` is
+    * BIGINT nanoseconds since epoch, `timestamp_micros(ts div 1000)`
+    * recovers the instant — so this loader normalizes whichever physical
+    * type the file carries to that contract. The µs→ns conversion is a
+    * zero-shuffle projection (exact integer multiply; µs-precision input
+    * means no information is invented), and the cast through TIMESTAMP
+    * is UTC-safe because every entry point (Verify/Bench/tests) pins the
+    * session timezone to UTC. DuckDB sees TIMESTAMP(µs) either way, so
+    * the oracles are unaffected by the fixture generation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // nanos fixture
+      case _ =>
+        import org.apache.spark.sql.functions._
+        raw.withColumn("ts",
+          (unix_micros(col("ts").cast("timestamp")) * lit(1000L)))
+    }
   }
 }

@@ -863,7 +863,68 @@ object Aggs extends Q.Module {
         FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P_total"
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // --- q160: per-group MODE + SHANNON ENTROPY of a categorical
+  //     distribution — pandas `groupby().agg(pd.Series.mode)` plus the
+  //     distribution-skew readout a mixture audit wants (how concentrated
+  //     is each language's source mix?). Mode ties are broken
+  //     DETERMINISTICALLY (highest count, then lexicographically smallest
+  //     source) via a rank-1 window over the (lang, source) count frame —
+  //     engine-identical, unlike both engines' built-in mode()/arg_max()
+  //     whose tie choice is unspecified. Entropy is −Σ p·ln p: the count
+  //     frame per lang is collected into a SOURCE-SORTED list and folded
+  //     sequentially (q141's ordered-fold idiom), so the double addition
+  //     order is identical in Spark and DuckDB — a bare SUM over groups
+  //     would be partial-aggregation-order dependent. ln() itself is the
+  //     one non-bit-identical primitive across the engines (Java Math.log
+  //     vs C libm can differ 1 ulp — q162's sweep caught it live), so the
+  //     compared value is rounded to 9 decimals on both sides, q27's
+  //     established pattern; ~9 significant digits retained. Scale: everything
+  //     downstream of the first groupBy is aggregate-sized (langs ×
+  //     sources); the corpus shuffles once, map-side combined. Per-lang
+  //     list state is bounded by the source-domain size, never rows.
+  private val q160 = Q(
+    "q160_group_mode_entropy",
+    "A ✦ groupby mode (deterministic tie-break) + Shannon entropy of source mix per lang",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("source"))
+      val mode = counts
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("lang"), col("source").as("mode_source"),
+          col("cnt").as("mode_cnt"))
+      val ent = counts.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sort_array(collect_list(struct(col("source"), col("cnt")))).as("cs"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          round(-aggregate(
+            transform(col("cs"), x =>
+              (x.getField("cnt").cast("double") / col("n_docs").cast("double")) *
+                log(x.getField("cnt").cast("double") / col("n_docs").cast("double"))),
+            lit(0.0), (a, x) => a + x), 9).as("entropy_nats"))
+      ent.join(mode, Seq("lang")).orderBy(col("lang"))
+    },
+    Some("""WITH c AS (
+      SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source),
+    m AS (SELECT lang, source AS mode_source, cnt AS mode_cnt FROM (
+      SELECT lang, source, cnt,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rn
+      FROM c) WHERE rn = 1),
+    e0 AS (SELECT lang, SUM(cnt) AS n_docs, COUNT(*) AS n_sources,
+        list(cnt ORDER BY source) AS cs
+      FROM c GROUP BY lang),
+    e AS (SELECT lang, n_docs, n_sources,
+        ROUND(-list_sum(list_transform(cs,
+          x -> (CAST(x AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            * ln(CAST(x AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 9) AS entropy_nats
+      FROM e0)
+    SELECT e.lang, CAST(e.n_docs AS BIGINT) AS n_docs,
+      e.n_sources, e.entropy_nats, m.mode_source, m.mode_cnt
+    FROM e JOIN m USING (lang) ORDER BY lang"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
-    q153)
+    q153, q160)
 }

@@ -689,6 +689,186 @@ object Events extends Q.Module {
     FROM grid LEFT JOIN agg USING(event_type, bucket)
     ORDER BY event_type, day"""))
 
+  // --- q158: resample + LINEAR INTERPOLATION — pandas/dask
+  //     `resample('10min').sum().interpolate()`: q93 forward-fills empty
+  //     buckets; this fills them on the line between the nearest known
+  //     neighbors (pandas 'linear' semantics: interior gaps interpolate,
+  //     trailing gaps carry the last known value, leading gaps stay
+  //     NULL). Same grid idiom as q93; the neighbor lookup is four
+  //     ignore-nulls window expressions over two frames of ONE
+  //     per-event_type sort — no join, no self-merge. Determinism: the
+  //     known bucket sums are decimal-exact (dsum) and the interpolation
+  //     is a single identically-parenthesized double expression on both
+  //     engines — `prev + (next - prev) * (Δfrom / Δspan)` with the
+  //     quotient computed first — so identical inputs give bit-identical
+  //     output. Scale: grid is buckets×types-sized, generated not
+  //     materialized; window partitions are one per event_type over the
+  //     bucket axis (bounded by time span, never row count).
+  private val q158 = Q(
+    "q158_resample_interpolate",
+    "W/ST ✦ resample('10min').sum().interpolate(): linear gap fill between known buckets",
+    (s, d) => {
+      val stepUs = 10L * 60 * 1000000
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"(ts div 1000) div $stepUs").as("bucket"), col("value"))
+      val bounds = e.agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      val grid = e.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("bucket"))
+      val agg = e.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("known"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(agg, Seq("event_type", "bucket"), "left")
+        .withColumn("prev_v", last(col("known"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_b", last(when(col("known").isNotNull, col("bucket")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("next_v", first(col("known"), ignoreNulls = true).over(wNext))
+        .withColumn("next_b", first(when(col("known").isNotNull, col("bucket")),
+          ignoreNulls = true).over(wNext))
+        .select(col("event_type"),
+          timestamp_micros(col("bucket") * stepUs).cast("timestamp_ntz").as("ws"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          when(col("known").isNotNull, col("known"))
+            .when(col("prev_v").isNull, lit(null).cast("double"))
+            .when(col("next_v").isNull, col("prev_v"))
+            .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+              ((col("bucket") - col("prev_b")).cast("double") /
+                (col("next_b") - col("prev_b")).cast("double")))
+            .as("filled_value"),
+          col("n").isNull.as("was_gap"))
+        .orderBy(col("event_type"), col("ws"))
+    },
+    Some(s"""WITH e AS (
+      SELECT event_type, epoch_us(ts) // 600000000 AS bucket, value FROM events),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM e),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM e) t,
+        (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                       (SELECT hi FROM bounds))) AS bucket) g),
+    agg AS (SELECT event_type, bucket, COUNT(*) AS n,
+        ${dsumSql("value")} AS known
+      FROM e GROUP BY 1, 2),
+    j AS (
+      SELECT grid.event_type, grid.bucket, agg.n, agg.known,
+        LAST_VALUE(agg.known IGNORE NULLS) OVER wp AS prev_v,
+        LAST_VALUE(CASE WHEN agg.known IS NOT NULL THEN grid.bucket END
+          IGNORE NULLS) OVER wp AS prev_b,
+        FIRST_VALUE(agg.known IGNORE NULLS) OVER wn AS next_v,
+        FIRST_VALUE(CASE WHEN agg.known IS NOT NULL THEN grid.bucket END
+          IGNORE NULLS) OVER wn AS next_b
+      FROM grid LEFT JOIN agg USING(event_type, bucket)
+      WINDOW wp AS (PARTITION BY grid.event_type ORDER BY grid.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY grid.event_type ORDER BY grid.bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, make_timestamp(bucket * 600000000) AS ws,
+      CAST(COALESCE(n, 0) AS BIGINT) AS n,
+      CASE WHEN known IS NOT NULL THEN known
+        WHEN prev_v IS NULL THEN NULL
+        WHEN next_v IS NULL THEN prev_v
+        ELSE prev_v + (next_v - prev_v) *
+          (CAST(bucket - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+      END AS filled_value,
+      n IS NULL AS was_gap
+    FROM j ORDER BY event_type, ws"""))
+
+  // --- q159: CDC CHANGELOG APPLY — the MERGE/upsert core of every lake
+  //     table format (Delta/Hudi/Iceberg), expressed as a plan: a keyed
+  //     base snapshot (customer) receives a changelog (events as the
+  //     feed: 'error' → DELETE, anything else → UPSERT of `value`),
+  //     last-writer-wins by (event time, event_id). The changelog
+  //     collapses to one row per key with a row_number()==1 top-1 window
+  //     — compiled to WindowGroupLimit, so each map task forwards ONE
+  //     candidate per key before the shuffle — then full-outer-joins the
+  //     base: upserts override, deletes drop, untouched base rows pass
+  //     through, unknown keys insert. Scale: one shuffle of the
+  //     collapsed changelog + one key-partitioned join; re-applying the
+  //     same changelog is idempotent (property-tested), which is what
+  //     makes the sink safe under at-least-once delivery.
+  private val q159 = Q(
+    "q159_cdc_upsert",
+    "J/A ✦ CDC changelog apply: last-writer-wins upsert+delete onto a keyed snapshot",
+    (s, d) => {
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      val latest = Tables.events(s, d)
+        .select(col("user_id").as("key"), micros.as("us"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "us", "event_id")
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("bkey"), col("c_name"), col("c_acctbal"))
+      base.join(latest, col("bkey") === col("key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("bkey"), col("key")).as("key"),
+          coalesce(col("c_name"),
+            concat(lit("new-"), col("key").cast("string"))).as("name"),
+          when(col("op").isNotNull, col("value")).otherwise(col("c_acctbal")).as("bal"),
+          when(col("op").isNotNull, lit("cdc")).otherwise(lit("base")).as("src"))
+        .orderBy(col("key"))
+    },
+    Some("""WITH ch AS (
+      SELECT user_id AS key,
+        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events),
+    latest AS (SELECT key, op, value FROM ch WHERE rn = 1)
+    SELECT COALESCE(b.c_custkey, l.key) AS key,
+      COALESCE(b.c_name, 'new-' || CAST(l.key AS VARCHAR)) AS name,
+      CASE WHEN l.op IS NOT NULL THEN l.value ELSE b.c_acctbal END AS bal,
+      CASE WHEN l.op IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+    FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY key"""))
+
+  // --- q163: STREAM-STREAM INTERVAL JOIN off readStream (ST4 in its
+  //     true streaming form): purchases attributed to the same user's
+  //     clicks within the preceding 30 minutes, via
+  //     EventStream.attributedPurchases — both sides watermarked, the
+  //     event-time band bounding join state so two UNBOUNDED streams can
+  //     join indefinitely. Unlike q108 this row IS oracle-checkable: the
+  //     fixture is one parquet file → one AvailableNow micro-batch, and
+  //     an append-mode INNER interval join emits every in-batch match
+  //     immediately (watermarks only gate state eviction and outer-row
+  //     emission), so the streaming result equals the batch interval
+  //     join DuckDB runs. The memory sink is the test harness shape
+  //     (q108 precedent); production swaps it for parquet/kafka.
+  private val q163 = Q(
+    "q163_stream_stream_join",
+    "ST4 ✦ readStream: watermarked stream-stream interval join (click→purchase attribution)",
+    (s, d) => {
+      val table = "q163_attrib_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      Sinks.once(s"q163_$d") {
+        val ev = graft.streaming.EventStream.fromEventsDir(s, d).toDF()
+        val joined = graft.streaming.EventStream.attributedPurchases(
+          ev, windowMinutes = 30)
+        graft.streaming.EventStream.runToMemory(joined, table,
+          org.apache.spark.sql.streaming.OutputMode.Append)
+      }
+      s.table(table)
+        .select(col("user_id"),
+          col("p_time").cast("timestamp_ntz").as("p_time"),
+          col("p_value"),
+          col("c_time").cast("timestamp_ntz").as("c_time"))
+        .orderBy(col("user_id"), col("p_time"), col("c_time"), col("p_value"))
+    },
+    Some("""SELECT p.user_id AS user_id, p.ts AS p_time, p.value AS p_value,
+      c.ts AS c_time
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.user_id = p.user_id
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTES
+    ORDER BY user_id, p_time, c_time, p_value"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
-    q106, q108, q125, q127, q128, q139, q146)
+    q106, q108, q125, q127, q128, q139, q146, q158, q159, q163)
 }

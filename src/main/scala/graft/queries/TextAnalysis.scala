@@ -1132,7 +1132,135 @@ object TextAnalysis extends Q.Module {
         THEN 1 END) AS BIGINT) AS n_leaked
     FROM t GROUP BY split ORDER BY split"""))
 
+  // --- q161: UNIGRAM-LM LOG-PROB QUALITY SCORE — the perplexity-proxy
+  //     filter (the cheap stand-in for a KenLM gate): train a unigram LM
+  //     on the corpus itself (token → count / total), then score each
+  //     document by its mean negative log-probability; gibberish and
+  //     rare-token soup score high, stereotyped text scores low. Two
+  //     passes over the token stream: (1) the vocab aggregate (shuffle
+  //     bounded by vocabulary size, map-side combined; the scalar total
+  //     is a broadcast 1-row frame), (2) a token→vocab equi-join keyed
+  //     on the word (vocab-bounded shuffle — NOT broadcast: a web-scale
+  //     vocab has billions of rare types) and a per-doc fold. Summation
+  //     determinism: ln(cnt/total) is evaluated once per row from
+  //     identical inputs on both engines, and the per-doc sum folds a
+  //     POSITION-SORTED collected list sequentially (q141's idiom) —
+  //     per-doc state bounded by doc length (q140/q155's accepted
+  //     reassembly bound), addition order engine-identical. ln() is NOT
+  //     bit-identical across engines (Java vs libm, 1 ulp), so the
+  //     compared score is rounded to 9 decimals on both sides (q27's
+  //     pattern) and the gate flag is computed from the rounded value.
+  private val q161 = Q(
+    "q161_unigram_logprob",
+    "✦ quality: unigram-LM mean negative log-prob per doc (perplexity proxy)",
+    (s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val tot = tok.agg(count(lit(1)).as("tot"))
+      val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .select(col("word"),
+          log(col("cnt").cast("double") / col("tot").cast("double")).as("logp"))
+      tok.join(vocab, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
+              x => x.getField("logp")),
+            lit(0.0), (a, x) => a + x).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(-(col("s") / col("n_tokens").cast("double")), 9).as("avg_neg_logp"))
+        .withColumn("flag_low_quality", col("avg_neg_logp") > lit(3.8))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+        len(string_split(text, ' ')) AS n FROM documents),
+    tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS word
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, n)) AS i FROM t)),
+    tot AS (SELECT COUNT(*) AS tot FROM tok),
+    vocab AS (SELECT word,
+        ln(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT tot FROM tot) AS DOUBLE)) AS logp
+      FROM tok GROUP BY word),
+    sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        list_sum(list(logp ORDER BY pos)) AS s
+      FROM tok JOIN vocab USING (word) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+      ROUND(-(s / CAST(n_tokens AS DOUBLE)), 9) AS avg_neg_logp,
+      ROUND(-(s / CAST(n_tokens AS DOUBLE)), 9) > 3.8 AS flag_low_quality
+    FROM sc ORDER BY doc_id"""))
+
+  // --- q162: ZIPF SLOPE OF THE VOCABULARY — fit ln(freq) = a + s·ln(rank)
+  //     over the top-100 collection-frequency types by exact least
+  //     squares; natural text sits near s ≈ −1, and a corpus whose slope
+  //     drifts (template spam flattens it, boilerplate steepens it) fails
+  //     the distributional sanity check. Shape: the vocab aggregate
+  //     (corpus's only shuffle, vocab-bounded) feeds a top-k selection —
+  //     Spark plans orderBy+limit as TakeOrderedAndProject, per-partition
+  //     heaps + one k-row merge, never a global sort — and everything
+  //     after is a ONE-ROW frame: ranks come from the index of the
+  //     (cnt desc, word)-sorted collected list, and the four moment sums
+  //     (Σx, Σy, Σxy, Σx²) are sequential folds over that list, so the
+  //     double addition order is engine-identical (q141's idiom; a plain
+  //     SUM would be partial-order dependent). Slope and intercept are
+  //     single identically-shaped double expressions — but ln() is not
+  //     bit-identical across engines (Java Math.log vs libm differed by
+  //     1 ulp on this very fixture), so both are rounded to 9 decimals
+  //     on both sides (q27's pattern).
+  private val q162 = Q(
+    "q162_zipf_slope",
+    "✦ corpus stats: Zipf slope over top-100 vocab by exact log-log least squares",
+    (s, d) => {
+      val top = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(100)
+      // index i is 0-based → rank = i+1; sort key (-cnt, word) puts the
+      // most frequent type first, ties broken lexicographically.
+      val xs = transform(col("arr"), (_, i) => log((i + 1).cast("double")))
+      val ys = transform(col("arr"),
+        x => log(x.getField("cnt").cast("double")))
+      def fsum(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (a, x) => a + x)
+      top.agg(count(lit(1)).as("n_terms"),
+          sort_array(collect_list(struct((-col("cnt")).as("nc"),
+            col("word"), col("cnt")))).as("arr"))
+        .select(col("n_terms"),
+          fsum(xs).as("sx"), fsum(ys).as("sy"),
+          fsum(zip_with(xs, ys, (a, b) => a * b)).as("sxy"),
+          fsum(transform(xs, x => x * x)).as("sxx"))
+        .withColumn("slope",
+          (col("n_terms").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms").cast("double") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept",
+          (col("sy") - col("slope") * col("sx")) / col("n_terms").cast("double"))
+        .select(col("n_terms"), round(col("slope"), 9).as("slope"),
+          round(col("intercept"), 9).as("intercept"))
+    },
+    Some("""WITH v AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    top AS (SELECT word, COUNT(*) AS cnt FROM v GROUP BY word
+      ORDER BY cnt DESC, word LIMIT 100),
+    l AS (SELECT COUNT(*) AS n_terms, list(cnt ORDER BY cnt DESC, word) AS cs
+      FROM top),
+    m AS (SELECT n_terms,
+        list_sum(list_transform(cs, (x, i) -> ln(CAST(i AS DOUBLE)))) AS sx,
+        list_sum(list_transform(cs, x -> ln(CAST(x AS DOUBLE)))) AS sy,
+        list_sum(list_transform(cs, (x, i) ->
+          ln(CAST(i AS DOUBLE)) * ln(CAST(x AS DOUBLE)))) AS sxy,
+        list_sum(list_transform(cs, (x, i) ->
+          ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)))) AS sxx
+      FROM l),
+    r AS (SELECT n_terms,
+        ((CAST(n_terms AS DOUBLE) * sxy - sx * sy) /
+         (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) AS slope, sx, sy
+      FROM m)
+    SELECT n_terms, ROUND(slope, 9) AS slope,
+      ROUND((sy - slope * sx) / CAST(n_terms AS DOUBLE), 9) AS intercept
+    FROM r"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116, q134, q136, q140, q141, q149, q154, q155, q157)
+      q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162)
 }

@@ -31,19 +31,28 @@ case class SessState(start: Long, last: Long, n: Long, total: Double)
   */
 object EventStream {
 
-  /** Streaming scan of a directory containing `events.parquet` fixtures
-    * (INT64 nano timestamps), normalized to typed [[Ev]] rows. The file
-    * source needs a directory; `glob` narrows it to the events files. */
+  /** Streaming scan of a directory containing `events.parquet` fixtures,
+    * normalized to typed [[Ev]] rows. The file source needs a directory;
+    * `glob` narrows it to the events files. The fixture's timestamp
+    * physical type has varied across driver generations (INT64 nanos vs
+    * TIMESTAMP(MICROS) — see Tables.events); a streaming source needs
+    * its schema up front, so a one-file batch peek (footer read only, no
+    * job) picks the matching schema + event-time expression. */
   def fromEventsDir(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): Dataset[Ev] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+    val nanos = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsType = if (nanos) "BIGINT" else "TIMESTAMP_NTZ"
+    val etime =
+      if (nanos) timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    val schema = s"event_id BIGINT, ts $tsType, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
     spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
-      .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("etime"),
+      .select(col("user_id"), etime.as("etime"),
         col("event_type"), col("value"))
       .as[Ev]
   }
