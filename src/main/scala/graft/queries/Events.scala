@@ -869,6 +869,82 @@ object Events extends Q.Module {
       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTES
     ORDER BY user_id, p_time, c_time, p_value"""))
 
+  // --- q168: PER-GROUP OLS TREND — groupby().apply(linregress): fit
+  //     y = a + s·x per event_type where x is the epoch day and y that
+  //     day's decimal-exact value total; slope/intercept/R² answer "is
+  //     this event type's volume trending, and how tight is the fit?"
+  //     (q162 fits ONE global line; this is the per-key form — the x
+  //     moments are exact BIGINTs, not ln()s, so no rounding-for-libm is
+  //     needed and ROUND(9) is comfort only). Determinism: Σx/Σx² are
+  //     integer aggregates (exact in any order; day ≈ 2·10⁴ keeps every
+  //     moment far under 2^53 so the final double casts are exact);
+  //     Σy/Σxy/Σy² fold a DAY-SORTED collected list sequentially (q141's
+  //     idiom) — per-group state is bounded by the day-axis span, never
+  //     by row count. The shared numerator/denominator are computed ONCE
+  //     into columns and reused by slope and R² — identical shapes on
+  //     both engines. Scale: the corpus shuffles once into the daily
+  //     rollup (map-side combined); everything after is groups×days.
+  private val q168 = Q(
+    "q168_group_ols_trend",
+    "A ✦ per-group OLS: daily-volume slope/intercept/R² per event_type",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(dsum(col("value")).as("y"))
+      def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(
+        transform(col("dys"), f), lit(0.0), (a, x) => a + x)
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+          sum(col("day") * col("day")).as("sxx"),
+          sort_array(collect_list(struct(col("day"), col("y")))).as("dys"))
+        .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+          fold(_.getField("y")).as("sy"),
+          fold(x => x.getField("day").cast("double") * x.getField("y")).as("sxy"),
+          fold(x => x.getField("y") * x.getField("y")).as("syy"))
+        .withColumn("num",
+          col("n").cast("double") * col("sxy")
+            - col("sx").cast("double") * col("sy"))
+        .withColumn("den",
+          col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("dyy",
+          col("n").cast("double") * col("syy") - col("sy") * col("sy"))
+        .withColumn("slope", col("num") / col("den"))
+        .select(col("event_type"), col("n").as("n_days"),
+          round(col("slope"), 9).as("slope"),
+          round((col("sy") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"), 9).as("intercept"),
+          round((col("num") * col("num")) / (col("den") * col("dyy")), 9)
+            .as("r2"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        ${dsumSql("value")} AS y
+      FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(day) AS sx,
+        SUM(day * day) AS sxx,
+        list_sum(list(y ORDER BY day)) AS sy,
+        list_sum(list(CAST(day AS DOUBLE) * y ORDER BY day)) AS sxy,
+        list_sum(list(y * y ORDER BY day)) AS syy
+      FROM daily GROUP BY 1),
+    m AS (SELECT event_type, n, sx, sy,
+        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) AS num,
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS den,
+        (CAST(n AS DOUBLE) * syy - sy * sy) AS dyy
+      FROM g),
+    r AS (SELECT *, num / den AS slope FROM m)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      ROUND(slope, 9) AS slope,
+      ROUND((sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9)
+        AS intercept,
+      ROUND((num * num) / (den * dyy), 9) AS r2
+    FROM r ORDER BY event_type"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
-    q106, q108, q125, q127, q128, q139, q146, q158, q159, q163)
+    q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168)
 }

@@ -347,5 +347,78 @@ object Extras extends Q.Module {
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
 
-  def defs: Seq[Q] = Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100)
+  // --- q166: BM25 TOP-K RETRIEVAL — the ranked-retrieval upgrade of
+  //     q65's TF-IDF: Okapi BM25 (k1=1.2, b=0.75) scoring of a fixed
+  //     3-term query, top-10 docs. Shape: one token pass feeds both the
+  //     doc-length frame and the term-filtered tf frame (the filter on
+  //     the query terms prunes the corpus BEFORE the tf shuffle — at
+  //     100 TB the posting lists for 3 terms, not the corpus, shuffle);
+  //     df and the (N, Σdl) corpus stats are aggregate-sized broadcast
+  //     frames. Determinism: idf's ln() is the one 1-ulp-across-libm
+  //     primitive, so the FINAL score is rounded to 9 decimals (q27's
+  //     pattern) and top-k orders by (rounded score, doc_id); every
+  //     other factor is an identically-parenthesized single IEEE
+  //     expression from exact integers, and the per-doc term sum folds a
+  //     word-sorted list sequentially (q141's idiom). The top-k itself
+  //     is orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+  //     never a global sort).
+  private val q166 = Q(
+    "q166_bm25_topk",
+    "✦ retrieval: Okapi BM25 top-10 docs for a 3-term query (posting-list-pruned)",
+    (s, d) => {
+      val qTerms = Seq("filter", "merge", "vector")
+      val (k1, b) = (1.2, 0.75)
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("totdl"))
+      val tf = toks.filter(col("word").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(df), Seq("word"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("avgdl", col("totdl").cast("double") / col("n").cast("double"))
+        .withColumn("sc", col("idf") *
+          ((col("tf").cast("double") * lit(k1 + 1)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+      sc.groupBy(col("doc_id"))
+        .agg(max(col("dl")).as("dl"),
+          count(lit(1)).as("n_terms"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("word"), col("sc")))),
+              x => x.getField("sc")),
+            lit(0.0), (a, x) => a + x).as("s"))
+        .select(col("doc_id"), col("dl"), col("n_terms"),
+          round(col("s"), 9).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS totdl FROM dl),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks
+      WHERE word IN ('filter', 'merge', 'vector') GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    sc AS (
+      SELECT tf.doc_id, tf.word, dl.dl,
+        ln((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+          ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+            (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+              (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                (CAST(dl.dl AS DOUBLE)
+                  / (CAST(s.totdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS sc
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s)
+    SELECT doc_id, MAX(dl) AS dl, COUNT(*) AS n_terms,
+      ROUND(list_sum(list(sc ORDER BY word)), 9) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10"""))
+
+  def defs: Seq[Q] =
+    Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166)
 }

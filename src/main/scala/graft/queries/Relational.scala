@@ -587,6 +587,69 @@ object Relational extends Q.Module {
     FROM ea GROUP BY o_custkey
     ORDER BY op, o_custkey"""))
 
+  // --- q167: PAGERANK over the customer–supplier trade graph — the graph
+  //     centrality readout (which suppliers sit at the center of the
+  //     order flow?) on the bipartite graph whose edges are "customer c
+  //     ordered from supplier s" (lineitem⋈orders, distinct pairs;
+  //     supplier ids offset by 10^6 into a disjoint range). The graph is
+  //     SYMMETRIZED before the walk so every node has out-degree ≥ 1 —
+  //     `operators.PageRank`'s no-dangling contract — which also pins
+  //     total mass at |V| every iteration (the property suite asserts
+  //     it). 10 fixed iterations, d = 0.85; fixed iterations rather than
+  //     an ε-test keep the oracle expressible as a 10-step unrolled CTE
+  //     chain (DuckDB's recursive CTEs can't aggregate in the recursive
+  //     term). Determinism: the per-node contribution fold is src-sorted
+  //     sequential (see PageRank scaladoc); ranks are therefore
+  //     bit-identical across engines and the final ROUND(9) is comfort,
+  //     not load-bearing. Scale: per iteration one node-keyed join + one
+  //     aggregate shuffle; ranks node-sized; edge frame persisted once.
+  private val q167 = Q(
+    "q167_pagerank",
+    "✦ graph: 10-iteration deterministic PageRank over the customer-supplier graph",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("a"),
+          (col("l_suppkey").cast("long") + lit(1000000L)).as("b"))
+        .distinct()
+      val edges = li.select(col("a").as("src"), col("b").as("dst"))
+        .union(li.select(col("b"), col("a"))).distinct()
+      val pr = graft.operators.PageRank.run(edges, iterations = 10,
+        damping = 0.85)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      pr.join(deg, Seq("node"))
+        .select(col("node"), col("deg"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("node"))
+    },
+    Some {
+      val iters = (1 to 10).map { i =>
+        s"""r$i AS (
+      SELECT n.node, (1.0 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE)
+          * COALESCE(m.m, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+          list_sum(list(r.rank / CAST(dg.deg AS DOUBLE) ORDER BY e.src)) AS m
+        FROM edges e JOIN r${i - 1} r ON e.src = r.node
+          JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) m USING (node))"""
+      }.mkString(",\n    ")
+      s"""WITH li AS (
+      SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+        CAST(l_suppkey AS BIGINT) + 1000000 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM li UNION SELECT b, a FROM li),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT dst AS node FROM edges),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    $iters
+    SELECT r10.node, CAST(deg.deg AS BIGINT) AS deg,
+      ROUND(r10.rank, 9) AS rank
+    FROM r10 JOIN deg ON deg.src = r10.node ORDER BY r10.node"""
+    })
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144)
+    q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
+    q167)
 }

@@ -496,5 +496,97 @@ object Scale extends Q.Module {
       l_orderkey, l_linenumber
     FROM lineitem ORDER BY idx"""))
 
-  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135)
+  // --- q164: BALANCED TRAINING-SHARD ASSIGNMENT — the writer side of a
+  //     training run: deal the corpus into N shards so that (a) the order
+  //     within and across shards is a deterministic pseudorandom shuffle
+  //     (no rand(); reproducible across engines, retries, and cluster
+  //     sizes — q116's md5-rank principle applied globally), and (b) the
+  //     shard sizes are EXACTLY balanced (⌈n/N⌉/⌊n/N⌋, never the ±√n
+  //     wobble of hash-mod assignment that leaves the last training step
+  //     ragged). Composition: global ordinal over the (md5, doc_id) total
+  //     order via q135's two-phase block offsets — block = the hash's
+  //     leading byte, so blocks partition the sort order and the only
+  //     unpartitioned window is the 256-row block-totals cumsum — then
+  //     shard = ordinal mod N (round-robin over the shuffled order). The
+  //     oracle computes the naive single-window form; the hash match
+  //     proves the decomposition exact. Scale: one shuffle to the
+  //     groupBy, one broadcast of 256 offsets, one partitioned window;
+  //     in production the output feeds partitionBy("shard") writers.
+  private val q164 = Q(
+    "q164_training_shards",
+    "✦ curation: balanced deterministic shard deal (two-phase global hash rank, shard = ordinal mod N)",
+    (s, d) => {
+      val nShards = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("block", substring(col("h"), 1, 2))
+      val counts = docs.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+      val wBlocks = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = counts
+        .withColumn("off", sum(col("bn")).over(wBlocks) - col("bn"))
+        .select(col("block"), col("off"))
+      val wIntra = Window.partitionBy(col("block"))
+        .orderBy(col("h"), col("doc_id"))
+      docs.join(broadcast(offsets), Seq("block"))
+        .withColumn("idx", col("off") + row_number().over(wIntra) - 1)
+        .select(col("doc_id"), col("idx"),
+          pmod(col("idx"), lit(nShards.toLong)).as("shard"))
+        .orderBy(col("idx"))
+    },
+    Some("""SELECT doc_id, idx, idx % 8 AS shard FROM (
+      SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY md5('shard:' || doc_id), doc_id) - 1 AS BIGINT) AS idx
+      FROM documents)
+    ORDER BY idx"""))
+
+  // --- q165: BLOOM-FILTER SEMI-JOIN REDUCTION — the join-pruning
+  //     technique Spark's own InjectRuntimeFilter applies when stats
+  //     justify it, written out explicitly: the selective dim side
+  //     (urgent 1995 orders) aggregates into ONE bloom filter
+  //     (`bloom_filter_agg`, a few hundred KB regardless of key count —
+  //     broadcastable even when the exact key set is not), and the fact
+  //     scan drops non-matching rows with `might_contain` BEFORE the
+  //     join shuffle. False positives only pass extra rows into the
+  //     exact join; false negatives are impossible — so the RESULT is
+  //     identical to the plain join, which is exactly what the oracle
+  //     asserts (the plan, not the answer, is the technique; the plan
+  //     suite watches the shape). At 100 TB this is the difference
+  //     between shuffling the whole fact table and shuffling the
+  //     ~matching slice; the probe is a constant-filter codegen'd
+  //     expression inside the fact scan's WholeStageCodegen span, and
+  //     the ~KB filter rides task broadcast like q74's centroids
+  //     (see BloomJoin's scaladoc for the build/probe split).
+  private val q165 = Q(
+    "q165_bloom_join_prune",
+    "J ✦ bloom semi-join reduction: stat.bloomFilter dim keys, might_contain-prune the fact scan",
+    (s, d) => {
+      graft.functions.BloomJoin.register(s)
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bf = graft.functions.BloomJoin
+        .buildFilter(dim, "o_orderkey", 20000L, 0.01)
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .filter(graft.functions.BloomJoin
+          .mightContain(bf, col("l_orderkey")))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .select(col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("n"), col("rev"))
+        .orderBy(col("o_orderdate"))
+    },
+    Some(s"""SELECT o_orderdate, COUNT(*) AS n,
+      ${dsumSql("l_extendedprice")} AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND date_part('year', o_orderdate) = 1995
+    GROUP BY o_orderdate ORDER BY o_orderdate"""))
+
+  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165)
 }

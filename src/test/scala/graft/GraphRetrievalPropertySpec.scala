@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** q164–q168 properties and naive JVM replicas on randomized fixtures —
+  * the DuckDB oracle proves the shipped fixture; these pin the invariants
+  * the scaladocs claim: exact shard balance, bloom no-false-negatives,
+  * BM25 scoring parity, PageRank mass conservation + parity, OLS exact
+  * recovery of a noiseless line.
+  */
+class GraphRetrievalPropertySpec extends SparkSuite {
+
+  private def withTempDir[T](tag: String)(body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    try body(dir)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  // q164: shard sizes are EXACTLY balanced (⌈n/N⌉/⌊n/N⌋ — the claim that
+  // distinguishes the ordinal deal from hash-mod's ±√n wobble), the idx
+  // column is a permutation of 0..n−1, and the assignment is stable
+  // across partitioning (the determinism contract).
+  test("q164 shards are exactly balanced and partition-count-invariant") {
+    import spark.implicits._
+    // 403 = 8·50 + 3 → three shards must carry 51, five carry 50. Sparse
+    // non-contiguous ids (multiples of 7919) so idx ≠ any id function.
+    val rows = (0 until 403).map(i => i * 7919L)
+    withTempDir("q164_bal") { dir =>
+      rows.toDF("doc_id").withColumn("text", lit("x"))
+        .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+        .withColumn("n_chars", lit(1L))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val n = rows.size
+      def run() = SparkEntry.queries("q164_training_shards")(spark, dir)
+        .select("doc_id", "idx", "shard").as[(Long, Long, Long)].collect().toSeq
+      val got = run()
+      assert(got.map(_._2).sorted == (0L until n.toLong), "idx not a permutation")
+      val sizes = got.groupBy(_._3).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+      assert(sizes.sum == n && sizes.size == 8)
+      // same deal under a different shuffle width
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert(run().sortBy(_._1) == got.sortBy(_._1),
+          "assignment changed with partitioning")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+
+  // q165's load-bearing bloom property: NO false negatives (every true
+  // dim key passes the probe), and the prune actually prunes (most
+  // non-matching fact rows drop before the join).
+  test("bloom prefilter passes every true key and prunes most others") {
+    import spark.implicits._
+    graft.functions.BloomJoin.register(spark)
+    val dimKeys = (0L until 2000L).map(_ * 7L)
+    val dim = dimKeys.toDF("k")
+    val bf = graft.functions.BloomJoin.buildFilter(dim, "k", 2000L, 0.01)
+    val probe = (0L until 100000L).toDF("k")
+      .filter(graft.functions.BloomJoin.mightContain(bf, col("k")))
+      .as[Long].collect().toSet
+    assert(dimKeys.forall(k => k < 100000L || true), "fixture sanity")
+    dimKeys.filter(_ < 100000L).foreach(k =>
+      assert(probe(k), s"false negative for $k"))
+    val trueHits = dimKeys.count(_ < 100000L)
+    val fp = probe.size - trueHits
+    // fpp=0.01 sized for 2k items; ~86k negatives → expect ≲ 2% through.
+    assert(fp < 4000, s"bloom passed $fp false positives of ~86k negatives")
+  }
+
+  // q166 vs a naive BM25 replica (same fold order, same rounding).
+  test("q166 BM25 top-k == naive JVM replica on a random corpus") {
+    val rng = new Random(73)
+    val vocab = IndexedSeq("filter", "merge", "vector") ++
+      (0 until 20).map(i => s"w$i")
+    val rows = (0L until 150L).map { i =>
+      val n = 5 + rng.nextInt(30)
+      val words = Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+      (i, words.mkString(" "), "en", "web")
+    }
+    withTempDir("q166_parity") { dir =>
+      import spark.implicits._
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q166_bm25_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val qTerms = Seq("filter", "merge", "vector")
+      val (k1, b) = (1.2, 0.75)
+      val toks = rows.map(r => (r._1, r._2.split(" ").toSeq))
+      val nDocs = toks.size.toLong
+      val totdl = toks.map(_._2.size.toLong).sum
+      val avgdl = totdl.toDouble / nDocs.toDouble
+      val df = qTerms.map(t =>
+        t -> toks.count(_._2.contains(t)).toLong).toMap
+      val scored = toks.flatMap { case (id, ws) =>
+        val dl = ws.size.toLong
+        val s = qTerms.sorted.flatMap { t =>
+          val tf = ws.count(_ == t).toLong
+          if (tf == 0) None
+          else {
+            val idf = math.log((nDocs.toDouble - df(t).toDouble + 0.5) /
+              (df(t).toDouble + 0.5) + 1.0)
+            Some(idf * ((tf.toDouble * (k1 + 1)) /
+              (tf.toDouble + k1 * ((1 - b) + b * (dl.toDouble / avgdl)))))
+          }
+        }
+        if (s.isEmpty) None
+        else {
+          val r9 = java.math.BigDecimal.valueOf(s.foldLeft(0.0)(_ + _))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+          Some((id, dl, s.size.toLong, r9))
+        }
+      }
+      val want = scored.sortBy(t => (-t._4, t._1)).take(10)
+      assert(got == want, s"$got != $want")
+    }
+  }
+
+  // q167's operator: total mass stays |V| every iteration on a symmetric
+  // graph (rank₀ ≡ 1, out-degree ≥ 1), and ranks equal a naive JVM
+  // PageRank with the same src-sorted fold order — exact equality.
+  test("PageRank conserves mass and matches a naive JVM replica") {
+    import spark.implicits._
+    val rng = new Random(11)
+    val raw = (0 until 300).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+    val und = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val edges = und.toDF("src", "dst")
+    val got = graft.operators.PageRank.run(edges, iterations = 10,
+      damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val deg = und.groupBy(_._1).map { case (s, g) => (s, g.size.toLong) }
+    val inEdges = und.groupBy(_._2).map { case (d, g) =>
+      (d, g.map(_._1).sorted) }
+    var rank = nodes.map(_ -> 1.0).toMap
+    (1 to 10).foreach { _ =>
+      rank = nodes.map { v =>
+        val m = inEdges.getOrElse(v, Nil)
+          .map(s => rank(s) / deg(s).toDouble).foldLeft(0.0)(_ + _)
+        v -> ((1.0 - 0.85) + 0.85 * m)
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet)
+    nodes.foreach(v => assert(got(v) == rank(v), s"node $v: ${got(v)} != ${rank(v)}"))
+    val mass = nodes.map(rank).sum
+    assert(math.abs(mass - nodes.size.toDouble) < 1e-9,
+      s"mass $mass drifted from |V|=${nodes.size}")
+  }
+
+  // q168 on a noiseless per-group line: OLS must recover slope/intercept
+  // EXACTLY (a noiseless fit has zero residual — R² = 1 and the moment
+  // arithmetic is exact in doubles at this magnitude).
+  test("q168 recovers a noiseless linear trend exactly, R² = 1") {
+    import spark.implicits._
+    withTempDir("q168_line") { dir =>
+      // type A: y = 2·day_offset + 10; type B: y = −1·day_offset + 100.
+      // value splits each day's total across 4 events of y/4 (exact
+      // quarters so the decimal sum reconstructs y exactly).
+      val day0 = 20000L
+      val rows = (0 until 30).flatMap { i =>
+        Seq(("A", 2.0 * i + 10.0), ("B", -1.0 * i + 100.0)).flatMap {
+          case (t, y) => (0 until 4).map { j =>
+            val us = (day0 + i) * 86400000000L + j * 1000000L
+            ((day0 + i) * 10 + j, us * 1000L, 1L, t, y / 4.0)
+          }
+        }
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q168_group_ols_trend")(spark, dir)
+        .select("event_type", "n_days", "slope", "intercept", "r2")
+        .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+      // intercept is at day=0 epoch, i.e. y(day0+i) = s·(day0+i) + c with
+      // c = b − s·day0 for the per-offset line y = s·i + b.
+      val want = Seq(
+        ("A", 30L, 2.0, 10.0 - 2.0 * day0, 1.0),
+        ("B", 30L, -1.0, 100.0 + 1.0 * day0, 1.0))
+      got.zip(want).foreach { case (g, w) =>
+        assert(g._1 == w._1 && g._2 == w._2)
+        assert(math.abs(g._3 - w._3) < 1e-9, s"slope ${g._3} != ${w._3}")
+        assert(math.abs(g._4 - w._4) < 1e-6, s"intercept ${g._4} != ${w._4}")
+        assert(math.abs(g._5 - w._5) < 1e-9, s"r2 ${g._5} != 1")
+      }
+    }
+  }
+}
