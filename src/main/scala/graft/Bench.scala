@@ -66,8 +66,12 @@ object Bench {
     // query (full names in SparkEntry/COVERAGE.md).
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def r1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    // Keys are the bare query NUMBER ("164" = q164): at 168 queries the
+    // "q"-prefixed 1-decimal line was ~1,885 bytes — inside one round of
+    // the 2,000-byte cliff — and the prefix carries no information the
+    // number doesn't (full names in SparkEntry/COVERAGE.md).
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r1(v)
+      "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + r1(v)
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // failed count is explicit: total sums only successful queries, so
@@ -78,7 +82,7 @@ object Bench {
     // printing after stop keeps shutdown logging from eating the driver's
     // 2000-byte stdout tail, and the finally guarantees the whole run's
     // output survives even if sink/stream cleanup makes stop() throw.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"mode":"min-of-runs;sinks-write-once","queries":$qs,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"mode":"min-of-runs;sink-once","queries":$qs,"sf":"$sfName"}"""
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getClass.getSimpleName}")

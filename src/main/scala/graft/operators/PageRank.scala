@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Deterministic fixed-iteration PageRank over a directed edge list.
   *
@@ -11,19 +12,39 @@ import org.apache.spark.sql.functions._
   * (the caller's contract here — feed a symmetrized edge list for
   * arbitrary graphs; a dangling-mass term is the standard extension).
   *
-  * Determinism is the point of this implementation: the contribution sum
-  * per node folds a SRC-SORTED collected list sequentially (the engine's
-  * ordered-fold idiom — q141/q160), so the double addition order is
-  * fixed regardless of partitioning, task order, or engine — a bare
-  * SUM(double) would be partial-aggregation-order dependent and no two
-  * runs would hash-match. Per-node list state is bounded by in-degree.
+  * Determinism is the point of this implementation: a bare SUM(double)
+  * over contributions would be partial-aggregation-order dependent and
+  * no two runs (or engines) would agree bit-for-bit. Each contribution
+  * rank(s)/deg(s) — itself a single IEEE division from identical inputs
+  * — is therefore quantized to DECIMAL(38,12) and summed EXACTLY in
+  * decimal (the engine's dsum idiom at a finer scale): decimal addition
+  * is associative, so the sum is order-free, codegen'd, and map-side
+  * combinable — unlike the collect_list ordered-fold alternative, which
+  * materializes and sorts an in-degree-sized array per node per
+  * iteration (the r9 bench measured it at ~3× the per-iteration cost).
+  * Scale 12 keeps the summed units far under 2^53 for any realistic
+  * rank mass (ranks are O(|V|/damping) at worst, contributions ≤ rank),
+  * so the final decimal→double cast is exact on both engines; the
+  * ~5·10⁻¹³ per-edge quantization is a deterministic model choice, not
+  * noise — both engines compute the identical quantized walk.
   *
-  * Scale shape: edges+degree materialize once (persist) and every
-  * iteration is ONE key-partitioned join + ONE aggregate shuffle —
-  * ranks are node-sized, never edge-sized. Each generation is cut with
-  * eager `localCheckpoint` (ConnectedComponents' lesson: persist keeps
-  * lineage, and 10 chained iterations otherwise stack 10 joins into one
-  * analyzer-exploding plan; production swaps reliable `checkpoint()`).
+  * Scale shape: the edge list materializes ONCE (persist) and degree /
+  * with-degree / node frames all derive from that cache; every
+  * iteration is ONE broadcast-joined pass over the cached edges + ONE
+  * aggregate shuffle whose map-side combine reduces it to node-sized.
+  * Every generation is cut with eager `localCheckpoint` — NOT for plan
+  * size (a step references `ranks` once, so the chain only grows
+  * linearly, unlike ConnectedComponents' twice-referencing shortcut
+  * join) but because the node-sized rank frame is the BROADCAST side of
+  * the next iteration's join, and a broadcast exchange executes its
+  * subtree as its own job: left lazy, iteration k's broadcast re-runs
+  * iterations 1..k−1 from scratch — a quadratic recompute the r9
+  * profile measured as 2× wall on a 5-deep lazy chain. Checkpointing
+  * makes each broadcast a scan of ~|V| cached rows. It also means the
+  * returned frame no longer references the persisted edges (production
+  * swaps reliable `checkpoint()`; at a scale where ranks outgrow
+  * broadcast, pre-`repartition` the edge frame by src so the per-
+  * iteration shuffle joins co-locate and only ranks move).
   */
 object PageRank {
 
@@ -32,29 +53,32 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst")).persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(deg, Seq("src")).persist()
-    val nodes = e.select(col("dst").as("node"))
-      .union(e.select(col("src"))).distinct().persist()
-    var ranks = nodes.withColumn("rank", lit(1.0)).localCheckpoint(true)
+    // out-degree ≥ 1 ⇒ the src side of `deg` IS the node set.
+    val nodes = deg.select(col("src").as("node")).persist()
+    var ranks = nodes.withColumn("rank", lit(1.0))
     (1 to iterations).foreach { _ =>
-      val inMass = withDeg
+      // Zero-mass baseline rows ride the SAME aggregate instead of a
+      // per-iteration left join: a decimal zero is additive identity, so
+      // nodes with no in-edges come out of the sum at exactly 0 — one
+      // fewer join (and broadcast job) per generation.
+      val contribs = withDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst"), col("src"),
-          (col("rank") / col("deg").cast("double")).as("c"))
-        .groupBy(col("dst").as("node"))
-        .agg(aggregate(
-          transform(sort_array(collect_list(struct(col("src"), col("c")))),
-            x => x.getField("c")),
-          lit(0.0), (a, x) => a + x).as("m"))
-      val next = nodes.join(inMass, Seq("node"), "left")
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg").cast("double"))
+            .cast(DecimalType(38, 12)).as("c"))
+        .union(nodes.select(col("node"),
+          lit(0.0).cast(DecimalType(38, 12)).as("c")))
+      val next = contribs.groupBy(col("node"))
+        .agg(sum(col("c")).as("msum"))
         .select(col("node"),
           (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
-      ranks = next
+            lit(damping) * col("msum").cast(DoubleType)).as("rank"))
+      ranks = next.localCheckpoint(true)
     }
+    e.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ranks

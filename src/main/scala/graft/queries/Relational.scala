@@ -598,11 +598,13 @@ object Relational extends Q.Module {
   //     it). 10 fixed iterations, d = 0.85; fixed iterations rather than
   //     an ε-test keep the oracle expressible as a 10-step unrolled CTE
   //     chain (DuckDB's recursive CTEs can't aggregate in the recursive
-  //     term). Determinism: the per-node contribution fold is src-sorted
-  //     sequential (see PageRank scaladoc); ranks are therefore
-  //     bit-identical across engines and the final ROUND(9) is comfort,
-  //     not load-bearing. Scale: per iteration one node-keyed join + one
-  //     aggregate shuffle; ranks node-sized; edge frame persisted once.
+  //     term). Determinism: each contribution is quantized to
+  //     DECIMAL(38,12) and summed exactly in decimal — order-free, so
+  //     plain SUM with map-side combine replaces any ordered fold (see
+  //     PageRank scaladoc); ranks are bit-identical across engines and
+  //     the final ROUND(9) is comfort, not load-bearing. Scale: per
+  //     iteration one broadcast-joined pass over the persisted edges +
+  //     one node-sized aggregate shuffle.
   private val q167 = Q(
     "q167_pagerank",
     "✦ graph: 10-iteration deterministic PageRank over the customer-supplier graph",
@@ -613,8 +615,12 @@ object Relational extends Q.Module {
         .select(col("o_custkey").cast("long").as("a"),
           (col("l_suppkey").cast("long") + lit(1000000L)).as("b"))
         .distinct()
+      // the two directions live in DISJOINT id ranges (cust < 10^6 ≤
+      // supp+10^6), so the union of two distinct sets is already
+      // distinct — no second 2|E|-row dedup shuffle (oracle's UNION
+      // dedups vacuously for the same reason).
       val edges = li.select(col("a").as("src"), col("b").as("dst"))
-        .union(li.select(col("b"), col("a"))).distinct()
+        .union(li.select(col("b"), col("a")))
       val pr = graft.operators.PageRank.run(edges, iterations = 10,
         damping = 0.85)
       val deg = edges.groupBy(col("src").as("node"))
@@ -630,7 +636,8 @@ object Relational extends Q.Module {
           * COALESCE(m.m, CAST(0.0 AS DOUBLE)) AS rank
       FROM nodes n LEFT JOIN (
         SELECT e.dst AS node,
-          list_sum(list(r.rank / CAST(dg.deg AS DOUBLE) ORDER BY e.src)) AS m
+          CAST(SUM(CAST(r.rank / CAST(dg.deg AS DOUBLE)
+            AS DECIMAL(38,12))) AS DOUBLE) AS m
         FROM edges e JOIN r${i - 1} r ON e.src = r.node
           JOIN deg dg ON dg.src = e.src
         GROUP BY e.dst) m USING (node))"""
