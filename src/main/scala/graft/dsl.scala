@@ -103,6 +103,25 @@ object dsl {
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (SQRT(${norm2Sql(a)}) * SQRT(${norm2Sql(b)})))"
 
+  /** FLOOR(x·10^k)/10^k fixed-point presentation of a cross-engine-
+    * identical double. Use this INSTEAD of round(x, k) whenever the
+    * value's magnitude is large or many rows are emitted: ROUND of
+    * identical doubles can still split across engines — DuckDB's ROUND
+    * is multiply-based while Spark's is exact-decimal HALF_UP, so a
+    * value near a half-boundary (width ≈ ulp(x·10^k), i.e. ~12% of
+    * values at x ≈ 10⁶, k = 9!) rounds differently — whereas floor of
+    * the SAME double after the SAME IEEE multiply is engine-identical
+    * by construction (the r9 sf0.1 sweep caught both classes live:
+    * q167 rank at 16k rows, q168 intercept at 10⁶ magnitude). */
+  def fpTrunc(c: Column, digits: Int): Column = {
+    val m = math.pow(10, digits)
+    floor(c * lit(m)).cast(DoubleType) / lit(m)
+  }
+
+  /** DuckDB twin of fpTrunc (1eK literals are DOUBLE in both engines). */
+  def fpTruncSql(e: String, digits: Int): String =
+    s"FLOOR(($e) * 1e$digits) / 1e$digits"
+
   // ---- DuckDB-side twins (string builders for oracle SQL) ----
   def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
   def dsumWideSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Deterministic fixed-iteration PageRank over a directed edge list.
   *
@@ -16,17 +16,22 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * over contributions would be partial-aggregation-order dependent and
   * no two runs (or engines) would agree bit-for-bit. Each contribution
   * rank(s)/deg(s) — itself a single IEEE division from identical inputs
-  * — is therefore quantized to DECIMAL(38,12) and summed EXACTLY in
-  * decimal (the engine's dsum idiom at a finer scale): decimal addition
-  * is associative, so the sum is order-free, codegen'd, and map-side
-  * combinable — unlike the collect_list ordered-fold alternative, which
-  * materializes and sorts an in-degree-sized array per node per
-  * iteration (the r9 bench measured it at ~3× the per-iteration cost).
-  * Scale 12 keeps the summed units far under 2^53 for any realistic
-  * rank mass (ranks are O(|V|/damping) at worst, contributions ≤ rank),
-  * so the final decimal→double cast is exact on both engines; the
-  * ~5·10⁻¹³ per-edge quantization is a deterministic model choice, not
-  * noise — both engines compute the identical quantized walk.
+  * — is therefore quantized to INTEGER 10⁻⁹ units via FLOOR(c·1e9) and
+  * summed as exact integers: integer addition is associative, so the
+  * sum is order-free, codegen'd, and map-side combinable — unlike the
+  * collect_list ordered-fold alternative, which materializes and sorts
+  * an in-degree-sized array per node per iteration (the r9 bench
+  * measured it at ~3× the per-iteration cost). FLOOR-of-a-double, not a
+  * decimal cast, is load-bearing: a double→DECIMAL(38,12) quantization
+  * looks equivalent but DuckDB implements that cast multiply-based
+  * while Spark converts exact-decimal, so the two engines quantize a
+  * hair apart and the walks drift ~1e-9 by iteration 10 (the r9 sf0.1
+  * sweep caught it live) — whereas floor of the SAME double after the
+  * SAME IEEE multiply is engine-identical by construction. Unit sums
+  * stay far under 2^53 for any mass up to ~10⁶ |V|, so the final
+  * int→double conversion is exact; the ≤1e-9 per-edge truncation is a
+  * deterministic model choice (mass decays ≤ d·|E|·1e-9 per iteration),
+  * not noise — both engines compute the identical quantized walk.
   *
   * Scale shape: the edge list materializes ONCE (persist) and degree /
   * with-degree / node frames all derive from that cache; every
@@ -61,21 +66,20 @@ object PageRank {
     var ranks = nodes.withColumn("rank", lit(1.0))
     (1 to iterations).foreach { _ =>
       // Zero-mass baseline rows ride the SAME aggregate instead of a
-      // per-iteration left join: a decimal zero is additive identity, so
-      // nodes with no in-edges come out of the sum at exactly 0 — one
-      // fewer join (and broadcast job) per generation.
+      // per-iteration left join: an integer zero is additive identity,
+      // so nodes with no in-edges come out of the sum at exactly 0 —
+      // one fewer join (and broadcast job) per generation.
       val contribs = withDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
-          (col("rank") / col("deg").cast("double"))
-            .cast(DecimalType(38, 12)).as("c"))
-        .union(nodes.select(col("node"),
-          lit(0.0).cast(DecimalType(38, 12)).as("c")))
+          floor((col("rank") / col("deg").cast("double")) * lit(1e9))
+            .as("c"))
+        .union(nodes.select(col("node"), lit(0L).as("c")))
       val next = contribs.groupBy(col("node"))
         .agg(sum(col("c")).as("msum"))
         .select(col("node"),
-          (lit(1.0 - damping) +
-            lit(damping) * col("msum").cast(DoubleType)).as("rank"))
+          (lit(1.0 - damping) + lit(damping) *
+            (col("msum").cast(DoubleType) / lit(1e9))).as("rank"))
       ranks = next.localCheckpoint(true)
     }
     e.unpersist(blocking = false)

@@ -913,11 +913,16 @@ object Events extends Q.Module {
         .withColumn("dyy",
           col("n").cast("double") * col("syy") - col("sy") * col("sy"))
         .withColumn("slope", col("num") / col("den"))
+        // FLOOR(x·1e6)/1e6, not ROUND(x, k): the intercept's ~10⁶
+        // magnitude puts ROUND's scaled value near double-ulp of a half
+        // boundary, where DuckDB's multiply-based ROUND and Spark's
+        // exact-decimal HALF_UP split (the r9 sf0.1 sweep caught it);
+        // floor of the same double after the same multiply cannot.
         .select(col("event_type"), col("n").as("n_days"),
-          round(col("slope"), 9).as("slope"),
-          round((col("sy") - col("slope") * col("sx").cast("double"))
-            / col("n").cast("double"), 9).as("intercept"),
-          round((col("num") * col("num")) / (col("den") * col("dyy")), 9)
+          fpTrunc(col("slope"), 6).as("slope"),
+          fpTrunc((col("sy") - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"), 6).as("intercept"),
+          fpTrunc((col("num") * col("num")) / (col("den") * col("dyy")), 6)
             .as("r2"))
         .orderBy(col("event_type"))
     },
@@ -939,10 +944,10 @@ object Events extends Q.Module {
       FROM g),
     r AS (SELECT *, num / den AS slope FROM m)
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
-      ROUND(slope, 9) AS slope,
-      ROUND((sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9)
-        AS intercept,
-      ROUND((num * num) / (den * dyy), 9) AS r2
+      FLOOR(slope * 1e6) / 1e6 AS slope,
+      FLOOR(((sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) * 1e6)
+        / 1e6 AS intercept,
+      FLOOR(((num * num) / (den * dyy)) * 1e6) / 1e6 AS r2
     FROM r ORDER BY event_type"""))
 
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,

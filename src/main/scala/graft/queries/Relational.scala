@@ -598,11 +598,18 @@ object Relational extends Q.Module {
   //     it). 10 fixed iterations, d = 0.85; fixed iterations rather than
   //     an ε-test keep the oracle expressible as a 10-step unrolled CTE
   //     chain (DuckDB's recursive CTEs can't aggregate in the recursive
-  //     term). Determinism: each contribution is quantized to
-  //     DECIMAL(38,12) and summed exactly in decimal — order-free, so
-  //     plain SUM with map-side combine replaces any ordered fold (see
-  //     PageRank scaladoc); ranks are bit-identical across engines and
-  //     the final ROUND(9) is comfort, not load-bearing. Scale: per
+  //     term). Determinism: each contribution is quantized to integer
+  //     1e-9 units via FLOOR and summed exactly as integers —
+  //     order-free, so plain SUM with map-side combine replaces any
+  //     ordered fold (see PageRank scaladoc for why FLOOR, not a
+  //     decimal cast); ranks are bit-identical across engines. The
+  //     9-digit presentation is FLOOR(rank·1e9)/1e9, not ROUND: round-9
+  //     of identical doubles can still split across engines because
+  //     DuckDB's ROUND is multiply-based while Spark's is exact-decimal
+  //     HALF_UP — a rank whose expansion sits near a half-boundary
+  //     rounds differently (the r9 sf0.1 sweep caught exactly one such
+  //     row in 16k), whereas floor of the SAME double after the SAME
+  //     multiply is engine-identical by construction. Scale: per
   //     iteration one broadcast-joined pass over the persisted edges +
   //     one node-sized aggregate shuffle.
   private val q167 = Q(
@@ -626,7 +633,8 @@ object Relational extends Q.Module {
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
       pr.join(deg, Seq("node"))
-        .select(col("node"), col("deg"), round(col("rank"), 9).as("rank"))
+        .select(col("node"), col("deg"),
+          (floor(col("rank") * lit(1e9)).cast("double") / lit(1e9)).as("rank"))
         .orderBy(col("node"))
     },
     Some {
@@ -636,8 +644,8 @@ object Relational extends Q.Module {
           * COALESCE(m.m, CAST(0.0 AS DOUBLE)) AS rank
       FROM nodes n LEFT JOIN (
         SELECT e.dst AS node,
-          CAST(SUM(CAST(r.rank / CAST(dg.deg AS DOUBLE)
-            AS DECIMAL(38,12))) AS DOUBLE) AS m
+          CAST(SUM(CAST(FLOOR((r.rank / CAST(dg.deg AS DOUBLE)) * 1e9)
+            AS BIGINT)) AS DOUBLE) / 1e9 AS m
         FROM edges e JOIN r${i - 1} r ON e.src = r.node
           JOIN deg dg ON dg.src = e.src
         GROUP BY e.dst) m USING (node))"""
@@ -652,7 +660,7 @@ object Relational extends Q.Module {
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
     $iters
     SELECT r10.node, CAST(deg.deg AS BIGINT) AS deg,
-      ROUND(r10.rank, 9) AS rank
+      FLOOR(r10.rank * 1e9) / 1e9 AS rank
     FROM r10 JOIN deg ON deg.src = r10.node ORDER BY r10.node"""
     })
 

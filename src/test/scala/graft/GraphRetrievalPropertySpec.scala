@@ -127,9 +127,10 @@ class GraphRetrievalPropertySpec extends SparkSuite {
   }
 
   // q167's operator: total mass stays ≈|V| every iteration on a symmetric
-  // graph (rank₀ ≡ 1, out-degree ≥ 1; "≈" because each contribution is
-  // quantized to 12 decimal digits — the documented deterministic model),
-  // and ranks EXACTLY equal a naive JVM replica of the quantized walk.
+  // graph (rank₀ ≡ 1, out-degree ≥ 1; "≈" because each contribution
+  // truncates to integer 1e-9 units, leaking ≤ d·|E|·1e-9 per iteration —
+  // the documented deterministic model), and ranks EXACTLY equal a naive
+  // JVM replica of the quantized walk.
   test("PageRank conserves mass and matches a naive JVM replica") {
     import spark.implicits._
     val rng = new Random(11)
@@ -146,18 +147,16 @@ class GraphRetrievalPropertySpec extends SparkSuite {
     var rank = nodes.map(_ -> 1.0).toMap
     (1 to 10).foreach { _ =>
       rank = nodes.map { v =>
-        val m = inEdges.getOrElse(v, Nil)
-          .map(s => java.math.BigDecimal.valueOf(rank(s) / deg(s).toDouble)
-            .setScale(12, java.math.RoundingMode.HALF_UP))
-          .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
-          .doubleValue()
-        v -> ((1.0 - 0.85) + 0.85 * m)
+        val units = inEdges.getOrElse(v, Nil)
+          .map(s => math.floor(rank(s) / deg(s).toDouble * 1e9).toLong)
+          .sum
+        v -> ((1.0 - 0.85) + 0.85 * (units.toDouble / 1e9))
       }.toMap
     }
     assert(got.keySet == rank.keySet)
     nodes.foreach(v => assert(got(v) == rank(v), s"node $v: ${got(v)} != ${rank(v)}"))
     val mass = nodes.map(rank).sum
-    assert(math.abs(mass - nodes.size.toDouble) < 1e-6,
+    assert(math.abs(mass - nodes.size.toDouble) < 1e-4,
       s"mass $mass drifted from |V|=${nodes.size}")
   }
 

@@ -95,4 +95,40 @@ class PlanEvidenceSpec extends SparkSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("q164 shard deal: the only unpartitioned window is block-totals-sized") {
+    // The two-phase claim: the corpus-sized window is PARTITIONED (by
+    // block) and the single unpartitioned cumsum runs over ≤256 block
+    // totals — a global ROW_NUMBER over the corpus would show a Window
+    // with an empty partition spec fed by a full-corpus sort.
+    val plan = planOf("q164_training_shards")
+    val windows = plan.split("\n").filter(_.contains("Window "))
+    assert(windows.nonEmpty, s"no Window in plan:\n$plan")
+    // every Window must reference `block` (as partition key or as the
+    // 256-row totals' order key); a corpus-global ROW_NUMBER would show
+    // a Window over (h, doc_id) with no block anywhere.
+    val globalWindows = windows.filterNot(_.contains("block"))
+    assert(globalWindows.isEmpty,
+      s"corpus-global window found (one-task global sort):\n$plan")
+  }
+
+  test("q165 bloom probe prunes the fact scan before the join") {
+    val plan = planOf("q165_bloom_join_prune")
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the plan:\n$plan")
+    // The probe must sit UNDER the join: the Filter on might_contain
+    // appears in the lineitem scan stage, not above a join result.
+    val joinIdx = plan.indexOf("Join")
+    val probeIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe did not stay on the scan side below the join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"bloom literal degenerated into a cross join:\n$plan")
+  }
+
+  test("q166 BM25 top-k compiles to TakeOrderedAndProject") {
+    val plan = planOf("q166_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$plan")
+  }
 }
