@@ -664,7 +664,71 @@ object Relational extends Q.Module {
     FROM r10 JOIN deg ON deg.src = r10.node ORDER BY r10.node"""
     })
 
+  // --- q169: REFERENTIAL-INTEGRITY AUDIT — the data-quality gate an
+  //     ingest pipeline runs before publishing a snapshot: for each
+  //     declared FK edge, how many child rows point at a missing parent,
+  //     and how many distinct bad keys? Each check is ONE left-anti join
+  //     (shuffle on the key for big parents, broadcast for small ones —
+  //     Catalyst picks per side) + one aggregate; the long-format output
+  //     unions four aggregate-sized rows, so adding a check scales the
+  //     plan linearly, never the data. The allowlist check (events.user
+  //     against the first 10 customers) is the deliberately-violating
+  //     row: a fixture whose checks all pass would leave the orphan
+  //     arithmetic untested.
+  private val q169 = Q(
+    "q169_fk_audit",
+    "J4 ✦ data quality: referential-integrity audit (anti-join orphan counts per FK edge)",
+    (s, d) => {
+      def chk(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val orphans = child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("pk")),
+            col("k") === col("pk"), "left_anti")
+        child.agg(count(lit(1)).as("n_child")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans"),
+            count_distinct(col("k")).as("n_bad_keys")))
+          .select(lit(name).as("check"), col("n_child"),
+            col("n_orphans"), col("n_bad_keys"))
+      }
+      chk("lineitem.orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionByName(chk("orders.custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionByName(chk("customer.nationkey->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+        .unionByName(chk("events.user->allowlist", Tables.events(s, d),
+          "user_id", Tables.customer(s, d).filter(col("c_custkey") < 10),
+          "c_custkey"))
+        .orderBy(col("check"))
+    },
+    Some("""WITH checks AS (
+      SELECT 'lineitem.orderkey->orders' AS chk, COUNT(*) AS n_child,
+        COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans,
+        COUNT(DISTINCT l_orderkey)
+          FILTER (WHERE o_orderkey IS NULL) AS n_bad_keys
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'orders.custkey->customer', COUNT(*),
+        COUNT(*) FILTER (WHERE c_custkey IS NULL),
+        COUNT(DISTINCT o_custkey) FILTER (WHERE c_custkey IS NULL)
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'customer.nationkey->nation', COUNT(*),
+        COUNT(*) FILTER (WHERE n_nationkey IS NULL),
+        COUNT(DISTINCT c_nationkey) FILTER (WHERE n_nationkey IS NULL)
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'events.user->allowlist', COUNT(*),
+        COUNT(*) FILTER (WHERE c_custkey IS NULL),
+        COUNT(DISTINCT user_id) FILTER (WHERE c_custkey IS NULL)
+      FROM events LEFT JOIN (SELECT c_custkey FROM customer
+        WHERE c_custkey < 10) c ON user_id = c_custkey)
+    SELECT chk AS "check", n_child,
+      CAST(n_orphans AS BIGINT) AS n_orphans,
+      CAST(n_bad_keys AS BIGINT) AS n_bad_keys
+    FROM checks ORDER BY "check""""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167)
+    q167, q169)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.dsl.hashMod
+import graft.dsl.{fpTrunc, hashMod}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1260,7 +1260,79 @@ object TextAnalysis extends Q.Module {
       ROUND((sy - slope * sx) / CAST(n_terms AS DOUBLE), 9) AS intercept
     FROM r"""))
 
+  // --- q171: BIGRAM-LM LOG-PROB — the conditional upgrade of q161's
+  //     unigram gate: score each doc by the mean negative log of
+  //     p(w|prev) = (c(prev,w) + k) / (c(prev) + k·V), add-k smoothing
+  //     (k = 0.5, V = vocab size), the cheap stand-in for a real LM
+  //     perplexity filter that actually penalizes IMPLAUSIBLE ORDER, not
+  //     just rare words (shuffled text fools q161, not this). Shape:
+  //     bigrams come from lag() over a (doc, pos) window — the token
+  //     stream shuffles ONCE on doc_id and the same sorted pass feeds
+  //     both the bigram extraction and the per-doc fold; bigram + prefix
+  //     counts are vocab²-bounded aggregates, joined back by key
+  //     (shuffle, not broadcast — a web corpus's bigram table doesn't
+  //     fit a broadcast). Determinism: counts and V are exact integers;
+  //     p is one identically-parenthesized double expression (0.5 is
+  //     binary-exact); ln carries the documented 1-ulp libm caveat so
+  //     the per-doc sum folds position-sorted (q141) and the output
+  //     truncates at fpTrunc(9) — O(1) magnitude, the q161-accepted
+  //     risk class.
+  private val q171 = Q(
+    "q171_bigram_logprob",
+    "✦ quality: bigram-LM (add-k smoothed) mean neg log-prob per doc",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .withColumn("prev", lag(col("word"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val vocab = big.agg(count_distinct(col("word")).as("v"))
+      val bc = big.groupBy(col("prev"), col("word"))
+        .agg(count(lit(1)).as("cb"))
+      val pc = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+      big.join(bc, Seq("prev", "word")).join(pc, Seq("prev"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("pos"),
+          log((col("cb").cast("double") + lit(0.5)) /
+            (col("cp").cast("double") + lit(0.5) * col("v").cast("double")))
+            .as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+              x => x.getField("lp")),
+            lit(0.0), (a, x) => a + x).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          fpTrunc(-(col("s") / col("n_bigrams").cast("double")), 9)
+            .as("avg_neg_logp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+        len(string_split(text, ' ')) AS n FROM documents),
+    tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS word
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, n)) AS i FROM t)),
+    big AS (SELECT doc_id, pos, word,
+        LAG(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM tok QUALIFY prev IS NOT NULL),
+    vocab AS (SELECT COUNT(DISTINCT word) AS v FROM big),
+    bc AS (SELECT prev, word, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+    pc AS (SELECT prev, SUM(cb) AS cp FROM bc GROUP BY 1),
+    sc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        list_sum(list(
+          ln((CAST(bc.cb AS DOUBLE) + 0.5) /
+            (CAST(pc.cp AS DOUBLE) + 0.5 * CAST((SELECT v FROM vocab)
+              AS DOUBLE))) ORDER BY b.pos)) AS s
+      FROM big b JOIN bc USING (prev, word) JOIN pc USING (prev)
+      GROUP BY b.doc_id)
+    SELECT doc_id, n_bigrams,
+      FLOOR((-(s / CAST(n_bigrams AS DOUBLE))) * 1e9) / 1e9 AS avg_neg_logp
+    FROM sc ORDER BY doc_id"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
-      q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162)
+      q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
+      q171)
 }

@@ -405,5 +405,66 @@ object Vectors extends Q.Module {
       WHERE q.vec_id < 10)
     WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  def defs: Seq[Q] = Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129)
+  // --- q170: HARD-NEGATIVE / HARD-POSITIVE MINING — contrastive-pair
+  //     construction for embedding training: per anchor, the HARDEST
+  //     NEGATIVE is the most-similar vector with a DIFFERENT label (the
+  //     near-miss the model must learn to separate) and the HARDEST
+  //     POSITIVE the least-similar one with the SAME label (the far
+  //     member it must still pull in). q44's plan shape — broadcast
+  //     anchors, one codegen'd cosine pass over the candidate stream,
+  //     rank-1 per (anchor, side) via WindowGroupLimit so each map task
+  //     forwards one candidate before the shuffle. Both sides ride ONE
+  //     candidate pass: side = "is the label equal", and the window
+  //     orders by a sign-flipped score so rank 1 means "max cos" on the
+  //     neg side and "min cos" on the pos side. Determinism: cosines are
+  //     the bit-identical sequential fold; ties break on vec_id;
+  //     presentation via fpTrunc (ROUND splits engines — PLANS.md r9).
+  //     Scale: exactly q44's baseline class; at a billion candidates the
+  //     candidate stream narrows through the IVF/LSH route first.
+  private val q170 = Q(
+    "q170_hard_pair_mining",
+    "✦ contrastive mining: hardest negative + hardest positive per anchor",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("aid"), col("embedding").as("ae"),
+          col("label").as("al"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("cl"))
+      val w = Window.partitionBy(col("aid"), col("side"))
+        .orderBy(col("ord"), col("cid"))
+      broadcast(a).join(c, col("aid") =!= col("cid"))
+        .select(col("aid"),
+          when(col("al") === col("cl"), lit("pos")).otherwise(lit("neg"))
+            .as("side"),
+          col("cid"),
+          graft.functions.CosineSimilarity.cosineSim(col("ae"), col("ce"))
+            .as("score"))
+        .withColumn("ord",
+          when(col("side") === "neg", -col("score")).otherwise(col("score")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("aid"), col("side"), col("cid"),
+          graft.dsl.fpTrunc(col("score"), 9).as("score"))
+        .orderBy(col("aid"), col("side"))
+    },
+    Some(s"""SELECT aid, side, cid, FLOOR(score * 1e9) / 1e9 AS score FROM (
+      SELECT a.vec_id AS aid,
+        CASE WHEN a.label = c.label THEN 'pos' ELSE 'neg' END AS side,
+        c.vec_id AS cid,
+        ${cosineSql("a.embedding", "c.embedding")} AS score,
+        ROW_NUMBER() OVER (
+          PARTITION BY a.vec_id, CASE WHEN a.label = c.label
+            THEN 'pos' ELSE 'neg' END
+          ORDER BY CASE WHEN a.label = c.label
+            THEN ${cosineSql("a.embedding", "c.embedding")}
+            ELSE -${cosineSql("a.embedding", "c.embedding")} END,
+            c.vec_id) AS rn
+      FROM embeddings a JOIN embeddings c ON a.vec_id != c.vec_id
+      WHERE a.vec_id < 20)
+    WHERE rn = 1 ORDER BY aid, side"""))
+
+  def defs: Seq[Q] =
+    Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170)
 }

@@ -236,6 +236,73 @@ class EventCorpusParitySpec extends SparkSuite {
     }
   }
 
+  // q169's orphan arithmetic on a fixture with KNOWN violations injected
+  // into every FK edge — the shipped fixture's first three checks are
+  // clean, so without this the anti-join counting would only ever see 0.
+  test("q169 counts injected FK violations exactly") {
+    import spark.implicits._
+    withTempDir("q169_fk") { dir =>
+      // 5 nations; customers 0..19 but 17..19 point at nations 90..92
+      // (3 orphan rows / 3 bad keys); orders 0..29 over custkeys 0..25
+      // (custkeys 20..25 missing → orphans); lineitems reference
+      // orderkeys 0..34 (30..34 missing); events users 0..14 vs
+      // allowlist custkey<10 → users 10..14 orphaned.
+      (0L until 5L).map(n => (n, s"nation$n")).toDF("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      (0L until 20L).map(c => (c, s"cust$c",
+          (if (c >= 17) 90 + c - 17 else c % 5).toInt))
+        .toDF("c_custkey", "c_name", "c_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      (0L until 30L).map(o => (o, o % 26))
+        .toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      (0L until 70L).map(l => (l, l % 35))
+        .toDF("l_linenumber", "l_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      (0L until 40L).map(i => (i, i % 15, i * 60000000000L, "click", 1.0, "{}"))
+        .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q169_fk_audit")(spark, dir)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      val want = Seq(
+        ("customer.nationkey->nation", 20L, 3L, 3L),
+        ("events.user->allowlist", 40L, 10L, 5L),
+        ("lineitem.orderkey->orders", 70L, 10L, 5L),
+        ("orders.custkey->customer", 30L, 6L, 6L))
+      assert(got == want, s"$got != $want")
+    }
+  }
+
+  // q171 vs a naive bigram-LM replica: same counts, same smoothing
+  // arithmetic, same position-sorted fold, same fpTrunc — exact equality.
+  test("q171 bigram log-prob == naive JVM replica on a random corpus") {
+    val rng = new Random(97)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val rows = randomCorpus(rng, 100, vocab)
+    withTempDir("q171_parity") { dir =>
+      writeDocs(dir, rows)
+      val got = SparkEntry.queries("q171_bigram_logprob")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val bigrams = rows.flatMap { r =>
+        val ws = r._2.split(" ")
+        (1 until ws.length).map(i => (r._1, i.toLong, ws(i - 1), ws(i)))
+      }
+      val v = bigrams.map(_._4).distinct.size
+      val cb = bigrams.groupBy(b => (b._3, b._4)).map { case (k, g) =>
+        (k, g.size.toLong) }
+      val cp = bigrams.groupBy(_._3).map { case (k, g) => (k, g.size.toLong) }
+      val want = bigrams.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, g) =>
+        val s = g.sortBy(_._2).map { b =>
+          math.log((cb((b._3, b._4)).toDouble + 0.5) /
+            (cp(b._3).toDouble + 0.5 * v.toDouble))
+        }.foldLeft(0.0)(_ + _)
+        val avg = math.floor(-(s / g.size.toDouble) * 1e9) / 1e9
+        (id, g.size.toLong, avg)
+      }
+      assert(got.toSeq == want)
+    }
+  }
+
   // q162 vs a naive least-squares replica — 150-word vocab so the top-100
   // LIMIT actually truncates and the (cnt desc, word) tie-break at the
   // cut line is exercised; identical sequential fold → exact equality.

@@ -160,6 +160,44 @@ class GraphRetrievalPropertySpec extends SparkSuite {
       s"mass $mass drifted from |V|=${nodes.size}")
   }
 
+  // q170 vs a naive JVM miner: same sequential-fold cosine, same
+  // (ord, cid) tie-break, same fpTrunc — exact equality per anchor/side.
+  test("q170 hard pos/neg mining == naive JVM replica on random embeddings") {
+    import spark.implicits._
+    val rng = new Random(53)
+    val rows = (0L until 80L).map { i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2 - 1), (i % 3).toInt)
+    }
+    withTempDir("q170_parity") { dir =>
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = SparkEntry.queries("q170_hard_pair_mining")(spark, dir)
+        .as[(Long, String, Long, Double)].collect().toSeq
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def fold(v: Seq[Double]) = v.foldLeft(0.0)(_ + _)
+        val dot = fold(a.zip(b).map { case (x, y) => x.toDouble * y.toDouble })
+        val na = fold(a.map(x => x.toDouble * x.toDouble))
+        val nb = fold(b.map(x => x.toDouble * x.toDouble))
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val want = rows.filter(_._1 < 20).flatMap { case (aid, ae, al) =>
+        val cands = rows.filter(_._1 != aid).map { case (cid, ce, cl) =>
+          (if (cl == al) "pos" else "neg", cid, cos(ae, ce))
+        }
+        Seq("neg", "pos").flatMap { side =>
+          val inSide = cands.filter(_._1 == side)
+          if (inSide.isEmpty) None
+          else {
+            val (_, cid, sc) = inSide.minBy { case (_, c, s) =>
+              (if (side == "neg") -s else s, c) }
+            Some((aid, side, cid, math.floor(sc * 1e9) / 1e9))
+          }
+        }
+      }
+      assert(got == want, s"$got != $want")
+    }
+  }
+
   // q168 on a noiseless per-group line: OLS must recover slope/intercept
   // EXACTLY (a noiseless fit has zero residual — R² = 1 and the moment
   // arithmetic is exact in doubles at this magnitude).
