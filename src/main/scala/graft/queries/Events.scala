@@ -950,6 +950,68 @@ object Events extends Q.Module {
       FLOOR(((num * num) / (den * dyy)) * 1e6) / 1e6 AS r2
     FROM r ORDER BY event_type"""))
 
+  // --- q172: TIME-WEIGHTED AVERAGE (TWAP) — the irregular-sampling mean
+  //     a metrics/finance pipeline wants: each reading holds from its
+  //     timestamp until the next reading of the same type (the last one
+  //     until the global horizon), and the average weights each value by
+  //     its holding time, so a burst of identical readings doesn't
+  //     dominate the way it does in a row-mean. Shape: ONE window pass
+  //     per type (lead() over (type) ordered by (us, event_id)) gives
+  //     holding intervals; the weighted sum is then a PLAIN integer SUM:
+  //     each row's value·Δt_seconds quantizes to integer 1e-6 units via
+  //     FLOOR (q167's engine-identical quantization — a decimal cast or
+  //     double SUM would not be cross-engine stable), so the aggregate
+  //     is order-free, codegen'd, and map-side combined — no ordered
+  //     fold, no per-group state. Unit magnitudes: |value| ≤ 10³,
+  //     Δt ≤ 10⁶ s → ≤ 10¹⁵ units/row, summing 10⁶ fixture rows stays
+  //     under BIGINT; at 100 TB the unit scale drops a digit or the sum
+  //     widens to DECIMAL(38,0) — the quantization stays FLOOR-based.
+  private val q172 = Q(
+    "q172_twap",
+    "W/ST ✦ time-weighted average per event_type (holding-interval weights, integer-unit sum)",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      val horizon = Tables.events(s, d)
+        .agg(max(micros).as("end_us"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), micros.as("us"),
+          col("value"))
+        .crossJoin(broadcast(horizon))
+        .withColumn("dt_us",
+          coalesce(lead(col("us"), 1).over(w), col("end_us")) - col("us"))
+        .withColumn("w_units",
+          floor(col("value") * (col("dt_us").cast("double") / lit(1e6))
+            * lit(1e6)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w_units")).as("su"),
+          ((max(col("end_us")) - min(col("us"))).cast("double") / lit(1e6))
+            .as("duration_s"))
+        .select(col("event_type"), col("n"),
+          fpTrunc(col("duration_s"), 6).as("duration_s"),
+          fpTrunc((col("su").cast("double") / lit(1e6)) / col("duration_s"), 6)
+            .as("twap"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS us, value FROM events),
+    horizon AS (SELECT MAX(us) AS end_us FROM e),
+    iv AS (SELECT event_type, value,
+        COALESCE(LEAD(us, 1) OVER (PARTITION BY event_type
+          ORDER BY us, event_id), (SELECT end_us FROM horizon)) - us AS dt_us,
+        us FROM e),
+    g AS (SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(FLOOR(value * (CAST(dt_us AS DOUBLE) / 1e6) * 1e6)
+          AS BIGINT)) AS su,
+        CAST((SELECT end_us FROM horizon) - MIN(us) AS DOUBLE) / 1e6
+          AS duration_s
+      FROM iv GROUP BY 1)
+    SELECT event_type, n,
+      FLOOR(duration_s * 1e6) / 1e6 AS duration_s,
+      FLOOR(((CAST(su AS DOUBLE) / 1e6) / duration_s) * 1e6) / 1e6 AS twap
+    FROM g ORDER BY event_type"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
-    q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168)
+    q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172)
 }

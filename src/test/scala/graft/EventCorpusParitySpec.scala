@@ -153,6 +153,43 @@ class EventCorpusParitySpec extends SparkSuite {
     }
   }
 
+  // q172 vs a naive JVM TWAP replica on random irregular readings — same
+  // holding intervals, same FLOOR quantization, same fpTrunc; exact
+  // equality. A constant-value type is planted: its TWAP must equal the
+  // constant (the invariant a row-mean also satisfies here, but with
+  // quantization ≤1e-6 truncation per row allowed for).
+  test("q172 TWAP == naive JVM replica; constant series → its constant") {
+    val rng = new Random(37)
+    val rows = (0L until 300L).flatMap { i =>
+      val t = Seq("click", "view", "flat")(rng.nextInt(3))
+      val us = rng.nextInt(36000) * 100000L // irregular, collisions likely
+      val v = if (t == "flat") 42.25 else (rng.nextInt(20000)) / 100.0
+      Seq((i, us * 1000L, rng.nextInt(9).toLong, t, v))
+    }
+    withTempDir("q172_twap") { dir =>
+      writeEvents(dir, rows)
+      val got = SparkEntry.queries("q172_twap")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))
+      val endUs = rows.map(_._2 / 1000).max
+      val want = rows.groupBy(_._4).toSeq.sortBy(_._1).map { case (t, g) =>
+        val ordered = g.map(r => (r._2 / 1000, r._1, r._5))
+          .sortBy(r => (r._1, r._2))
+        val su = ordered.zipWithIndex.map { case ((us, _, v), i) =>
+          val next = if (i + 1 < ordered.size) ordered(i + 1)._1 else endUs
+          math.floor(v * ((next - us).toDouble / 1e6) * 1e6).toLong
+        }.sum
+        val dur = (endUs - ordered.head._1).toDouble / 1e6
+        (t, g.size.toLong, math.floor(dur * 1e6) / 1e6,
+          math.floor(((su.toDouble / 1e6) / dur) * 1e6) / 1e6)
+      }
+      assert(got.toSeq == want, s"${got.toSeq} != $want")
+      val flat = got.find(_._1 == "flat").get
+      assert(math.abs(flat._4 - 42.25) < 1e-5,
+        s"constant series TWAP ${flat._4} != 42.25")
+    }
+  }
+
   private def writeDocs(dir: String,
       rows: Seq[(Long, String, String, String)]): Unit = {
     import spark.implicits._
