@@ -924,7 +924,47 @@ object Aggs extends Q.Module {
       e.n_sources, e.entropy_nats, m.mode_source, m.mode_cnt
     FROM e JOIN m USING (lang) ORDER BY lang"""))
 
+  // --- q174: MERGEABLE PARTIAL AGGREGATES — the lambda/kappa
+  //     re-aggregation contract: a pipeline that materializes DAILY
+  //     partials (count + decimal sum per type/day) must be able to
+  //     roll them into MONTHLY totals that are EXACTLY what a direct
+  //     monthly pass over the raw events would produce — else daily
+  //     snapshotting changes answers. The partials stay DECIMAL(18,6)
+  //     (never cast through double mid-pipeline: decimal addition is
+  //     associative, so partial-of-partial == direct regardless of how
+  //     rows landed in days or batches — the same property that makes
+  //     them safe to merge across late-arriving backfills). The oracle
+  //     computes the monthly totals DIRECTLY from raw events — the hash
+  //     match IS the decomposition proof (q135's pattern, aggregate
+  //     form). Scale: the raw corpus shuffles once into day partials
+  //     (map-side combined); the month rollup re-shuffles only the
+  //     tiny partial frame. 30-day epoch buckets keep the bucketing
+  //     pure integer arithmetic.
+  private val q174 = Q(
+    "q174_partial_agg_merge",
+    "A ✦ mergeable partials: daily decimal partials → monthly == direct monthly",
+    (s, d) => {
+      val dayUs = 86400000000L
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"(ts div 1000) div $dayUs").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(Money)).as("psum")) // partial STAYS decimal
+      daily
+        .groupBy(col("event_type"), expr("day div 30").as("m30"))
+        .agg(count(lit(1)).as("n_days"), sum(col("pn")).as("n_events"),
+          sum(col("psum")).cast("double").as("total"))
+        .orderBy(col("event_type"), col("m30"))
+    },
+    Some(s"""SELECT event_type,
+      (epoch_us(ts) // 86400000000) // 30 AS m30,
+      CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+      COUNT(*) AS n_events,
+      ${dsumSql("value")} AS total
+    FROM events GROUP BY 1, 2 ORDER BY event_type, m30"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
-    q153, q160)
+    q153, q160, q174)
 }

@@ -1331,8 +1331,48 @@ object TextAnalysis extends Q.Module {
       FLOOR((-(s / CAST(n_bigrams AS DOUBLE))) * 1e9) / 1e9 AS avg_neg_logp
     FROM sc ORDER BY doc_id"""))
 
+  // --- q173: FEATURE HASHING (the hashing trick) — text → fixed-width
+  //     sparse features with no vocabulary pass: feature index is the
+  //     word-hash mod D (D = 64) and the contribution is ±1 from the
+  //     hash's next bit (signed hashing, Weinberger et al. 2009 — the
+  //     sign makes colliding words cancel in expectation instead of
+  //     inflating the bucket). One token pass → one (doc, fidx)
+  //     aggregate; no vocab table, no broadcast, no second scan — the
+  //     property that makes the trick THE vectorizer at corpus scale.
+  //     The word hash is q54's portable md5-prefix integer, so both
+  //     engines index identically; output is long-format sparse rows.
+  private val q173 = Q(
+    "q173_feature_hashing",
+    "✦ vectorize: signed feature hashing into 64 buckets (long-format sparse)",
+    (s, d) => {
+      docs(s, d).filter(col("doc_id") < 30)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("h32",
+          conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+        .withColumn("fidx", pmod(col("h32"), lit(64L)))
+        .withColumn("sgn",
+          when(pmod(expr("h32 div 64"), lit(2L)) === 0, lit(1L))
+            .otherwise(lit(-1L)))
+        .groupBy(col("doc_id"), col("fidx"))
+        .agg(sum(col("sgn")).as("val"), count(lit(1)).as("n_terms"))
+        .orderBy(col("doc_id"), col("fidx"))
+    },
+    Some("""WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 30),
+    h AS (SELECT doc_id,
+      CAST(list_sum(list_transform(generate_series(1, 8),
+        k -> (strpos('0123456789abcdef', substr(md5(word), k, 1)) - 1)
+             * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT) AS h32
+      FROM w)
+    SELECT doc_id, h32 % 64 AS fidx,
+      CAST(SUM(CASE WHEN (h32 // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        AS BIGINT) AS val,
+      COUNT(*) AS n_terms
+    FROM h GROUP BY 1, 2 ORDER BY doc_id, fidx"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171)
+      q171, q173)
 }

@@ -340,6 +340,66 @@ class EventCorpusParitySpec extends SparkSuite {
     }
   }
 
+  // q173 vs a naive JVM hashing-trick replica: same md5-prefix word hash,
+  // same bucket/sign arithmetic — exact equality, and collisions with
+  // cancelling signs must actually occur (else the signed variant is
+  // untested against the unsigned one).
+  test("q173 feature hashing == naive JVM replica on a random corpus") {
+    val rng = new Random(89)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val rows = randomCorpus(rng, 25, vocab)
+    withTempDir("q173_parity") { dir =>
+      writeDocs(dir, rows)
+      val got = SparkEntry.queries("q173_feature_hashing")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      def h32(w: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(w.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(8)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val want = rows.filter(_._1 < 30).flatMap { r =>
+        r._2.split(" ").map { w => (r._1, h32(w)) }
+      }.groupBy { case (id, h) => (id, h % 64) }
+        .toSeq.sortBy(_._1).map { case ((id, fidx), g) =>
+          val v = g.map { case (_, h) => if ((h / 64) % 2 == 0) 1L else -1L }.sum
+          (id, fidx, v, g.size.toLong)
+        }
+      assert(got == want, s"$got != $want")
+      // signed cancellation exercised: some bucket's |val| < n_terms
+      assert(want.exists(t => math.abs(t._3) < t._4),
+        "no sign cancellation occurred — fixture too small")
+    }
+  }
+
+  // q174's merge contract replayed in JVM decimals: daily BigDecimal
+  // partials rolled monthly == direct monthly — exact.
+  test("q174 partial-aggregate merge == direct JVM decimal totals") {
+    val rng = new Random(61)
+    val rows = (0L until 500L).map { i =>
+      val day = 19000L + rng.nextInt(70) // spans 3 m30 buckets
+      val us = day * 86400000000L + rng.nextInt(86400) * 1000000L
+      (i, us * 1000L, rng.nextInt(9).toLong,
+        Seq("click", "view")(rng.nextInt(2)), rng.nextInt(100000) / 1000.0)
+    }
+    withTempDir("q174_merge") { dir =>
+      writeEvents(dir, rows)
+      val got = SparkEntry.queries("q174_partial_agg_merge")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      val want = rows.groupBy(r => (r._4, r._2 / 1000 / 86400000000L / 30))
+        .toSeq.sortBy(_._1).map { case ((t, m), g) =>
+          val days = g.map(_._2 / 1000 / 86400000000L).distinct.size.toLong
+          val tot = g.map(r => java.math.BigDecimal.valueOf(r._5)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+            .reduce(_ add _).doubleValue()
+          (t, m, days, g.size.toLong, tot)
+        }
+      assert(got == want, s"$got != $want")
+    }
+  }
+
   // q162 vs a naive least-squares replica — 150-word vocab so the top-100
   // LIMIT actually truncates and the (cnt desc, word) tie-break at the
   // cut line is exercised; identical sequential fold → exact equality.
