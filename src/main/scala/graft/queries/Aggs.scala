@@ -964,7 +964,118 @@ object Aggs extends Q.Module {
       ${dsumSql("value")} AS total
     FROM events GROUP BY 1, 2 ORDER BY event_type, m30"""))
 
+  // --- q175: JOIN-KEY SKEW AUDIT — the diagnostic run before a big join
+  //     ships: per-key row counts for the hottest keys plus the global
+  //     imbalance ratio (hot key count ÷ mean count), the number that
+  //     decides between a plain shuffle join, AQE skew splitting, and
+  //     q92's salting. One map-side-combined groupBy over the fact
+  //     table; the top-10 is orderBy+limit → TakeOrderedAndProject; the
+  //     (total, n_keys) stats frame is 1-row broadcast. cum_share runs
+  //     over the 10-row result — the only unpartitioned window is
+  //     top-k-sized. All shares are single divisions of exact integers,
+  //     fpTrunc-presented.
+  private val q175 = Q(
+    "q175_skew_audit",
+    "A ✦ ops: join-key skew audit — top-10 heavy hitters + imbalance ratio",
+    (s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"))
+      val wCum = Window.orderBy(col("cnt").desc, col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+        .crossJoin(broadcast(stats))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l_suppkey"))))
+        .select(col("rk").cast("long").as("rk"), col("l_suppkey"),
+          col("cnt"),
+          fpTrunc(col("cnt").cast("double") / col("total").cast("double"), 9)
+            .as("share"),
+          fpTrunc(sum(col("cnt")).over(wCum).cast("double")
+            / col("total").cast("double"), 9).as("cum_share"),
+          fpTrunc(col("cnt").cast("double") * col("n_keys").cast("double")
+            / col("total").cast("double"), 9).as("ratio_to_mean"))
+        .orderBy(col("rk"))
+    },
+    Some("""WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+    s AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_keys FROM c),
+    top AS (SELECT l_suppkey, cnt FROM c
+      ORDER BY cnt DESC, l_suppkey LIMIT 10)
+    SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk, l_suppkey,
+      CAST(cnt AS BIGINT) AS cnt,
+      FLOOR((CAST(cnt AS DOUBLE) / CAST(s.total AS DOUBLE)) * 1e9) / 1e9
+        AS share,
+      FLOOR((CAST(SUM(cnt) OVER (ORDER BY cnt DESC, l_suppkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(s.total AS DOUBLE)) * 1e9) / 1e9 AS cum_share,
+      FLOOR((CAST(cnt AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+        / CAST(s.total AS DOUBLE)) * 1e9) / 1e9 AS ratio_to_mean
+    FROM top CROSS JOIN s
+    WINDOW w AS (ORDER BY cnt DESC, l_suppkey)
+    ORDER BY rk"""))
+
+  // --- q176: MIXTURE RATE SOLVER — given target shares t_s over
+  //     sources, find the LARGEST corpus you can draw WITHOUT
+  //     replacement that hits the mixture exactly: the binding scale is
+  //     K = min_s cnt_s / t_s (the scarcest source relative to its
+  //     target); keep_s = ⌊K·t_s⌋ docs, rate_s = keep_s / cnt_s. This is
+  //     the planning step ABOVE q102/q141's samplers — it computes the
+  //     rates they consume. Targets here ∝ (source index + 1),
+  //     normalized — exact rational doubles both engines build the same
+  //     way. Everything after the per-source count (one map-combined
+  //     shuffle) is a sources-sized frame: the K and Σkeep aggregates
+  //     are 1-row broadcasts. FLOOR(K·t) is the q167 integer-unit
+  //     class; shares present via fpTrunc.
+  private val q176 = Q(
+    "q176_mixture_solver",
+    "A ✦ curation: mixture rate solver — max corpus at target shares, per-source keep/rate",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .withColumn("idx", substring(col("source"), 4, 10).cast("long"))
+      val tsum = counts.agg(sum(col("idx") + 1).as("tden"))
+      val t = counts.crossJoin(broadcast(tsum))
+        .withColumn("target",
+          (col("idx") + 1).cast("double") / col("tden").cast("double"))
+        .withColumn("ratio", col("cnt").cast("double") / col("target"))
+      val k = t.agg(min(col("ratio")).as("k"))
+      val kept = t.crossJoin(broadcast(k))
+        .withColumn("keep", floor(col("k") * col("target")))
+      val ktot = kept.agg(sum(col("keep")).as("ksum"))
+      kept.crossJoin(broadcast(ktot))
+        .select(col("source"), col("cnt"),
+          fpTrunc(col("target"), 9).as("target_share"),
+          col("keep"),
+          fpTrunc(col("keep").cast("double") / col("cnt").cast("double"), 9)
+            .as("rate"),
+          fpTrunc(col("keep").cast("double") / col("ksum").cast("double"), 9)
+            .as("achieved_share"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (
+      SELECT source, COUNT(*) AS cnt,
+        CAST(SUBSTR(source, 4, 10) AS BIGINT) AS idx
+      FROM documents GROUP BY 1),
+    ts AS (SELECT SUM(idx + 1) AS tden FROM c),
+    t AS (SELECT source, cnt,
+        CAST(idx + 1 AS DOUBLE) / CAST(ts.tden AS DOUBLE) AS target,
+        CAST(cnt AS DOUBLE)
+          / (CAST(idx + 1 AS DOUBLE) / CAST(ts.tden AS DOUBLE)) AS ratio
+      FROM c CROSS JOIN ts),
+    k AS (SELECT MIN(ratio) AS k FROM t),
+    kept AS (SELECT source, cnt, target,
+        FLOOR(k.k * target) AS keep FROM t CROSS JOIN k),
+    kt AS (SELECT SUM(keep) AS ksum FROM kept)
+    SELECT source, cnt,
+      FLOOR(target * 1e9) / 1e9 AS target_share,
+      CAST(keep AS BIGINT) AS keep,
+      FLOOR((keep / CAST(cnt AS DOUBLE)) * 1e9) / 1e9 AS rate,
+      FLOOR((keep / CAST(kt.ksum AS DOUBLE)) * 1e9) / 1e9 AS achieved_share
+    FROM kept CROSS JOIN kt ORDER BY source"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
-    q153, q160, q174)
+    q153, q160, q174, q175, q176)
 }

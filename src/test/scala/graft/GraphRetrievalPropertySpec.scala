@@ -198,6 +198,88 @@ class GraphRetrievalPropertySpec extends SparkSuite {
     }
   }
 
+  // q175 vs a naive JVM replica on a skewed random fixture: the top-10
+  // must be the true global heavy hitters with exact share arithmetic,
+  // and the planted hot key must surface at rank 1.
+  test("q175 skew audit == naive JVM replica; planted hot key at rank 1") {
+    import spark.implicits._
+    val rng = new Random(23)
+    // Zipf-ish key draw + a planted hot key 999 with ~20% of all rows.
+    val keys = (0 until 5000).map { _ =>
+      if (rng.nextInt(5) == 0) 999L
+      else math.min(199, (math.pow(rng.nextDouble(), 2) * 200).toInt).toLong
+    }
+    withTempDir("q175_skew") { dir =>
+      keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("l_linenumber", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val got = SparkEntry.queries("q175_skew_audit")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+      val counts = keys.groupBy(identity).map { case (k, g) =>
+        (k, g.size.toLong) }
+      val total = keys.size.toLong
+      val nKeys = counts.size.toLong
+      def f9(x: Double) = math.floor(x * 1e9) / 1e9
+      var cum = 0L
+      val want = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+        .zipWithIndex.map { case ((k, c), i) =>
+          cum += c
+          (i + 1L, k, c, f9(c.toDouble / total.toDouble),
+            f9(cum.toDouble / total.toDouble),
+            f9(c.toDouble * nKeys.toDouble / total.toDouble))
+        }
+      assert(got == want, s"$got != $want")
+      assert(got.head._2 == 999L && got.head._6 > 10.0,
+        s"planted hot key not diagnosed: ${got.head}")
+    }
+  }
+
+  // q176 invariants + replica on an imbalanced random fixture: never
+  // oversample (keep ≤ cnt), the binding source keeps every doc, and
+  // achieved shares sit within 1/K of targets.
+  test("q176 mixture solver == replica; no oversampling; binding source exhausted") {
+    import spark.implicits._
+    val rng = new Random(47)
+    val rows = (0L until 600L).map { i =>
+      // src3 deliberately scarce relative to its target weight
+      val src = if (i % 40 == 0) "src3"
+        else s"src${Seq(0, 1, 2, 4, 5)(rng.nextInt(5))}"
+      (i, s"doc $i", "en", src)
+    }
+    withTempDir("q176_mix") { dir =>
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q176_mixture_solver")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+      val counts = rows.groupBy(_._4).map { case (s0, g) => (s0, g.size.toLong) }
+      val tden = counts.keys.map(s0 => s0.drop(3).toLong + 1).sum
+      def f9(x: Double) = math.floor(x * 1e9) / 1e9
+      val t = counts.map { case (s0, c) =>
+        val tg = (s0.drop(3).toLong + 1).toDouble / tden.toDouble
+        (s0, c, tg, c.toDouble / tg)
+      }
+      val k = t.map(_._4).min
+      val keeps = t.map { case (s0, c, tg, _) =>
+        (s0, c, tg, math.floor(k * tg).toLong) }
+      val ksum = keeps.map(_._4).sum
+      val want = keeps.toSeq.sortBy(_._1).map { case (s0, c, tg, kp) =>
+        (s0, c, f9(tg), kp, f9(kp.toDouble / c.toDouble),
+          f9(kp.toDouble / ksum.toDouble))
+      }
+      assert(got == want, s"$got != $want")
+      got.foreach(r => assert(r._4 <= r._2, s"oversampled: $r"))
+      val binding = t.minBy(_._4)
+      val bindRow = got.find(_._1 == binding._1).get
+      assert(bindRow._4 >= bindRow._2 - 1,
+        s"binding source not exhausted: $bindRow")
+      got.foreach(r => assert(math.abs(r._6 - r._3) < 2.0 / k,
+        s"achieved share off target: $r"))
+    }
+  }
+
   // q168 on a noiseless per-group line: OLS must recover slope/intercept
   // EXACTLY (a noiseless fit has zero residual — R² = 1 and the moment
   // arithmetic is exact in doubles at this magnitude).
