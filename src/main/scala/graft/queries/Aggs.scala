@@ -1075,7 +1075,187 @@ object Aggs extends Q.Module {
       FLOOR((keep / CAST(kt.ksum AS DOUBLE)) * 1e9) / 1e9 AS achieved_share
     FROM kept CROSS JOIN kt ORDER BY source"""))
 
+  // --- q177: BENFORD'S-LAW DIGIT AUDIT — the forensic sanity check on a
+  //     money column: organically-generated amounts follow
+  //     P(d) = log10(1 + 1/d); fabricated or truncated feeds don't. The
+  //     leading digit is extracted WITHOUT float formatting or log10():
+  //     prices carry ≤2 decimals, so CAST to DECIMAL(18,2) is exact and
+  //     the scaled integer's VARCHAR rendering — engine-identical for
+  //     integers, unlike double→string — yields the digit. Expected
+  //     shares are the nine literal constants written with identical
+  //     digits on both sides (shortest-repr parse → the same double).
+  //     One map-combined groupBy over the corpus; everything after is a
+  //     9-row frame. Deviation presents via fpTrunc.
+  private val q177 = Q(
+    "q177_benford_audit",
+    "A ✦ quality: Benford leading-digit audit of o_totalprice (exact digit extraction)",
+    (s, d) => {
+      val benford = Map(1 -> "0.301029995663981", 2 -> "0.176091259055681",
+        3 -> "0.124938736608300", 4 -> "0.096910013008056",
+        5 -> "0.079181246047625", 6 -> "0.066946789630613",
+        7 -> "0.057991946977687", 8 -> "0.051152522447381",
+        9 -> "0.045757490560675")
+      val expCol = benford.toSeq.sortBy(_._1).tail
+        .foldLeft(when(col("digit") === 1, lit(benford(1).toDouble))) {
+          case (acc, (dg, sh)) => acc.when(col("digit") === dg, lit(sh.toDouble))
+        }.otherwise(lit(0.0))
+      val counts = Tables.orders(s, d)
+        .select(substring(col("o_totalprice").cast("decimal(18,2)")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
+        .withColumn("obs", col("n").cast("double") / col("tot").cast("double"))
+        .withColumn("exp", expCol)
+        .select(col("digit"), col("n"),
+          fpTrunc(col("obs"), 9).as("obs_share"),
+          fpTrunc(col("exp"), 9).as("benford_share"),
+          fpTrunc(col("obs") - col("exp"), 9).as("dev"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH c AS (
+      SELECT CAST(SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+          AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM c),
+    e AS (SELECT digit, n,
+        CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS obs,
+        CASE digit WHEN 1 THEN 0.301029995663981
+          WHEN 2 THEN 0.176091259055681 WHEN 3 THEN 0.124938736608300
+          WHEN 4 THEN 0.096910013008056 WHEN 5 THEN 0.079181246047625
+          WHEN 6 THEN 0.066946789630613 WHEN 7 THEN 0.057991946977687
+          WHEN 8 THEN 0.051152522447381 WHEN 9 THEN 0.045757490560675
+          ELSE 0.0 END AS exp
+      FROM c CROSS JOIN t)
+    SELECT digit, n,
+      FLOOR(obs * 1e9) / 1e9 AS obs_share,
+      FLOOR(exp * 1e9) / 1e9 AS benford_share,
+      FLOOR((obs - exp) * 1e9) / 1e9 AS dev
+    FROM e ORDER BY digit"""))
+
+  // --- q178: CONTINGENCY TABLE + STANDARDIZED RESIDUALS — are market
+  //     segment and order priority independent? Long-format chi-square
+  //     workup: observed cell counts, expected = row_total·col_total/N,
+  //     residual = (obs − exp)/√exp. One corpus groupBy; the margins
+  //     join back as aggregate-sized broadcasts. √ is IEEE
+  //     correctly-rounded (unlike ln) so the residual is
+  //     engine-identical from exact integer inputs; fpTrunc presents.
+  private val q178 = Q(
+    "q178_contingency_chi2",
+    "A ✦ stats: segment × priority contingency cells with standardized residuals",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("prio"))
+      val cells = base.groupBy(col("seg"), col("prio"))
+        .agg(count(lit(1)).as("n"))
+      val rows = cells.groupBy(col("seg")).agg(sum(col("n")).as("row_n"))
+      val cols = cells.groupBy(col("prio")).agg(sum(col("n")).as("col_n"))
+      val tot = cells.agg(sum(col("n")).as("tot"))
+      cells.join(broadcast(rows), Seq("seg"))
+        .join(broadcast(cols), Seq("prio"))
+        .crossJoin(broadcast(tot))
+        .withColumn("exp",
+          col("row_n").cast("double") * col("col_n").cast("double")
+            / col("tot").cast("double"))
+        .select(col("seg"), col("prio"), col("n"),
+          fpTrunc(col("exp"), 6).as("expected"),
+          fpTrunc((col("n").cast("double") - col("exp")) / sqrt(col("exp")), 6)
+            .as("std_residual"))
+        .orderBy(col("seg"), col("prio"))
+    },
+    Some("""WITH b AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS prio
+      FROM customer JOIN orders ON c_custkey = o_custkey),
+    cells AS (SELECT seg, prio, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    r AS (SELECT seg, SUM(n) AS row_n FROM cells GROUP BY 1),
+    co AS (SELECT prio, SUM(n) AS col_n FROM cells GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM cells),
+    e AS (SELECT cells.seg, cells.prio, cells.n,
+        CAST(r.row_n AS DOUBLE) * CAST(co.col_n AS DOUBLE)
+          / CAST(t.tot AS DOUBLE) AS exp
+      FROM cells JOIN r USING (seg) JOIN co USING (prio) CROSS JOIN t)
+    SELECT seg, prio, n,
+      FLOOR(exp * 1e6) / 1e6 AS expected,
+      FLOOR(((CAST(n AS DOUBLE) - exp) / SQRT(exp)) * 1e6) / 1e6
+        AS std_residual
+    FROM e ORDER BY seg, prio"""))
+
+  // --- q179: A/B PROPORTION TEST — conversion-rate comparison between
+  //     two deterministic assignment arms (user_id parity — the no-rand
+  //     assignment a reproducible experiment pipeline uses): the unit is
+  //     a (user, day) visit — clicked that day → did they purchase that
+  //     day? — and the pooled two-proportion z-statistic compares arms.
+  //     (User-level units are degenerate in this fixture: every user
+  //     eventually purchases, p₀ = p₁ = 1, pooled variance 0 — and
+  //     Spark 4 under ANSI throws on the resulting 0/0 where DuckDB
+  //     yields NaN, so the zero-variance guard below is load-bearing,
+  //     emitting NULL on BOTH engines.) Everything reduces to exact
+  //     integer unit counts (two map-combined aggregates over events);
+  //     the z arithmetic is one identically-parenthesized expression —
+  //     √ is IEEE-exact, so z is engine-identical; fpTrunc presents.
+  private val q179 = Q(
+    "q179_ab_proportion_z",
+    "A ✦ stats: two-arm conversion A/B test with pooled z-statistic",
+    (s, d) => {
+      val perUnit = Tables.events(s, d)
+        .groupBy(pmod(col("user_id"), lit(2L)).as("arm"), col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicked"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .filter(col("clicked") === 1)
+      val arms = perUnit.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val wide = arms.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("conv").as("c0"))
+        .crossJoin(arms.filter(col("arm") === 1)
+          .select(col("n").as("n1"), col("conv").as("c1")))
+        .withColumn("p0", col("c0").cast("double") / col("n0").cast("double"))
+        .withColumn("p1", col("c1").cast("double") / col("n1").cast("double"))
+        .withColumn("pp",
+          (col("c0") + col("c1")).cast("double")
+            / (col("n0") + col("n1")).cast("double"))
+      wide
+        .withColumn("varz",
+          col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n0").cast("double")
+              + lit(1.0) / col("n1").cast("double")))
+        .select(col("n0"), col("c0"), fpTrunc(col("p0"), 9).as("p0"),
+          col("n1"), col("c1"), fpTrunc(col("p1"), 9).as("p1"),
+          when(col("varz") > 0,
+            fpTrunc((col("p1") - col("p0")) / sqrt(col("varz")), 9))
+            .otherwise(lit(null).cast("double")).as("z"))
+    },
+    Some("""WITH pu AS (
+      SELECT user_id % 2 AS arm, user_id,
+        epoch_us(ts) // 86400000000 AS day,
+        MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2, 3),
+    arms AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS conv FROM pu
+      WHERE clicked = 1 GROUP BY 1),
+    w AS (SELECT a0.n AS n0, a0.conv AS c0, a1.n AS n1, a1.conv AS c1,
+        CAST(a0.conv AS DOUBLE) / CAST(a0.n AS DOUBLE) AS p0,
+        CAST(a1.conv AS DOUBLE) / CAST(a1.n AS DOUBLE) AS p1,
+        CAST(a0.conv + a1.conv AS DOUBLE)
+          / CAST(a0.n + a1.n AS DOUBLE) AS pp
+      FROM (SELECT * FROM arms WHERE arm = 0) a0
+        CROSS JOIN (SELECT * FROM arms WHERE arm = 1) a1)
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+      FLOOR(p0 * 1e9) / 1e9 AS p0,
+      CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+      FLOOR(p1 * 1e9) / 1e9 AS p1,
+      CASE WHEN pp * (1.0 - pp)
+          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)) > 0
+        THEN FLOOR(((p1 - p0) / SQRT(pp * (1.0 - pp)
+          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))) * 1e9)
+          / 1e9
+        ELSE NULL END AS z
+    FROM w"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
-    q153, q160, q174, q175, q176)
+    q153, q160, q174, q175, q176, q177, q178, q179)
 }
