@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Pin UTC like Verify/SparkSuite: Tables.events normalizes the
+      // micros fixture through TIMESTAMP in the session zone, so an
+      // unpinned zone on a non-UTC host would shift the ts contract.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

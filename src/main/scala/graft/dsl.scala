@@ -112,7 +112,14 @@ object dsl {
     * values at x ≈ 10⁶, k = 9!) rounds differently — whereas floor of
     * the SAME double after the SAME IEEE multiply is engine-identical
     * by construction (the r9 sf0.1 sweep caught both classes live:
-    * q167 rank at 16k rows, q168 intercept at 10⁶ magnitude). */
+    * q167 rank at 16k rows, q168 intercept at 10⁶ magnitude).
+    *
+    * Magnitude bound: Spark's floor(Column) returns LongType, so
+    * |x|·10^k must stay below 2^63 (≈9.2e18) — at k=9 that caps |x| at
+    * ~9.2e9 — else Spark saturates at Long.MaxValue while the DuckDB
+    * twin's FLOOR stays DOUBLE, a cross-engine divergence. All current
+    * call sites present ratios/shares/stats orders of magnitude below
+    * the bound; assert it before adding a large-magnitude call site. */
   def fpTrunc(c: Column, digits: Int): Column = {
     val m = math.pow(10, digits)
     floor(c * lit(m)).cast(DoubleType) / lit(m)
