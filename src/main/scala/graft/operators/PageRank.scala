@@ -53,16 +53,35 @@ import org.apache.spark.sql.types.DoubleType
   */
 object PageRank {
 
-  /** @param edges distinct (src, dst) pairs; every node must appear as a
-    *              src (out-degree ≥ 1). Self-loops are legal.
+  /** @param edges distinct (src, dst) pairs. With the default
+    *              `redistributeDangling = false`, every node must appear
+    *              as a src (out-degree ≥ 1 — feed a symmetrized edge
+    *              list); with it true, arbitrary digraphs are safe:
+    *              sink (out-degree-0) mass is redistributed uniformly,
+    *              the standard dangling-node extension. Self-loops are
+    *              legal.
     */
   def run(edges: DataFrame, iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(deg, Seq("src")).persist()
-    // out-degree ≥ 1 ⇒ the src side of `deg` IS the node set.
-    val nodes = deg.select(col("src").as("node")).persist()
+    // Without sinks, the src side of `deg` IS the node set; with the
+    // dangling extension the node set is src ∪ dst (sinks appear only
+    // as dst) and the sink set is nodes ∖ srcs — both computed once,
+    // outside the loop.
+    val nodes = (if (redistributeDangling)
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+      else deg.select(col("src").as("node"))).persist()
+    val sinks = if (redistributeDangling)
+      nodes.join(deg.select(col("src").as("node")), Seq("node"),
+        "left_anti").persist()
+    else null
+    // |V| as a driver scalar: one setup action (like CC's fixpoint
+    // probe), used only to split the dangling units evenly.
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     var ranks = nodes.withColumn("rank", lit(1.0))
     (1 to iterations).foreach { _ =>
       // Zero-mass baseline rows ride the SAME aggregate instead of a
@@ -75,8 +94,24 @@ object PageRank {
           floor((col("rank") / col("deg").cast("double")) * lit(1e9))
             .as("c"))
         .union(nodes.select(col("node"), lit(0L).as("c")))
-      val next = contribs.groupBy(col("node"))
+      val summed = contribs.groupBy(col("node"))
         .agg(sum(col("c")).as("msum"))
+      // Dangling mass stays in the integer-unit domain end to end:
+      // each sink's rank is floor-quantized exactly like an edge
+      // contribution, the units sum as exact longs (1-row aggregate,
+      // broadcast to every node), and the per-node share is an integer
+      // `div` — deterministic, and the remainder lost is < |V| units
+      // (≤ 1e-9·|V| mass/iteration), the same class of deterministic
+      // truncation the per-edge floor already makes.
+      val withMass = if (redistributeDangling) {
+        val dang = ranks.join(sinks, Seq("node"))
+          .agg(coalesce(sum(floor(col("rank") * lit(1e9))), lit(0L))
+            .as("du"))
+        summed.crossJoin(broadcast(dang))
+          .select(col("node"),
+            (col("msum") + expr(s"du div ${nNodes}")).as("msum"))
+      } else summed
+      val next = withMass
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) *
             (col("msum").cast(DoubleType) / lit(1e9))).as("rank"))
@@ -85,6 +120,7 @@ object PageRank {
     e.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    if (sinks != null) sinks.unpersist(blocking = false)
     ranks
   }
 }

@@ -465,6 +465,147 @@ object Vectors extends Q.Module {
       WHERE a.vec_id < 20)
     WHERE rn = 1 ORDER BY aid, side"""))
 
+  // --- q180: TALL-SKINNY GRAM-MATRIX PCA (da.linalg analog) — the one
+  //     dask.array linear-algebra shape with no analog here until now:
+  //     decompose a tall n×64 matrix by (1) a DISTRIBUTED Gram matrix
+  //     Gᵀ = XᵀX — the blockwise pattern da.linalg.tsqr teaches: each
+  //     task folds its rows into ≤2080 (j ≤ k) partial sums, the shuffle
+  //     carries only those partials, and the result is O(d²) no matter
+  //     how tall X is — then (2) a DRIVER-SIDE power iteration on the
+  //     tiny 64×64 matrix (legitimately driver-sized: 2080 longs), then
+  //     (3) a DISTRIBUTED projection of every row onto the leading
+  //     component. Determinism machinery, in order of appearance:
+  //     Gram entries are floor(xⱼ·xₖ·1e9) INTEGER UNITS summed as LONG
+  //     (float→double widening and the IEEE product are exact; the
+  //     quantized sum is associative → shuffle-order-free and
+  //     engine-identical — the q167 idiom); the 8 power-iteration steps
+  //     start from the exact v₀ = 1/√64 = 0.125 and use only
+  //     sequential left folds (k = 0..63 ascending — the same order
+  //     DuckDB's list_sum(list_transform) folds), IEEE √ and ÷, and a
+  //     floor-quantized renormalization (v ← ⌊(y/‖y‖)·1e12⌋/1e12) each
+  //     step, so both engines walk bit-identical vectors; the projection
+  //     is the module's standard zip_with/aggregate sequential dot.
+  //     λ₁ is the power-iteration estimate ‖G·v₇‖ rescaled out of units.
+  //     Output: top-20 documents by first-principal-component score —
+  //     raw doubles are engine-identical so the ORDER BY needs no
+  //     tie-break beyond vec_id; fpTrunc presents. A rank-recovery
+  //     property test (noiseless rank-1 fixture) lives in
+  //     OperatorPropertySpec.
+  private val q180 = Q(
+    "q180_gram_pca",
+    "da.linalg ✦: tall-skinny Gram-matrix PCA — distributed XᵀX, driver power iteration, distributed projection",
+    (s, d) => {
+      val dims = 64
+      // (1) distributed Gram in integer 1e-9 units, upper triangle only.
+      val gramRows = Tables.embeddings(s, d)
+        .select(col("embedding"), explode(sequence(lit(0), lit(dims - 1))).as("j"))
+        .select(col("embedding"), col("j"),
+          explode(sequence(col("j"), lit(dims - 1))).as("k"))
+        .select(col("j"), col("k"),
+          floor(element_at(col("embedding"), col("j") + 1).cast("double")
+            * element_at(col("embedding"), col("k") + 1).cast("double")
+            * lit(1e9)).as("u"))
+        .groupBy(col("j"), col("k")).agg(sum(col("u")).as("g"))
+        .collect()
+      val g = Array.ofDim[Long](dims, dims)
+      gramRows.foreach { r =>
+        val (j, k, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        g(j)(k) = v; g(k)(j) = v
+      }
+      // (2) driver-side power iteration: 8 steps, quantized renorm.
+      var v = Array.fill(dims)(0.125)
+      var lamUnits = 0.0
+      for (_ <- 1 to 8) {
+        val y = Array.tabulate(dims) { j =>
+          var acc = 0.0; var k = 0
+          while (k < dims) { acc += g(j)(k).toDouble * v(k); k += 1 }
+          acc
+        }
+        var n2 = 0.0; var j = 0
+        while (j < dims) { n2 += y(j) * y(j); j += 1 }
+        lamUnits = math.sqrt(n2)
+        v = y.map(t => math.floor(t / lamUnits * 1e12) / 1e12)
+      }
+      val lam1 = lamUnits * 1e-9
+      val vCol = array(v.toSeq.map(lit): _*)
+      // (3) distributed projection onto the leading component.
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          aggregate(zip_with(col("embedding"), vCol,
+            (x, w) => x.cast("double") * w), lit(0.0), (acc, t) => acc + t)
+            .as("proj"))
+        .orderBy(col("proj").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), col("label"),
+          graft.dsl.fpTrunc(col("proj"), 9).as("pc1_score"),
+          graft.dsl.fpTrunc(lit(lam1), 6).as("lam1"))
+    },
+    Some("""WITH pr AS (
+      SELECT jj.j AS j, kk.k AS k
+      FROM generate_series(0, 63) jj(j), generate_series(0, 63) kk(k)
+      WHERE jj.j <= kk.k),
+    gram AS (
+      SELECT j, k,
+        CAST(SUM(CAST(FLOOR(CAST(e.embedding[j + 1] AS DOUBLE)
+          * CAST(e.embedding[k + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS g
+      FROM embeddings e, pr GROUP BY j, k),
+    full_m AS (
+      SELECT j * 64 + k AS idx, g FROM gram
+      UNION ALL
+      SELECT k * 64 + j AS idx, g FROM gram WHERE j < k),
+    gm AS (SELECT list(g ORDER BY idx) AS m FROM full_m),
+    v0 AS (SELECT list_transform(generate_series(0, 63), x -> 0.125) AS v),
+    y1 AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM gm, v0),
+    n1 AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y1),
+    v1 AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v FROM n1),
+    y2 AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM gm, v1),
+    n2 AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y2),
+    v2 AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v FROM n2),
+    y3 AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM gm, v2),
+    n3 AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y3),
+    v3 AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v FROM n3),
+    y4 AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM gm, v3),
+    n4 AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y4),
+    v4 AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v FROM n4),
+    y5 AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM gm, v4),
+    n5 AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y5),
+    v5 AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v FROM n5),
+    y6 AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM gm, v5),
+    n6 AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y6),
+    v6 AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v FROM n6),
+    y7 AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM gm, v6),
+    n7 AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y7),
+    v7 AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v FROM n7),
+    y8 AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM gm, v7),
+    n8 AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y8),
+    v8 AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v, nrm FROM n8),
+    proj AS (
+      SELECT e.vec_id, e.label,
+        list_sum(list_transform(list_zip(e.embedding, v8.v),
+          p -> CAST(p[1] AS DOUBLE) * p[2])) AS proj,
+        v8.nrm AS nrm
+      FROM embeddings e, v8)
+    SELECT vec_id, label,
+      FLOOR(proj * 1e9) / 1e9 AS pc1_score,
+      FLOOR((nrm * 1e-9) * 1e6) / 1e6 AS lam1
+    FROM proj ORDER BY proj DESC, vec_id LIMIT 20"""))
+
   def defs: Seq[Q] =
-    Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170)
+    Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180)
 }

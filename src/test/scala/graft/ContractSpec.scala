@@ -82,7 +82,8 @@ class ContractSpec extends SparkSuite {
     val unknown = bad.filterNot { case (_, refs) =>
       refs.forall(r => Set("t", "t2", "o", "r", "bands", "cand", "jp",
         "sh", "sh0", "sz", "pr", "sig", "banded", "wc", "bits", "fp", "iw", "h",
-        "w", "f", "eb", "e2", "cond", "range", "rowred").contains(r))
+        "w", "f", "eb", "e2", "cond", "range", "rowred",
+        "generate_series").contains(r))
     }
     assert(unknown.isEmpty, unknown.mkString("\n"))
   }

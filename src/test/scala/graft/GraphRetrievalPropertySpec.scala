@@ -160,6 +160,52 @@ class GraphRetrievalPropertySpec extends SparkSuite {
       s"mass $mass drifted from |V|=${nodes.size}")
   }
 
+  test("PageRank dangling redistribution: arbitrary digraphs with sinks " +
+      "conserve mass and match a naive JVM replica") {
+    import spark.implicits._
+    // Random digraphs, NOT symmetrized: ~1/3 of nodes never appear as a
+    // src (pure sinks), the case the redistributeDangling flag exists
+    // for. Replica mirrors the operator's integer-unit arithmetic
+    // exactly: floor-quantized contributions AND sink ranks, long sums,
+    // integer div of the dangling units by |V|.
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed)
+      val raw = (0 until 250).map { _ =>
+        (rng.nextInt(25).toLong, (25 + rng.nextInt(12)).toLong)
+      }.distinct // srcs 0..24; dsts 25..36 are sinks (never a src)
+      val edges = raw.toDF("src", "dst")
+      val got = graft.operators.PageRank.run(edges, iterations = 10,
+        damping = 0.85, redistributeDangling = true)
+        .as[(Long, Double)].collect().toMap
+      val nodes = raw.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val n = nodes.size.toLong
+      val srcs = raw.map(_._1).toSet
+      val sinks = nodes.filterNot(srcs)
+      val deg = raw.groupBy(_._1).map { case (s, g) => (s, g.size.toLong) }
+      val inEdges = raw.groupBy(_._2).map { case (d, g) => (d, g.map(_._1)) }
+      var rank = nodes.map(_ -> 1.0).toMap
+      (1 to 10).foreach { _ =>
+        val du = sinks.map(s => math.floor(rank(s) * 1e9).toLong).sum
+        val share = du / n
+        rank = nodes.map { v =>
+          val units = inEdges.getOrElse(v, Nil)
+            .map(s => math.floor(rank(s) / deg(s).toDouble * 1e9).toLong)
+            .sum + share
+          v -> ((1.0 - 0.85) + 0.85 * (units.toDouble / 1e9))
+        }.toMap
+      }
+      assert(got.keySet == rank.keySet, s"seed $seed node sets differ")
+      nodes.foreach(v =>
+        assert(got(v) == rank(v), s"seed $seed node $v: ${got(v)} != ${rank(v)}"))
+      // With redistribution the walk conserves total mass at |V| (up to
+      // the documented ≤1e-9-scale deterministic truncation) even
+      // though a third of the nodes are sinks.
+      val mass = nodes.map(rank).sum
+      assert(math.abs(mass - n.toDouble) < 1e-3,
+        s"seed $seed: mass $mass drifted from |V|=$n")
+    }
+  }
+
   // q170 vs a naive JVM miner: same sequential-fold cosine, same
   // (ord, cid) tie-break, same fpTrunc — exact equality per anchor/side.
   test("q170 hard pos/neg mining == naive JVM replica on random embeddings") {

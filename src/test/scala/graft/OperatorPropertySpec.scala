@@ -637,6 +637,35 @@ class OperatorPropertySpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("q180 Gram-PCA recovers the direction of a noiseless rank-1 matrix") {
+    // Rows x_i = c_i * w for a fixed all-positive unit-ish w: the Gram
+    // matrix is (Σc²)·wwᵀ, whose leading eigenvector is w itself, and
+    // the PC1 score of row i is c_i·(w·v) with (w·v) > 0 (the all-ones
+    // start has positive overlap with w). So the query's top-20 must be
+    // exactly the 20 largest c_i in descending order — a full
+    // end-to-end check of quantized Gram + power iteration + projection.
+    import spark.implicits._
+    val rng = new Random(99)
+    val w = Array.tabulate(64)(k => 0.05 + 0.9 * ((k * 37 % 64) / 64.0))
+    val cs = (0L until 300L).map(i => i -> (0.1 + rng.nextDouble() * 9.9))
+    val dir = java.nio.file.Files.createTempDirectory("grampca").toString
+    try {
+      cs.map { case (id, c) =>
+        (id, w.map(x => (x * c).toFloat).toSeq, (id % 10).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = SparkEntry.queries("q180_gram_pca")(spark, dir)
+        .select("vec_id").as[Long].collect().toSeq
+      val want = cs.sortBy { case (id, c) => (-c, id) }.take(20).map(_._1)
+      assert(got == want, s"top-20 by PC1 != top-20 by |c|: $got vs $want")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
