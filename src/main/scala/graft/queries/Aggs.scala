@@ -1255,7 +1255,80 @@ object Aggs extends Q.Module {
         ELSE NULL END AS z
     FROM w"""))
 
+  // --- q181: MERGEABLE QUANTILE SKETCH — q126's lambda/kappa
+  //     re-aggregation story for QUANTILES: per-ingest-shard value
+  //     HISTOGRAMS are the mergeable partials (histogram merge =
+  //     element-wise count sum — associative and commutative, so any
+  //     shard grouping yields the same union, the property
+  //     percentile_approx's opaque internal sketch has but cannot
+  //     expose through SQL), and the quantile is read off the MERGED
+  //     histogram's cumulative counts. The query materializes the
+  //     decomposed path (8 deterministic hash shards → per-shard
+  //     histogram → merge); the DuckDB twin computes the DIRECT global
+  //     histogram — the hash-match IS the decomposition proof, q174's
+  //     idiom. Everything is exact integers (2-decimal prices → cents
+  //     → $100 bins; ranks via CEIL of an identical IEEE product), so
+  //     the merged sketch is not approximately-but-exactly equal to the
+  //     direct one. The cumulative window runs over the merged
+  //     histogram, bounded by the VALUE DOMAIN (~1,050 $100-bins at any
+  //     SF — price range, not row count); at an unbounded domain you'd
+  //     swap in q150's two-phase block cumsum, same plan otherwise.
+  //     A shard-count-invariance + naive-replica property test lives in
+  //     OperatorPropertySpec.
+  private val q181 = Q(
+    "q181_quantile_sketch_merge",
+    "A5/A9 ✦ mergeable quantile sketch: per-shard histograms merged == direct global quantiles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        pmod(xxhash64(col("l_orderkey")), lit(8L)).as("shard"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("c"))
+        .withColumn("bin", expr("c div 10000"))
+      // phase 1: one histogram per shard (the mergeable partial)
+      val perShard = li.groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      // phase 2: sketch union = element-wise sum across shards
+      val merged = perShard.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      val wCum = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = merged.withColumn("cumend", sum(col("cnt")).over(wCum))
+      val tot = merged.agg(sum(col("cnt")).as("n"))
+      val qs = s.range(1).select(
+        explode(array(lit(0.25), lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      val tgt = qs.crossJoin(broadcast(tot))
+        .withColumn("target_rank", ceil(col("q") * col("n")))
+      tgt.join(broadcast(cum), col("cumend") >= col("target_rank"))
+        .groupBy(col("q"), col("target_rank"), col("n"))
+        .agg(min(col("bin")).as("bin"))
+        .select(col("q"), col("target_rank"), col("bin"),
+          (col("bin") * 10000).as("lo_cents"),
+          (col("bin") * 10000 + 9999).as("hi_cents"),
+          col("n").as("n_total"))
+        .orderBy(col("q"))
+    },
+    Some("""WITH cents AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM lineitem),
+    hist AS (
+      SELECT c // 10000 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cents GROUP BY bin),
+    cum AS (
+      SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cumend
+      FROM hist),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+      FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)),
+    tgt AS (SELECT q, CAST(CEIL(q * n) AS BIGINT) AS target_rank, n
+      FROM qs, tot)
+    SELECT t.q, t.target_rank, MIN(c.bin) AS bin,
+      MIN(c.bin) * 10000 AS lo_cents,
+      MIN(c.bin) * 10000 + 9999 AS hi_cents,
+      t.n AS n_total
+    FROM tgt t JOIN cum c ON c.cumend >= t.target_rank
+    GROUP BY t.q, t.target_rank, t.n
+    ORDER BY t.q"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
-    q153, q160, q174, q175, q176, q177, q178, q179)
+    q153, q160, q174, q175, q176, q177, q178, q179, q181)
 }

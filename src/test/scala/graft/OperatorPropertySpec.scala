@@ -666,6 +666,46 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("q181 merged shard histograms == naive global quantiles, " +
+      "invariant to shuffle width") {
+    // The merge claim, adversarially: the query quantiles via 8 hash
+    // shards merged; the replica sorts the raw values and indexes the
+    // ceil(q·n)-th directly. Equality proves shard decomposition is
+    // lossless; re-running under a different shuffle width pins the
+    // determinism contract.
+    import spark.implicits._
+    val rng = new Random(5)
+    val rows = (1L to 5000L).map(i =>
+      (i, math.floor((100.0 + rng.nextDouble() * 99000.0) * 100) / 100))
+    val dir = java.nio.file.Files.createTempDirectory("qsketch").toString
+    try {
+      rows.toDF("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      def run() = SparkEntry.queries("q181_quantile_sketch_merge")(spark, dir)
+        .select("q", "target_rank", "bin").as[(Double, Long, Long)]
+        .collect().toSeq
+      val got = run()
+      val cents = rows.map(r =>
+        (BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact).sorted
+      val want = Seq(0.25, 0.5, 0.9, 0.99).map { q =>
+        val target = math.ceil(q * cents.size).toLong
+        (q, target, cents(target.toInt - 1) / 10000L)
+      }
+      assert(got == want, s"got $got want $want")
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        assert(run() == want, "quantiles drifted across shuffle widths")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
