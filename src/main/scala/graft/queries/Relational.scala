@@ -728,7 +728,102 @@ object Relational extends Q.Module {
       CAST(n_bad_keys AS BIGINT) AS n_bad_keys
     FROM checks ORDER BY "check""""))
 
+  // --- q182: TRIANGLE COUNTING — the standard graph-cohesion statistic
+  //     (how clustered is the co-purchase community?), implemented with
+  //     the two classic scale devices, each load-bearing at 100 TB:
+  //     (1) the GRAPH BUILD is blocked co-occurrence — users who
+  //     purchased in the same (hour, $10 value-band) block become an
+  //     edge, so pair volume is Σ_blocks c² with c capped by the block
+  //     granularity (≤30 at sf0.1), never corpus² — the dedup family's
+  //     posting-list bound; (2) the COUNT uses degree-ordered edge
+  //     orientation (Schank/Wagner node-iterator): every undirected
+  //     edge points from its (degree, id)-smaller endpoint, so
+  //     out-degree is O(√m) and the wedge self-join that enumerates
+  //     (s→t1, s→t2) candidate pairs is Σ outdeg(s)² = O(m^{3/2})
+  //     worst-case instead of Σ deg² (which a hub node makes
+  //     quadratic). The closing join probes each wedge for the third
+  //     edge (t1→t2) — hash equi-joins end to end, no cartesian.
+  //     Everything is exact integers; per-node participation attributes
+  //     each triangle to all three corners via one explode. deg is
+  //     node-sized → broadcast to the orientation join; the global
+  //     count rides as a broadcast 1-row frame.
+  private val q182 = Q(
+    "q182_triangle_count",
+    "✦ graph: degree-ordered triangle counting over the blocked co-purchase graph",
+    (s, d) => {
+      val pe = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 3600000000").as("h"),
+          floor(col("value") / 10).as("b"), col("user_id").as("u"))
+      val pairs = pe.as("a")
+        .join(pe.as("p2"),
+          col("a.h") === col("p2.h") && col("a.b") === col("p2.b")
+            && col("a.u") < col("p2.u"))
+        .select(col("a.u").as("x"), col("p2.u").as("y"))
+        .distinct()
+      val deg = pairs.select(col("x").as("n"))
+        .union(pairs.select(col("y")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val ori = pairs
+        .join(broadcast(deg).withColumnRenamed("n", "x")
+          .withColumnRenamed("dg", "dx"), Seq("x"))
+        .join(broadcast(deg).withColumnRenamed("n", "y")
+          .withColumnRenamed("dg", "dy"), Seq("y"))
+        .select(
+          when(col("dx") < col("dy")
+            || (col("dx") === col("dy") && col("x") < col("y")),
+            col("x")).otherwise(col("y")).as("s"),
+          when(col("dx") < col("dy")
+            || (col("dx") === col("dy") && col("x") < col("y")),
+            col("y")).otherwise(col("x")).as("t"))
+      val tri = ori.as("e1")
+        .join(ori.as("e2"),
+          col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+        .join(ori.as("e3"),
+          col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
+        .select(col("e1.s").as("v1"), col("e1.t").as("v2"),
+          col("e2.t").as("v3"))
+      val total = tri.agg(count(lit(1)).as("total_triangles"))
+      tri.select(explode(array(col("v1"), col("v2"), col("v3"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+        .join(broadcast(deg), Seq("n"))
+        .crossJoin(broadcast(total))
+        .select(col("n").as("user_id"), col("dg").as("degree"),
+          col("tri").as("triangles"), col("total_triangles"))
+        .orderBy(col("triangles").desc, col("user_id"))
+        .limit(15)
+    },
+    Some("""WITH pe AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, FLOOR(value / 10) AS b,
+        user_id AS u
+      FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT DISTINCT a.u AS x, p2.u AS y
+      FROM pe a JOIN pe p2 ON a.h = p2.h AND a.b = p2.b AND a.u < p2.u),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+      FROM (SELECT x AS n FROM pairs UNION ALL SELECT y FROM pairs)
+      GROUP BY n),
+    ori AS (
+      SELECT CASE WHEN (dx.dg, x) < (dy.dg, y) THEN x ELSE y END AS s,
+        CASE WHEN (dx.dg, x) < (dy.dg, y) THEN y ELSE x END AS t
+      FROM pairs JOIN deg dx ON dx.n = x JOIN deg dy ON dy.n = y),
+    tri AS (
+      SELECT e1.s AS v1, e1.t AS v2, e2.t AS v3
+      FROM ori e1
+      JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t
+      JOIN ori e3 ON e3.s = e1.t AND e3.t = e2.t),
+    per_node AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS tri
+      FROM (SELECT v1 AS n FROM tri UNION ALL SELECT v2 FROM tri
+        UNION ALL SELECT v3 FROM tri)
+      GROUP BY n)
+    SELECT p.n AS user_id, deg.dg AS degree, p.tri AS triangles,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS total_triangles
+    FROM per_node p JOIN deg ON deg.n = p.n
+    ORDER BY p.tri DESC, p.n LIMIT 15"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169)
+    q167, q169, q182)
 }

@@ -1371,8 +1371,51 @@ object TextAnalysis extends Q.Module {
       COUNT(*) AS n_terms
     FROM h GROUP BY 1, 2 ORDER BY doc_id, fidx"""))
 
+  // --- q183: PHRASE SEARCH VIA POSITIONAL INVERTED INDEX — exact
+  //     multi-term phrase retrieval ("value table", adjacent, in
+  //     order), the positional-postings complement to q166's BM25
+  //     bag-of-words ranking. The distributed shape is the real one:
+  //     tokenize → (doc, pos, term) positional postings, PRUNE to the
+  //     phrase's terms immediately after the explode (the posting-list
+  //     prune — the shuffle carries only the two terms' postings, not
+  //     the corpus), then phrase adjacency is an EQUI-join on
+  //     (doc, pos+1) — never a per-doc rescan. At index-serving scale
+  //     the postings table is written once, bucketed by term, and
+  //     every phrase query is a bucket-local join; the per-query plan
+  //     here is identical minus the reuse. The ORACLE is deliberately a
+  //     DIFFERENT algorithm — DuckDB scans each document's token list
+  //     naively (list_filter over positions) — so the hash-match
+  //     cross-checks the indexed join against a straight-line scan
+  //     rather than mirroring it. Exact integers end to end.
+  private val q183 = Q(
+    "q183_phrase_search",
+    "✦ retrieval: positional-index phrase search (posting prune + (doc,pos+1) equi-join)",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val t1 = toks.filter(col("tok") === "value")
+        .select(col("doc_id"), col("pos").cast("long").as("p1"))
+      val t2 = toks.filter(col("tok") === "table")
+        .select(col("doc_id"), col("pos").cast("long").as("p2"))
+      t1.join(t2, t1("doc_id") === t2("doc_id") && col("p2") === col("p1") + 1)
+        .groupBy(t1("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("p1")).as("first_pos"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+        list_filter(generate_series(1, len(toks) - 1),
+          i -> toks[i] = 'value' AND toks[i + 1] = 'table') AS hits
+      FROM t)
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+      CAST(hits[1] - 1 AS BIGINT) AS first_pos
+    FROM m WHERE len(hits) > 0 ORDER BY doc_id"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173)
+      q171, q173, q183)
 }
