@@ -1328,7 +1328,60 @@ object Aggs extends Q.Module {
     GROUP BY t.q, t.target_rank, t.n
     ORDER BY t.q"""))
 
+  // --- q184: QUANTILE NORMALIZATION — map a feature to its global
+  //     percent-rank in [0,1] (the rank-based feature transform that
+  //     makes heterogeneous sources comparable before mixing). The
+  //     naive form is ONE GLOBAL WINDOW over every row — the classic
+  //     scale-killer — so this runs q150's two-phase machinery
+  //     instead: exact cents VALUE HISTOGRAM (shuffle bounded by the
+  //     value domain with map-side combine), per-block cumulative
+  //     partials + a tiny block-offset window, then percent_rank =
+  //     (rank−1)/(n−1) with rank = cum-before + 1 read off the
+  //     histogram and joined back to the (deterministically sampled)
+  //     rows. All-integer numerators; ONE double division shared with
+  //     the oracle. The ORACLE is DuckDB's builtin PERCENT_RANK() over
+  //     the raw rows — a different algorithm (true global sort) — so
+  //     the hash-match proves the decomposed rank IS percent_rank,
+  //     ties included (both give tied values the min rank).
+  private val q184 = Q(
+    "q184_quantile_normalize",
+    "A9/W6 ✦ quantile normalization: exact global percent_rank via two-phase histogram rank",
+    (s, d) => {
+      val o = Tables.orders(s, d).withColumn("cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      val vc = o.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+        .withColumn("block", expr("cents div 1048576"))
+      val wB = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = vc.groupBy(col("block")).agg(sum(col("cnt")).as("bn"))
+        .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+        .select(col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("block")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.join(broadcast(off), Seq("block"))
+        .withColumn("cumend", col("boff") + sum(col("cnt")).over(wIn))
+        .select(col("cents"), col("cnt"), col("cumend"))
+      val tot = cum.agg(sum(col("cnt")).as("n"))
+      o.filter(col("o_orderkey") % 97 === 0)
+        .join(cum, Seq("cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          fpTrunc((col("cumend") - col("cnt")).cast("double")
+            / (col("n") - 1).cast("double"), 9).as("pr"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH c AS (
+      SELECT o_orderkey, o_totalprice,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT o_orderkey, o_totalprice,
+        PERCENT_RANK() OVER (ORDER BY cents) AS pr
+      FROM c)
+    SELECT o_orderkey, o_totalprice, FLOOR(pr * 1e9) / 1e9 AS pr
+    FROM r WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
-    q153, q160, q174, q175, q176, q177, q178, q179, q181)
+    q153, q160, q174, q175, q176, q177, q178, q179, q181, q184)
 }

@@ -588,5 +588,92 @@ object Scale extends Q.Module {
       AND date_part('year', o_orderdate) = 1995
     GROUP BY o_orderdate ORDER BY o_orderdate"""))
 
-  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165)
+  // --- q185: SNAPSHOT DIFF / DATASET-VERSION RECONCILIATION — the audit
+  //     a pipeline runs between two published versions of a table
+  //     ("what changed since v1?"): added / removed / changed /
+  //     unchanged row classes plus per-column change counts, the
+  //     delta-lake-style version compare expressed as ONE full-outer
+  //     hash join on the key followed by codegen'd column comparison
+  //     and a map-side-combined aggregate — no sort, no window, no
+  //     driver state, so the plan survives any snapshot size. v2 is
+  //     derived deterministically in-query (drop every 13th key, bump
+  //     price on every 7th, re-tag priority on every 11th, add new
+  //     keys offset by 10⁹ from every 101st) so both engines diff the
+  //     SAME pair of versions and every class is non-empty. At 100 TB
+  //     you'd short-circuit the column compare with a row-fingerprint
+  //     (xxhash64 of the concatenated row) computed AT WRITE TIME and
+  //     compare fingerprints first — same plan shape, one column read
+  //     instead of N until a change is found; the explicit per-column
+  //     compare here is what produces the per-column drift counts.
+  private val q185 = Q(
+    "q185_snapshot_diff",
+    "J2/A ✦ versioning: snapshot diff (added/removed/changed classes + per-column drift) via one full-outer join",
+    (s, d) => {
+      val v1 = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio"))
+      // v2 derives from a second scan, not from v1's plan: two snapshot
+      // reads is the real shape, and it sidesteps Spark's ambiguous-
+      // self-join attribute collision on the full-outer below.
+      val v1b = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio"))
+      val kept = v1b.filter(col("k") % 13 =!= 0)
+        .select(col("k"),
+          when(col("k") % 7 === 0, col("price") + 100.0)
+            .otherwise(col("price")).as("price"),
+          when(col("k") % 11 === 0, concat(col("prio"), lit("-v2")))
+            .otherwise(col("prio")).as("prio"))
+      val added = v1b.filter(col("k") % 101 === 0)
+        .select((col("k") + 1000000000L).as("k"), col("price"), col("prio"))
+      val v2 = kept.union(added)
+        .select(col("k").as("k2"), col("price").as("price2"),
+          col("prio").as("prio2"))
+      v1.join(v2, col("k") === col("k2"), "full_outer")
+        .select(
+          when(col("k").isNull, lit("added"))
+            .when(col("k2").isNull, lit("removed"))
+            .when(col("price") =!= col("price2")
+              || col("prio") =!= col("prio2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change_type"),
+          when(col("k").isNotNull && col("k2").isNotNull
+            && col("price") =!= col("price2"), 1L).otherwise(0L)
+            .as("price_chg"),
+          when(col("k").isNotNull && col("k2").isNotNull
+            && col("prio") =!= col("prio2"), 1L).otherwise(0L)
+            .as("prio_chg"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_chg")).as("n_price_changed"),
+          sum(col("prio_chg")).as("n_prio_changed"))
+        .orderBy(col("change_type"))
+    },
+    Some("""WITH v1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS prio
+      FROM orders),
+    kept AS (
+      SELECT k,
+        CASE WHEN k % 7 = 0 THEN price + 100.0 ELSE price END AS price,
+        CASE WHEN k % 11 = 0 THEN prio || '-v2' ELSE prio END AS prio
+      FROM v1 WHERE k % 13 <> 0),
+    added AS (
+      SELECT k + 1000000000 AS k, price, prio FROM v1 WHERE k % 101 = 0),
+    v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+    j AS (
+      SELECT v1.k AS k1, v2.k AS k2, v1.price AS price, v2.price AS price2,
+        v1.prio AS prio, v2.prio AS prio2
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+    SELECT CASE WHEN k1 IS NULL THEN 'added'
+        WHEN k2 IS NULL THEN 'removed'
+        WHEN price <> price2 OR prio <> prio2 THEN 'changed'
+        ELSE 'unchanged' END AS change_type,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+        AND price <> price2 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_changed,
+      CAST(SUM(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+        AND prio <> prio2 THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_changed
+    FROM j GROUP BY 1 ORDER BY 1"""))
+
+  def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165,
+    q185)
 }
