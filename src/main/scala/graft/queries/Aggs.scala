@@ -1381,7 +1381,87 @@ object Aggs extends Q.Module {
     SELECT o_orderkey, o_totalprice, FLOOR(pr * 1e9) / 1e9 AS pr
     FROM r WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""))
 
+  // --- q187: PER-GROUP WINSORIZED ROBUST STATS — clip each nation's
+  //     account balances at that group's exact p05/p95 and report the
+  //     clipped (winsorized) mean/std plus clip tallies: the outlier-
+  //     robust feature-preprocessing step run before z-scoring a
+  //     heavy-tailed column. Group thresholds come from a per-group
+  //     VALUE HISTOGRAM + PARTITIONED cumulative window (frames bounded
+  //     by each group's distinct-value count, never the corpus) and
+  //     value-at-rank selection with rank = ceil(p·n) — all integers.
+  //     Balances are negative-capable, so cents stay plain longs and no
+  //     `div`-flooring is involved (Spark `div` truncates toward zero,
+  //     DuckDB `//` floors — a sign-dependent trap this query's design
+  //     avoids entirely). Clipped values are still 2-decimal data
+  //     values → decimal-exact dsum/dvar moments; the oracle computes
+  //     thresholds by a DIFFERENT algorithm (ROW_NUMBER over raw rows)
+  //     and the identical clipped-moment formulas via the shared dsl
+  //     twins. fpTrunc presents the two derived doubles.
+  private val q187 = Q(
+    "q187_winsorized_stats",
+    "A9/A12 ✦ robust stats: per-group exact-quantile winsorized mean/std + clip tallies",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val vc = c.groupBy(col("nk"), col("cents")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("nk")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.withColumn("cumend", sum(col("cnt")).over(wCum))
+      val n = vc.groupBy(col("nk")).agg(sum(col("cnt")).as("n"))
+      // rank = ⌈p·n⌉ in EXACT INTEGER arithmetic ((5n+99) div 100):
+      // a double 0.05·n crosses the next integer for n divisible by 20
+      // (0.05 is not a binary fraction; Spark's double literal rounds
+      // up where DuckDB's DECIMAL(3,2) stays exact) — integer
+      // ceil-division is engine-identical by construction.
+      val ranked = cum.join(broadcast(n), Seq("nk"))
+        .withColumn("r05", expr("(n * 5 + 99) div 100"))
+        .withColumn("r95", expr("(n * 95 + 99) div 100"))
+      val lo = ranked.filter(col("cumend") >= col("r05"))
+        .groupBy(col("nk")).agg(min(col("cents")).as("lo_cents"))
+      val hi = ranked.filter(col("cumend") >= col("r95"))
+        .groupBy(col("nk")).agg(min(col("cents")).as("hi_cents"))
+      c.join(broadcast(lo), Seq("nk")).join(broadcast(hi), Seq("nk"))
+        .select(col("nk"), col("lo_cents"), col("hi_cents"),
+          greatest(least(col("cents"), col("hi_cents")), col("lo_cents"))
+            .as("w"),
+          when(col("cents") < col("lo_cents"), 1L).otherwise(0L).as("clo"),
+          when(col("cents") > col("hi_cents"), 1L).otherwise(0L).as("chi"))
+        .groupBy(col("nk"), col("lo_cents"), col("hi_cents"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("clo")).as("n_clipped_lo"),
+          sum(col("chi")).as("n_clipped_hi"),
+          fpTrunc(dmean(col("w").cast("double") / 100), 9).as("win_mean"),
+          fpTrunc(dstddev(col("w").cast("double") / 100), 9).as("win_std"))
+        .orderBy(col("nk"))
+    },
+    Some(s"""WITH c AS (
+      SELECT c_nationkey AS nk,
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM customer),
+    ranked AS (
+      SELECT nk, cents,
+        ROW_NUMBER() OVER (PARTITION BY nk ORDER BY cents) AS rn,
+        COUNT(*) OVER (PARTITION BY nk) AS n
+      FROM c),
+    thr AS (
+      SELECT nk,
+        MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo_cents,
+        MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi_cents
+      FROM ranked GROUP BY nk),
+    clipped AS (
+      SELECT c.nk, t.lo_cents, t.hi_cents,
+        GREATEST(LEAST(c.cents, t.hi_cents), t.lo_cents) AS w,
+        CASE WHEN c.cents < t.lo_cents THEN 1 ELSE 0 END AS clo,
+        CASE WHEN c.cents > t.hi_cents THEN 1 ELSE 0 END AS chi
+      FROM c JOIN thr t ON c.nk = t.nk)
+    SELECT nk, lo_cents, hi_cents, COUNT(*) AS n,
+      CAST(SUM(clo) AS BIGINT) AS n_clipped_lo,
+      CAST(SUM(chi) AS BIGINT) AS n_clipped_hi,
+      ${fpTruncSql(dmeanSql("CAST(w AS DOUBLE) / 100"), 9)} AS win_mean,
+      ${fpTruncSql(dstddevSql("CAST(w AS DOUBLE) / 100"), 9)} AS win_std
+    FROM clipped GROUP BY nk, lo_cents, hi_cents ORDER BY nk"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
-    q153, q160, q174, q175, q176, q177, q178, q179, q181, q184)
+    q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187)
 }

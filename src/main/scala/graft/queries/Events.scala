@@ -1012,6 +1012,52 @@ object Events extends Q.Module {
       FLOOR(((CAST(su AS DOUBLE) / 1e6) / duration_s) * 1e6) / 1e6 AS twap
     FROM g ORDER BY event_type"""))
 
+  // --- q186: MARKOV TRANSITION MATRIX — first-order event-type
+  //     transition probabilities per user journey (the path-analysis
+  //     readout behind "what do users do after an error?"): one LAG
+  //     window per user (partitioned by user_id — thousands of small
+  //     frames, never a global sort; ordered by (µs, event_id) so ties
+  //     are deterministic), then ONE map-side-combined groupBy over
+  //     (prev, next) pairs. P(next|prev) divides two exact integer
+  //     counts — the per-prev total joins back as an aggregate-sized
+  //     broadcast, and the single IEEE division is engine-identical;
+  //     fpTrunc presents. The matrix is |event_types|² ≤ 25 rows no
+  //     matter the corpus size.
+  private val q186 = Q(
+    "q186_markov_transitions",
+    "W4/A ✦ event paths: per-user first-order transition matrix with exact-count probabilities",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), micros.as("us"), col("event_id"),
+          col("event_type").as("next"))
+        .withColumn("prev", lag(col("next"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
+      pairs.join(broadcast(totals), Seq("prev"))
+        .select(col("prev"), col("next"), col("n"),
+          fpTrunc(col("n").cast("double") / col("tot").cast("double"), 9)
+            .as("p"))
+        .orderBy(col("prev"), col("next"))
+    },
+    Some("""WITH seq AS (
+      SELECT event_type AS next,
+        LAG(event_type) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    pairs AS (
+      SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, next),
+    totals AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot
+      FROM pairs GROUP BY prev)
+    SELECT p.prev, p.next, p.n,
+      FLOOR((CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1e9) / 1e9 AS p
+    FROM pairs p JOIN totals t ON p.prev = t.prev
+    ORDER BY p.prev, p.next"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
-    q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172)
+    q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
+    q186)
 }

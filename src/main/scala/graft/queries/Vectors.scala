@@ -606,6 +606,73 @@ object Vectors extends Q.Module {
       FLOOR((nrm * 1e-9) * 1e6) / 1e6 AS lam1
     FROM proj ORDER BY proj DESC, vec_id LIMIT 20"""))
 
+  // --- q188: CLASS-CENTROID SIMILARITY MATRIX — the embedding-space
+  //     quality audit (are label clusters separable? which classes
+  //     collide?) run before trusting labels for contrastive training:
+  //     per-label mean vectors, then all pairwise centroid cosines.
+  //     Everything stays in LONG (label, dim, value) format — no
+  //     driver-side matrix, no array re-assembly: centroids are
+  //     integer-unit sums per (label, dim) (64·|labels| partials after
+  //     map-side combine, regardless of corpus size), and each pairwise
+  //     cosine is an equi-join on dim + three more integer-unit sums
+  //     (dot, norm², norm²) — the q167 FLOOR quantization making every
+  //     aggregate order-free, since a relational SUM of doubles would
+  //     be partial-order-dependent (the sequential-fold HOF trick needs
+  //     an array, which long format deliberately avoids). |labels|² ≤
+  //     100 pairs: the pair join is broadcast-tiny even at petabyte
+  //     corpus scale — the corpus only ever feeds the first aggregate.
+  private val q188 = Q(
+    "q188_centroid_similarity",
+    "✦ embedding audit: pairwise label-centroid cosines, long-format integer-unit pipeline",
+    (s, d) => {
+      val cnt = Tables.embeddings(s, d).groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+      val cen = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(floor(col("x").cast("double") * lit(1e9))).as("u"))
+        .join(broadcast(cnt), Seq("label"))
+        .select(col("label"), col("dim"),
+          ((col("u").cast("double") / col("n")) / lit(1e9)).as("c"))
+      val a = cen.select(col("label").as("la"), col("dim"), col("c").as("ca"))
+      val pairs = a.join(
+        cen.select(col("label").as("lb"), col("dim"), col("c").as("cb")),
+        Seq("dim"))
+        .filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(
+          sum(floor(col("ca") * col("cb") * lit(1e9))).as("qdot"),
+          sum(floor(col("ca") * col("ca") * lit(1e9))).as("qna"),
+          sum(floor(col("cb") * col("cb") * lit(1e9))).as("qnb"))
+      pairs.select(col("la").as("label_a"), col("lb").as("label_b"),
+          graft.dsl.fpTrunc(col("qdot").cast("double")
+            / (sqrt(col("qna").cast("double"))
+              * sqrt(col("qnb").cast("double"))), 6).as("cos_t"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""WITH cnt AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+    cen AS (
+      SELECT e.label, g.dim,
+        (CAST(CAST(SUM(CAST(FLOOR(CAST(e.embedding[g.dim + 1] AS DOUBLE) * 1e9)
+            AS BIGINT)) AS BIGINT) AS DOUBLE)
+          / ANY_VALUE(c.n)) / 1e9 AS c
+      FROM embeddings e
+      JOIN cnt c ON c.label = e.label,
+        generate_series(0, 63) g(dim)
+      GROUP BY e.label, g.dim),
+    pairs AS (
+      SELECT a.label AS la, b.label AS lb,
+        CAST(SUM(CAST(FLOOR(a.c * b.c * 1e9) AS BIGINT)) AS BIGINT) AS qdot,
+        CAST(SUM(CAST(FLOOR(a.c * a.c * 1e9) AS BIGINT)) AS BIGINT) AS qna,
+        CAST(SUM(CAST(FLOOR(b.c * b.c * 1e9) AS BIGINT)) AS BIGINT) AS qnb
+      FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT la AS label_a, lb AS label_b,
+      FLOOR((CAST(qdot AS DOUBLE) / (SQRT(CAST(qna AS DOUBLE))
+        * SQRT(CAST(qnb AS DOUBLE)))) * 1e6) / 1e6 AS cos_t
+    FROM pairs ORDER BY label_a, label_b"""))
+
   def defs: Seq[Q] =
-    Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180)
+    Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188)
 }
