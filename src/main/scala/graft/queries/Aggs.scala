@@ -1461,7 +1461,171 @@ object Aggs extends Q.Module {
       ${fpTruncSql(dstddevSql("CAST(w AS DOUBLE) / 100"), 9)} AS win_std
     FROM clipped GROUP BY nk, lo_cents, hi_cents ORDER BY nk"""))
 
+  // --- q189: MUTUAL INFORMATION between two categoricals — the
+  //     information-theoretic complement to q178's chi²: how many nats
+  //     does knowing a document's language tell you about its source?
+  //     (The feature-selection / mixture-dependence readout.) MI =
+  //     Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) plus the marginal entropies and
+  //     the normalized MI/√(H(x)H(y)). Every probability ratio is built
+  //     from EXACT INTEGER counts (cell n, margins, N) with identically
+  //     parenthesized double arithmetic; the Σ over cells is q160's
+  //     ordered fold — cells sorted by (lang, source), folded
+  //     sequentially — because a relational SUM of double terms is
+  //     partial-order dependent. ln() can differ 1 ulp across engines,
+  //     so outputs present at round-9 (q27's pattern — safe here: O(1)
+  //     magnitude, one row). Scale: ONE corpus groupBy (map-side
+  //     combined); margins/total/fold all run on the ≤|X|·|Y| cell
+  //     frame. List state is domain-sized, never rows.
+  private val q189 = Q(
+    "q189_mutual_information",
+    "A ✦ stats: lang×source mutual information + marginal entropies + normalized MI",
+    (s, d) => {
+      val c = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      val nx = c.groupBy(col("lang")).agg(sum(col("n")).as("xn"))
+      val ny = c.groupBy(col("source")).agg(sum(col("n")).as("yn"))
+      val tot = c.agg(sum(col("n")).as("nn"))
+      val cells = c.join(broadcast(nx), Seq("lang"))
+        .join(broadcast(ny), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"),
+          ((col("n").cast("double") / col("nn"))
+            * log((col("n").cast("double") * col("nn"))
+              / (col("xn").cast("double") * col("yn")))).as("term"))
+      val hx = nx.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          (negate(col("xn").cast("double") / col("nn"))
+            * log(col("xn").cast("double") / col("nn"))).as("t"))
+        .agg(aggregate(transform(sort_array(
+          collect_list(struct(col("lang"), col("t")))), _.getField("t")),
+          lit(0.0), (a, x) => a + x).as("hx"))
+      val hy = ny.crossJoin(broadcast(tot))
+        .select(col("source"),
+          (negate(col("yn").cast("double") / col("nn"))
+            * log(col("yn").cast("double") / col("nn"))).as("t"))
+        .agg(aggregate(transform(sort_array(
+          collect_list(struct(col("source"), col("t")))), _.getField("t")),
+          lit(0.0), (a, x) => a + x).as("hy"))
+      cells
+        .agg(count(lit(1)).as("n_cells"),
+          aggregate(transform(sort_array(collect_list(
+            struct(col("lang"), col("source"), col("term")))),
+            _.getField("term")), lit(0.0), (a, x) => a + x).as("mi"))
+        .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(col("n_cells"),
+          round(col("mi"), 9).as("mi"),
+          round(col("hx"), 9).as("hx"),
+          round(col("hy"), 9).as("hy"),
+          round(col("mi") / sqrt(col("hx") * col("hy")), 9).as("nmi"))
+    },
+    Some("""WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source),
+    nx AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS xn FROM c GROUP BY lang),
+    ny AS (SELECT source, CAST(SUM(n) AS BIGINT) AS yn FROM c GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+    cells AS (
+      SELECT c.lang, c.source,
+        (CAST(c.n AS DOUBLE) / t.nn)
+          * LN((CAST(c.n AS DOUBLE) * t.nn)
+            / (CAST(nx.xn AS DOUBLE) * ny.yn)) AS term
+      FROM c JOIN nx USING (lang) JOIN ny USING (source), tot t),
+    mi AS (
+      SELECT COUNT(*) AS n_cells,
+        list_sum(list(term ORDER BY lang, source)) AS mi
+      FROM cells),
+    hx AS (
+      SELECT list_sum(list(t ORDER BY lang)) AS hx FROM (
+        SELECT lang, -(CAST(xn AS DOUBLE) / t.nn)
+          * LN(CAST(xn AS DOUBLE) / t.nn) AS t FROM nx, tot t)),
+    hy AS (
+      SELECT list_sum(list(t ORDER BY source)) AS hy FROM (
+        SELECT source, -(CAST(yn AS DOUBLE) / t.nn)
+          * LN(CAST(yn AS DOUBLE) / t.nn) AS t FROM ny, tot t))
+    SELECT n_cells, ROUND(mi, 9) AS mi, ROUND(hx, 9) AS hx,
+      ROUND(hy, 9) AS hy, ROUND(mi / SQRT(hx * hy), 9) AS nmi
+    FROM mi, hx, hy"""))
+
+  // --- q191: MEDIAN ABSOLUTE DEVIATION — the robust dispersion scale
+  //     (MAD, and the 1.4826·MAD consistent σ-estimate) for a
+  //     heavy-tailed money column. Both medians are EXACT lower-medians
+  //     (rank (n+1) div 2 — integer arithmetic, no float ranks) read
+  //     off VALUE HISTOGRAMS, and the second pass never rescans the
+  //     corpus: the DEVIATION histogram derives from the value
+  //     histogram itself (dev = |cents − med|, counts re-grouped) —
+  //     value-domain-sized input, value-domain-sized output. So the
+  //     whole statistic costs ONE corpus aggregate + two
+  //     histogram-sized reductions, the shape that holds at 100 TB
+  //     where a sort-based median (or a rescan for deviations) would
+  //     not. The oracle computes both medians by a DIFFERENT algorithm
+  //     (ROW_NUMBER over raw rows, twice). σ = (mad/100)·1.4826 is one
+  //     shared-literal IEEE chain; fpTrunc presents.
+  private val q191 = Q(
+    "q191_mad",
+    "A9 ✦ robust stats: exact median absolute deviation + consistent sigma via dual histograms",
+    (s, d) => {
+      // two-phase cumulative count over a (value, cnt) histogram: block
+      // partials + tiny offset window + block-local window — q150/q184's
+      // machinery, shared here for both passes so no window frame ever
+      // exceeds the 2^20-unit block span.
+      def cumHist(vc: DataFrame, v: String): DataFrame = {
+        val blocked = vc.withColumn("block", expr(s"$v div 1048576"))
+        val wB = Window.orderBy(col("block"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val off = blocked.groupBy(col("block")).agg(sum(col("cnt")).as("bn"))
+          .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+          .select(col("block"), col("boff"))
+        val wIn = Window.partitionBy(col("block")).orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        blocked.join(broadcast(off), Seq("block"))
+          .withColumn("cumend", col("boff") + sum(col("cnt")).over(wIn))
+          .select(col(v), col("cnt"), col("cumend"))
+      }
+      val vc = Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+        .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      val n = vc.agg(sum(col("cnt")).as("n"))
+      val med = cumHist(vc, "cents")
+        .crossJoin(broadcast(n))
+        .filter(col("cumend") >= expr("(n + 1) div 2"))
+        .agg(min(col("cents")).as("med"))
+      // deviation histogram FROM the value histogram — no corpus rescan
+      val dev = vc.crossJoin(broadcast(med))
+        .select(abs(col("cents") - col("med")).as("dv"), col("cnt"))
+        .groupBy(col("dv")).agg(sum(col("cnt")).as("cnt"))
+      val mad = cumHist(dev, "dv")
+        .crossJoin(broadcast(n))
+        .filter(col("cumend") >= expr("(n + 1) div 2"))
+        .agg(min(col("dv")).as("mad"))
+      n.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+        .select(col("n"), col("med").as("med_cents"),
+          col("mad").as("mad_cents"),
+          fpTrunc((col("mad").cast("double") / 100) * lit(1.4826), 6)
+            .as("sigma_t"))
+    },
+    Some("""WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        AS cents FROM orders),
+    r1 AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+        COUNT(*) OVER () AS n
+      FROM c),
+    med AS (SELECT MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med,
+      CAST(ANY_VALUE(n) AS BIGINT) AS n FROM r1),
+    r2 AS (
+      SELECT ABS(c.cents - m.med) AS dv,
+        ROW_NUMBER() OVER (ORDER BY ABS(c.cents - m.med)) AS rn,
+        m.n
+      FROM c, med m),
+    mad AS (SELECT MIN(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS mad
+      FROM r2)
+    SELECT m.n, m.med AS med_cents, d.mad AS mad_cents,
+      FLOOR(((CAST(d.mad AS DOUBLE) / 100) * 1.4826) * 1e6) / 1e6 AS sigma_t
+    FROM med m, mad d"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
-    q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187)
+    q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
+    q191)
 }

@@ -426,6 +426,65 @@ object Extras extends Q.Module {
     FROM sc GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 10"""))
 
+  // --- q190: FREQUENT-PAIR MINING (A-priori) — market-basket pair
+  //     support + lift over order baskets, the classic distributed
+  //     frequent-itemset shape. The scale design is the A-PRIORI PRUNE:
+  //     only items whose single-item support clears the threshold may
+  //     appear in a pair (downward closure), enforced as a broadcast
+  //     join BEFORE the pair self-join — so pair generation runs on the
+  //     pruned basket stream and its volume is Σ_baskets k'² with k'
+  //     the pruned basket width, not raw width. Pair support is one
+  //     map-combined aggregate; lift = sup·N/(sa·sb) is a single IEEE
+  //     division of exact integer products (fpTrunc presents). The
+  //     top-20 compiles to TakeOrderedAndProject with a deterministic
+  //     (sup desc, pa, pb) tie-break. At 100 TB you'd iterate the same
+  //     prune for triples (A-priori level-wise); the pair level here is
+  //     the canonical one-pass demonstration.
+  private val q190 = Q(
+    "q190_frequent_pairs",
+    "✦ basket mining: A-priori pruned frequent pairs with support + lift, top-20",
+    (s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val freq = op.groupBy(col("p")).agg(count(lit(1)).as("sup1"))
+        .filter(col("sup1") >= 25)
+      val pruned = op.join(broadcast(freq.select(col("p"))), Seq("p"))
+      val pairs = pruned.select(col("o"), col("p").as("pa")).as("a")
+        .join(pruned.select(col("o").as("o2"), col("p").as("pb")).as("b"),
+          col("o") === col("o2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 3)
+      val no = op.agg(count_distinct(col("o")).as("no"))
+      pairs
+        .join(broadcast(freq.select(col("p").as("pa"), col("sup1").as("sa"))),
+          Seq("pa"))
+        .join(broadcast(freq.select(col("p").as("pb"), col("sup1").as("sb"))),
+          Seq("pb"))
+        .crossJoin(broadcast(no))
+        .select(col("pa"), col("pb"), col("sup"), col("sa"), col("sb"),
+          fpTrunc((col("sup") * col("no")).cast("double")
+            / (col("sa") * col("sb")).cast("double"), 9).as("lift_t"))
+        .orderBy(col("sup").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+    Some("""WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    freq AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS sup1 FROM op
+      GROUP BY p HAVING COUNT(*) >= 25),
+    pruned AS (SELECT op.o, op.p FROM op JOIN freq USING (p)),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM pruned a JOIN pruned b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 3),
+    no AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS no FROM op)
+    SELECT pa, pb, sup, fa.sup1 AS sa, fb.sup1 AS sb,
+      FLOOR((CAST(sup * no.no AS DOUBLE)
+        / CAST(fa.sup1 * fb.sup1 AS DOUBLE)) * 1e9) / 1e9 AS lift_t
+    FROM pairs JOIN freq fa ON fa.p = pa JOIN freq fb ON fb.p = pb, no
+    ORDER BY sup DESC, pa, pb LIMIT 20"""))
+
   def defs: Seq[Q] =
-    Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166)
+    Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166, q190)
 }
