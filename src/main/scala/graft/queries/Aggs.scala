@@ -1624,8 +1624,56 @@ object Aggs extends Q.Module {
       FLOOR(((CAST(d.mad AS DOUBLE) / 100) * 1.4826) * 1e6) / 1e6 AS sigma_t
     FROM med m, mad d"""))
 
+  // --- q193: SKETCHED AUDIENCE OVERLAP — |A∩B| for two user segments
+  //     by INCLUSION–EXCLUSION over mergeable HLL sketches:
+  //     |A∩B| ≈ |A| + |B| − |A∪B|, with |A∪B| from the REGISTER-WISE
+  //     UNION of the two segment sketches (q126's mergeable property —
+  //     union is the one set operation HLLs support natively; there is
+  //     no intersection sketch, which is exactly why this identity is
+  //     the standard production answer). At 100 TB each segment sketch
+  //     is built shard-local and merged (q126's path); the exact
+  //     distinct-intersection twin computed alongside costs a real
+  //     corpus shuffle and exists here as the in-result SELF-CHECK
+  //     (`within_tol`: estimate within 10% — generous vs HLL-12's
+  //     ~1.6% σ, so the gate is not flaky). No oracle: sketch
+  //     internals are engine-specific (q24/q126's category).
+  private val q193 = Q(
+    "q193_hll_overlap",
+    "A5 ✦ sketched audience overlap via inclusion-exclusion (no oracle: sketch)",
+    (s, d) => {
+      // Proper-subset segments (plain click∩purchase is degenerate on
+      // this fixture — every user has both): big-ticket purchasers vs
+      // high-value clickers, measured to overlap at ~50-80% of either.
+      val e = Tables.events(s, d)
+      val segA = col("event_type") === "purchase" && col("value") > 100
+      val segB = col("event_type") === "click" && col("value") > 150
+      val sk = e.filter(segA || segB)
+        .select(when(segA, lit("a")).otherwise(lit("b")).as("seg"),
+          col("user_id"))
+        .groupBy(col("seg"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val ests = sk.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"),
+        min(when(col("seg") === "a",
+          expr("hll_sketch_estimate(sk)"))).as("est_a"),
+        min(when(col("seg") === "b",
+          expr("hll_sketch_estimate(sk)"))).as("est_b"))
+      val exact = e.filter(segA).select(col("user_id")).distinct()
+        .join(e.filter(segB).select(col("user_id")).distinct(),
+          Seq("user_id"), "semi")
+        .agg(count(lit(1)).as("exact_overlap"))
+      ests.crossJoin(broadcast(exact))
+        .withColumn("est_overlap",
+          col("est_a") + col("est_b") - col("est_union"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          col("est_overlap"), col("exact_overlap"),
+          (abs(col("est_overlap") - col("exact_overlap"))
+            <= col("exact_overlap") * 0.10).as("within_tol"))
+    },
+    None)
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191)
+    q191, q193)
 }

@@ -1057,7 +1057,52 @@ object Events extends Q.Module {
     FROM pairs p JOIN totals t ON p.prev = t.prev
     ORDER BY p.prev, p.next"""))
 
+  // --- q192: SCD TYPE-2 HISTORY BUILD — turn a changelog into a
+  //     slowly-changing-dimension table with validity intervals: per
+  //     key, each change row becomes a version with [valid_from,
+  //     valid_to) derived from the NEXT change's timestamp (LEAD) and
+  //     an is_current flag on the open interval — the warehouse-side
+  //     complement of q159's CDC snapshot apply (q159 keeps only the
+  //     latest state; this keeps the full history an as-of join like
+  //     q39 can then probe). One key-partitioned window, ordered by
+  //     (µs, event_id) so same-instant changes version
+  //     deterministically; everything else is a codegen'd projection.
+  //     Scale: windows partition by key — thousands of small frames,
+  //     no global sort; the output is changes-sized, not corpus-sized.
+  //     The deterministic user_id < 100 slice bounds the checked
+  //     output; the plan is identical unsliced.
+  private val q192 = Q(
+    "q192_scd2_history",
+    "W4/W6 ✦ warehouse: SCD Type-2 validity intervals from a changelog (LEAD + version numbers)",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 100)
+        .select(col("user_id"), micros.as("us"), col("event_id"),
+          col("value"))
+        .withColumn("ver", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("ver"), col("us").as("valid_from_us"),
+          col("valid_to_us"), col("value"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("ver"))
+    },
+    Some("""WITH ch AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, value
+      FROM events WHERE event_type = 'purchase' AND user_id < 100),
+    v AS (
+      SELECT user_id,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS ver,
+        us AS valid_from_us,
+        LEAD(us, 1) OVER w AS valid_to_us,
+        value
+      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+    SELECT user_id, ver, valid_from_us, valid_to_us, value,
+      valid_to_us IS NULL AS is_current
+    FROM v ORDER BY user_id, ver"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186)
+    q186, q192)
 }
