@@ -747,20 +747,37 @@ object Relational extends Q.Module {
   //     each triangle to all three corners via one explode. deg is
   //     node-sized → broadcast to the orientation join; the global
   //     count rides as a broadcast 1-row frame.
+  /** Blocked co-purchase edge list shared by q182/q194: users who
+    * purchased in the same (epoch-hour, $10 value-band) block, as
+    * distinct canonical (x < y) pairs — pair volume capped per block. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val pe = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("(ts div 1000) div 3600000000").as("h"),
+        floor(col("value") / 10).as("b"), col("user_id").as("u"))
+    pe.as("a")
+      .join(pe.as("p2"),
+        col("a.h") === col("p2.h") && col("a.b") === col("p2.b")
+          && col("a.u") < col("p2.u"))
+      .select(col("a.u").as("x"), col("p2.u").as("y"))
+      .distinct()
+  }
+
+  /** Shared oracle CTE prefix producing the same `pairs` frame. */
+  private val coPurchasePairsSql: String =
+    """pe AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, FLOOR(value / 10) AS b,
+        user_id AS u
+      FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT DISTINCT a.u AS x, p2.u AS y
+      FROM pe a JOIN pe p2 ON a.h = p2.h AND a.b = p2.b AND a.u < p2.u)"""
+
   private val q182 = Q(
     "q182_triangle_count",
     "✦ graph: degree-ordered triangle counting over the blocked co-purchase graph",
     (s, d) => {
-      val pe = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(expr("(ts div 1000) div 3600000000").as("h"),
-          floor(col("value") / 10).as("b"), col("user_id").as("u"))
-      val pairs = pe.as("a")
-        .join(pe.as("p2"),
-          col("a.h") === col("p2.h") && col("a.b") === col("p2.b")
-            && col("a.u") < col("p2.u"))
-        .select(col("a.u").as("x"), col("p2.u").as("y"))
-        .distinct()
+      val pairs = coPurchasePairs(s, d)
       val deg = pairs.select(col("x").as("n"))
         .union(pairs.select(col("y")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
@@ -793,13 +810,7 @@ object Relational extends Q.Module {
         .orderBy(col("triangles").desc, col("user_id"))
         .limit(15)
     },
-    Some("""WITH pe AS (
-      SELECT epoch_us(ts) // 3600000000 AS h, FLOOR(value / 10) AS b,
-        user_id AS u
-      FROM events WHERE event_type = 'purchase'),
-    pairs AS (
-      SELECT DISTINCT a.u AS x, p2.u AS y
-      FROM pe a JOIN pe p2 ON a.h = p2.h AND a.b = p2.b AND a.u < p2.u),
+    Some(s"""WITH $coPurchasePairsSql,
     deg AS (
       SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
       FROM (SELECT x AS n FROM pairs UNION ALL SELECT y FROM pairs)
@@ -823,7 +834,60 @@ object Relational extends Q.Module {
     FROM per_node p JOIN deg ON deg.n = p.n
     ORDER BY p.tri DESC, p.n LIMIT 15"""))
 
+  // --- q194: K-CORE EXTRACTION — the dense-community peel
+  //     (`operators.KCore`: drop degree-<k nodes, re-count, repeat) on
+  //     q182's co-purchase graph, k = 3, 8 fixed rounds (the unrolled-
+  //     oracle trade q167 documents; the operator early-exits on
+  //     convergence, which cannot change the result — peeling past the
+  //     fixpoint is a no-op, asserted by the property suite's true-
+  //     fixpoint replica). All-integer (degrees are counts): no
+  //     quantization machinery needed anywhere. Output: top-20 core
+  //     members by in-core degree + the core size as a broadcast 1-row
+  //     frame. Per round: one map-combined degree aggregate + two
+  //     semi-joins + an eager localCheckpoint (the plan otherwise
+  //     references each generation twice and doubles per round — the
+  //     CC lesson).
+  private val q194 = Q(
+    "q194_kcore",
+    "✦ graph: k-core extraction (iterative peel, operators.KCore) over the co-purchase graph",
+    (s, d) => {
+      val (core, _) = graft.operators.KCore.run(coPurchasePairs(s, d),
+        k = 3, rounds = 8)
+      val size = core.agg(count(lit(1)).as("n_core"))
+      core.crossJoin(broadcast(size))
+        .select(col("node").as("user_id"), col("deg"), col("n_core"))
+        .orderBy(col("deg").desc, col("user_id"))
+        .limit(20)
+    },
+    Some {
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // every round references the previous one three times → 3^8
+      // copies of the base scan (fd exhaustion, observed live).
+      // Materializing each generation is the oracle-side analog of the
+      // Spark side's per-round localCheckpoint.
+      val rounds = (1 to 8).map { i =>
+        s"""k$i AS MATERIALIZED (
+      SELECT n FROM (
+        SELECT n, COUNT(*) AS dg FROM (
+          SELECT x AS n FROM e${i - 1} UNION ALL SELECT y FROM e${i - 1})
+        GROUP BY n) WHERE dg >= 3),
+    e$i AS MATERIALIZED (
+      SELECT e.x, e.y FROM e${i - 1} e
+      JOIN k$i a ON e.x = a.n JOIN k$i b ON e.y = b.n)"""
+      }.mkString(",\n    ")
+      s"""WITH $coPurchasePairsSql,
+    e0 AS MATERIALIZED (SELECT x, y FROM pairs),
+    $rounds,
+    core AS (
+      SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT x AS n FROM e8 UNION ALL SELECT y FROM e8)
+      GROUP BY n)
+    SELECT node AS user_id, deg,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM core) AS n_core
+    FROM core ORDER BY deg DESC, node LIMIT 20"""
+    })
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182)
+    q167, q169, q182, q194)
 }

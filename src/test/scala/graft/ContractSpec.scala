@@ -73,7 +73,7 @@ class ContractSpec extends SparkSuite {
         // CTE names and aliases resolve before tables; only flag unknown
         // refs that are not defined as CTEs in the same statement. A CTE
         // may carry a column list (recursive form: `reach(src, dst) AS (`).
-        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         name -> (refs -- tables -- ctes)
     }.filter(_._2.nonEmpty)

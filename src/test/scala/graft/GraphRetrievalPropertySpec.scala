@@ -206,6 +206,36 @@ class GraphRetrievalPropertySpec extends SparkSuite {
     }
   }
 
+  test("KCore peel to fixpoint == naive JVM replica; survivors all have deg >= k") {
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val rng = new Random(seed * 31)
+      val raw = (0 until 120).map { _ =>
+        val a = rng.nextInt(30); val b = rng.nextInt(30)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val (coreDf, converged) = graft.operators.KCore.run(
+        raw.toDF("x", "y"), k = 3, rounds = 50)
+      assert(converged, s"seed $seed: 50 rounds did not converge on 30 nodes")
+      val got = coreDf.as[(Long, Long)].collect().toMap
+      // naive fixpoint peel
+      var edges = raw
+      var stable = false
+      while (!stable) {
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, g) => (n, g.size.toLong) }
+        val keep = deg.filter(_._2 >= 3).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        stable = next.size == edges.size
+        edges = next
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, g) => (n, g.size.toLong) }
+      assert(got == want, s"seed $seed: core mismatch $got vs $want")
+      got.values.foreach(dg => assert(dg >= 3))
+    }
+  }
+
   // q170 vs a naive JVM miner: same sequential-fold cosine, same
   // (ord, cid) tie-break, same fpTrunc — exact equality per anchor/side.
   test("q170 hard pos/neg mining == naive JVM replica on random embeddings") {
