@@ -1672,8 +1672,145 @@ object Aggs extends Q.Module {
     },
     None)
 
+  // --- q195: TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the distribution-
+  //     drift gate (did URGENT orders' price distribution drift from
+  //     LOW's? same machinery answers "did this week's corpus drift
+  //     from last week's?"). D = max |F₁−F₂| is computed EXACTLY:
+  //     both empirical CDFs live on the shared integer-cents support
+  //     (one histogram with per-side counts, ONE two-phase cumulative
+  //     pass carrying both columns), and the sup-gap is maximized in
+  //     CROSS-MULTIPLIED INTEGER form — max |cum₁·n₂ − cum₂·n₁| — so
+  //     the only float ops are the final D division and the α=0.05
+  //     threshold chain (c·√((n₁+n₂)/(n₁n₂)), IEEE-identical from
+  //     exact integers; the reject boolean compares two identical
+  //     doubles and cannot split engines). The oracle computes the
+  //     same statistic off a plain single-window CDF — the naive shape
+  //     — cross-checking the two-phase decomposition. max|·| over the
+  //     histogram is a map-combined aggregate; nothing here scales
+  //     with rows beyond the first groupBy.
+  private val q195 = Q(
+    "q195_ks_test",
+    "A ✦ drift: exact two-sample KS statistic (integer cross-multiplied sup-gap) + α=.05 gate",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(when(col("o_orderpriority") === "1-URGENT", lit(1L))
+            .otherwise(lit(0L)).as("isa"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val vc = o.groupBy(col("cents"))
+        .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+        .withColumn("block", expr("cents div 1048576"))
+      val wB = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = vc.groupBy(col("block"))
+        .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+        .withColumn("boffa", sum(col("ba")).over(wB) - col("ba"))
+        .withColumn("boffb", sum(col("bb")).over(wB) - col("bb"))
+        .select(col("block"), col("boffa"), col("boffb"))
+      val wIn = Window.partitionBy(col("block")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.join(broadcast(off), Seq("block"))
+        .withColumn("cuma", col("boffa") + sum(col("ca")).over(wIn))
+        .withColumn("cumb", col("boffb") + sum(col("cb")).over(wIn))
+      val tot = vc.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(abs(col("cuma") * col("n2") - col("cumb") * col("n1")))
+          .as("d_num"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          fpTrunc(col("d_num").cast("double")
+            / (col("n1") * col("n2")).cast("double"), 9).as("d_stat"),
+          (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")
+            > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+              / (col("n1") * col("n2")).cast("double"))).as("reject_05"))
+    },
+    Some("""WITH o AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS isa,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    vc AS (
+      SELECT cents, CAST(SUM(isa) AS BIGINT) AS ca,
+        CAST(SUM(1 - isa) AS BIGINT) AS cb
+      FROM o GROUP BY cents),
+    cum AS (
+      SELECT cents, ca, cb,
+        CAST(SUM(ca) OVER (ORDER BY cents) AS BIGINT) AS cuma,
+        CAST(SUM(cb) OVER (ORDER BY cents) AS BIGINT) AS cumb
+      FROM vc),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+      CAST(SUM(cb) AS BIGINT) AS n2 FROM vc),
+    agg AS (
+      SELECT MAX(ABS(cuma * t.n2 - cumb * t.n1)) AS d_num,
+        MIN(t.n1) AS n1, MIN(t.n2) AS n2
+      FROM cum, tot t)
+    SELECT n1, n2, d_num,
+      FLOOR((CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1e9) / 1e9
+        AS d_stat,
+      (CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+        > 1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)))
+        AS reject_05
+    FROM agg"""))
+
+  // --- q196: GROUPED WEIGHTED MEDIAN — the quantity-weighted price
+  //     median per return flag (the "typical unit price paid" readout
+  //     where a 50-unit line must count 50× a 1-unit line). Weighted
+  //     quantiles have no Spark builtin; the exact distributed form is
+  //     q150's histogram machinery with WEIGHT SUMS in place of counts:
+  //     per-(group, value) integer weight totals, a two-phase
+  //     cumulative pass (per-group block offsets + block-local window —
+  //     frames bounded by the 2²⁰-cent block span), and the lower
+  //     weighted median read at threshold (W+1) div 2 — all integer
+  //     arithmetic (quantities are integral). The oracle computes the
+  //     same statistic off plain per-group windows (the naive shape),
+  //     cross-checking the two-phase decomposition like q195.
+  private val q196 = Q(
+    "q196_weighted_median",
+    "A9 ✦ grouped weighted median: per-group weight histograms + two-phase rank",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      val vc = li.groupBy(col("g"), col("cents")).agg(sum(col("w")).as("wt"))
+        .withColumn("block", expr("cents div 1048576"))
+      val wB = Window.partitionBy(col("g")).orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = vc.groupBy(col("g"), col("block"))
+        .agg(sum(col("wt")).as("bw"))
+        .withColumn("boff", sum(col("bw")).over(wB) - col("bw"))
+        .select(col("g"), col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("g"), col("block"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.join(broadcast(off), Seq("g", "block"))
+        .withColumn("cumw", col("boff") + sum(col("wt")).over(wIn))
+      val tot = vc.groupBy(col("g")).agg(sum(col("wt")).as("tw"))
+      cum.join(broadcast(tot), Seq("g"))
+        .filter(col("cumw") >= expr("(tw + 1) div 2"))
+        .groupBy(col("g"))
+        .agg(min(col("cents")).as("wmedian_cents"), min(col("tw")).as("total_w"))
+        .orderBy(col("g"))
+    },
+    Some("""WITH li AS (
+      SELECT l_returnflag AS g,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    vc AS (
+      SELECT g, cents, CAST(SUM(w) AS BIGINT) AS wt
+      FROM li GROUP BY g, cents),
+    cum AS (
+      SELECT g, cents,
+        CAST(SUM(wt) OVER (PARTITION BY g ORDER BY cents) AS BIGINT) AS cumw
+      FROM vc),
+    tot AS (SELECT g, CAST(SUM(wt) AS BIGINT) AS tw FROM vc GROUP BY g)
+    SELECT c.g, MIN(c.cents) AS wmedian_cents, MIN(t.tw) AS total_w
+    FROM cum c JOIN tot t ON c.g = t.g
+    WHERE c.cumw >= (t.tw + 1) // 2
+    GROUP BY c.g ORDER BY c.g"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193)
+    q191, q193, q195, q196)
 }
