@@ -1809,8 +1809,84 @@ object Aggs extends Q.Module {
     WHERE c.cumw >= (t.tw + 1) // 2
     GROUP BY c.g ORDER BY c.g"""))
 
+  // --- q199: PARETO / ABC CLASSIFICATION — the inventory-analytics
+  //     staple: rank parts by revenue, classify A (top ~80% of revenue),
+  //     B (next ~15%), C (tail) off the CUMULATIVE share. Revenue is
+  //     exact integer 1e-4-dollar units (price·(1−disc) carries ≤4
+  //     decimal digits — the dsl decimal rule), and the class boundary
+  //     test is CROSS-MULTIPLIED in DECIMAL(38,0)/HUGEINT —
+  //     cum·100 ≤ total·80 — so no share is ever floated before the
+  //     boolean (the q195 sup-gap idiom; long·100 would overflow near
+  //     ~9e16 total units, well inside 100 TB range). The descending
+  //     cumulative sum is the q196 two-phase decomposition on the
+  //     PART-sized aggregate: block = u div 2^30 (monotone in u, so
+  //     block-desc + in-block u-desc ≡ global u-desc; ties broken by
+  //     partkey inside one block since the block key depends only on u),
+  //     block offsets via a blocks-sized window, in-block windows
+  //     bounded by the $107k revenue span per block. The oracle computes
+  //     the same classification off a single naive global window,
+  //     cross-checking the decomposition. Shape at 100 TB: one
+  //     map-combined lineitem aggregate is the only corpus-scale
+  //     shuffle; everything after runs on the parts frame.
+  private val q199 = Q(
+    "q199_pareto_abc",
+    "✦ A ✦ Pareto/ABC revenue classification: two-phase desc prefix sum + cross-multiplied boundaries",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1) - col("l_discount").cast("decimal(4,2)")) * 10000)
+          .cast("long").as("u"))
+        .withColumn("block", expr("u div 1073741824"))
+      val wB = Window.orderBy(col("block").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = rev.groupBy(col("block")).agg(sum(col("u")).as("bu"))
+        .withColumn("boff", sum(col("bu")).over(wB) - col("bu"))
+        .select(col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("block"))
+        .orderBy(col("u").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = rev.join(broadcast(off), Seq("block"))
+        .withColumn("cum", col("boff") + sum(col("u")).over(wIn))
+      val tot = rev.agg(sum(col("u")).as("tu"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum").cast("decimal(38,0)") * 100
+            <= col("tu").cast("decimal(38,0)") * 80, "A")
+            .when(col("cum").cast("decimal(38,0)") * 100
+              <= col("tu").cast("decimal(38,0)") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("u")).as("rev_units"),
+          min(col("tu")).as("tu"))
+        .select(col("cls"), col("n_parts"), col("rev_units"),
+          fpTrunc(col("rev_units").cast("double") / col("tu").cast("double"),
+            9).as("rev_share"))
+        .orderBy(col("cls"))
+    },
+    Some(s"""WITH r AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000) AS BIGINT) AS u
+      FROM lineitem GROUP BY 1),
+    c AS (SELECT l_partkey, u,
+      CAST(SUM(u) OVER (ORDER BY u DESC, l_partkey) AS BIGINT) AS cum
+      FROM r),
+    t AS (SELECT CAST(SUM(u) AS BIGINT) AS tu FROM r),
+    k AS (SELECT CASE
+        WHEN CAST(cum AS HUGEINT) * 100 <= CAST(t.tu AS HUGEINT) * 80
+          THEN 'A'
+        WHEN CAST(cum AS HUGEINT) * 100 <= CAST(t.tu AS HUGEINT) * 95
+          THEN 'B'
+        ELSE 'C' END AS cls, u, t.tu AS tu FROM c, t)
+    SELECT cls, COUNT(*) AS n_parts, CAST(SUM(u) AS BIGINT) AS rev_units,
+      ${fpTruncSql(
+        "CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE) / CAST(MIN(tu) AS DOUBLE)",
+        9)} AS rev_share
+    FROM k GROUP BY cls ORDER BY cls"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196)
+    q191, q193, q195, q196, q199)
 }

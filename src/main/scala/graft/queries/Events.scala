@@ -1102,7 +1102,87 @@ object Events extends Q.Module {
       valid_to_us IS NULL AS is_current
     FROM v ORDER BY user_id, ver"""))
 
+  // --- q198: POSITION-BASED MULTI-TOUCH ATTRIBUTION — the marketing
+  //     counterpart of q163's last-touch join: every purchase splits ONE
+  //     unit of credit across ALL clicks by the same user in the 30 min
+  //     before it — 40% first touch, 40% last touch, 20% shared by the
+  //     middles (U-shaped attribution). Credit is INTEGER MILLIONTHS,
+  //     never a float share: n=1 → 1,000,000; n=2 → 500,000 each; n≥3 →
+  //     400,000 to each end and `200000 div (n−2)` per middle with the
+  //     remainder distributed +1 to the earliest middles
+  //     (largest-remainder rule) — so each purchase's credit sums to
+  //     exactly 1,000,000 and SUM(credit) is an associative integer
+  //     aggregate with no rounding anywhere (the q167/q172 lesson: never
+  //     sum per-row float fractions you mean to reconcile). Positions
+  //     come from a window PARTITIONED BY purchase id — frames are
+  //     clicks-per-purchase-sized, never data-sized. Shape at 100 TB:
+  //     click×purchase pairing is an equi-join on user_id with a bounded
+  //     30-min time predicate (the q39 as-of family; AQE skew-splits hot
+  //     users), and the hourly readout is a map-combined 24-row
+  //     aggregate. All div/% operands are non-negative (µs since epoch),
+  //     so Spark `div` and DuckDB `//` agree (the q187 sign rule).
+  private val q198 = Q(
+    "q198_multitouch_attribution",
+    "✦ event analytics: U-shaped multi-touch attribution, integer-millionth credits by click hour",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", micros)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"),
+          col("event_id").as("c_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"),
+          col("event_id").as("p_id"))
+      val pairs = clicks.join(buys, Seq("user_id"))
+        .filter(col("c_us") < col("p_us") &&
+          col("c_us") >= col("p_us") - 1800000000L)
+      val wPos = Window.partitionBy(col("p_id"))
+        .orderBy(col("c_us"), col("c_id"))
+      val wAll = Window.partitionBy(col("p_id"))
+      pairs
+        .withColumn("pos", row_number().over(wPos))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("credit",
+          when(col("n") === 1, lit(1000000L))
+            .when(col("n") === 2, lit(500000L))
+            .when(col("pos") === 1 || col("pos") === col("n"), lit(400000L))
+            .otherwise(expr("200000 div (n - 2)")
+              + when(col("pos") - 1 <= expr("200000 % (n - 2)"), lit(1L))
+                .otherwise(lit(0L))))
+        .withColumn("hour", expr("(c_us % 86400000000) div 3600000000"))
+        .groupBy(col("hour"))
+        .agg(sum(col("credit")).as("credit_units"),
+          count(lit(1)).as("n_touches"))
+        .withColumn("attributed_purchases",
+          col("credit_units").cast("double") / 1e6)
+        .orderBy(col("hour"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, event_id,
+        epoch_us(ts) AS us FROM events),
+    c AS (SELECT user_id, us AS c_us, event_id AS c_id FROM e
+      WHERE event_type = 'click'),
+    p AS (SELECT user_id, us AS p_us, event_id AS p_id FROM e
+      WHERE event_type = 'purchase'),
+    pr AS (SELECT c.c_us, c.c_id, p.p_id FROM c JOIN p
+      ON c.user_id = p.user_id
+      WHERE c.c_us < p.p_us AND c.c_us >= p.p_us - 1800000000),
+    rk AS (SELECT c_us, c_id, p_id,
+      ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_us, c_id) AS pos,
+      COUNT(*) OVER (PARTITION BY p_id) AS n FROM pr),
+    cr AS (SELECT c_us,
+      CASE WHEN n = 1 THEN 1000000
+        WHEN n = 2 THEN 500000
+        WHEN pos = 1 OR pos = n THEN 400000
+        ELSE 200000 // (n - 2)
+          + CASE WHEN pos - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+      END AS credit FROM rk)
+    SELECT (c_us % 86400000000) // 3600000000 AS hour,
+      CAST(SUM(credit) AS BIGINT) AS credit_units,
+      COUNT(*) AS n_touches,
+      CAST(CAST(SUM(credit) AS BIGINT) AS DOUBLE) / 1e6
+        AS attributed_purchases
+    FROM cr GROUP BY 1 ORDER BY hour"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186, q192)
+    q186, q192, q198)
 }

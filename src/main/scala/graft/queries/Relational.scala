@@ -887,7 +887,54 @@ object Relational extends Q.Module {
     FROM core ORDER BY deg DESC, node LIMIT 20"""
     })
 
+  // --- q197: MONTHLY COHORT RETENTION MATRIX — the classic growth
+  //     readout: customers are binned into acquisition cohorts by the
+  //     month of their FIRST order; each (cohort, month-offset) cell
+  //     counts how many of that cohort ordered again `off` months later.
+  //     Dask users build this as groupby-min + merge + pivot; here it is
+  //     two hash aggregates and one shuffle join, all integer month
+  //     arithmetic (year·12+month — no date subtraction, no interval
+  //     types, so the two engines cannot disagree on month distance).
+  //     Shape at 100 TB: the cohort frame is CUSTOMER-sized (one row per
+  //     customer after the min-aggregate), so the join back to orders is
+  //     a plain shuffle equi-join on o_custkey that AQE can skew-split;
+  //     the distinct and the matrix aggregate run on (customer×offset)
+  //     rows — bounded by 13·|customers| under the off≤12 cap — and the
+  //     cohort-size frame is months-sized, hence broadcast. retention is
+  //     one double division of two exact integers (engine-identical).
+  private val q197 = Q(
+    "q197_cohort_retention",
+    "✦ growth analytics: monthly acquisition-cohort retention matrix (offsets 0-12)",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+      val act = o.join(cohort, Seq("o_custkey"))
+        .select(col("o_custkey"), col("m0"), (col("m") - col("m0")).as("off"))
+        .filter(col("off") <= 12)
+        .distinct()
+      val size = cohort.groupBy(col("m0")).agg(count(lit(1)).as("cohort_n"))
+      act.groupBy(col("m0"), col("off"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(size), Seq("m0"))
+        .withColumn("retention",
+          col("n_active").cast("double") / col("cohort_n").cast("double"))
+        .orderBy(col("m0"), col("off"))
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+        YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS m FROM orders),
+    c AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1),
+    a AS (SELECT DISTINCT o.o_custkey, c.m0, o.m - c.m0 AS off
+      FROM o JOIN c ON o.o_custkey = c.o_custkey WHERE o.m - c.m0 <= 12),
+    s AS (SELECT m0, COUNT(*) AS cohort_n FROM c GROUP BY 1)
+    SELECT a.m0 AS m0, a.off AS off, COUNT(*) AS n_active,
+      MIN(s.cohort_n) AS cohort_n,
+      CAST(COUNT(*) AS DOUBLE) / CAST(MIN(s.cohort_n) AS DOUBLE) AS retention
+    FROM a JOIN s ON a.m0 = s.m0
+    GROUP BY a.m0, a.off ORDER BY m0, off"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182, q194)
+    q167, q169, q182, q194, q197)
 }
