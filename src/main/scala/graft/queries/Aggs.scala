@@ -1885,8 +1885,57 @@ object Aggs extends Q.Module {
         9)} AS rev_share
     FROM k GROUP BY cls ORDER BY cls"""))
 
+  // --- q202: GINI COEFFICIENT of customer spend — the inequality /
+  //     concentration readout (how skewed is revenue across the customer
+  //     base; the same statistic audits token-count concentration across
+  //     training sources). G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over spend
+  //     sorted ascending. The global rank i is NOT a global window: it
+  //     is the q135/q164 two-phase rank — COUNT offsets per 2²⁰-cent
+  //     block (blocks-sized window) + in-block row_number bounded by the
+  //     block span, ties broken (x, custkey) inside one block since the
+  //     block key depends only on x. Every aggregate is an exact long
+  //     (2·Σi·x ≈ 6e15 at sf0.1 — inside both long range and double-
+  //     exact 2^53; a 100 TB deployment promotes Σi·x to DECIMAL(38,0));
+  //     the Gini itself is ONE double division of two exact integers.
+  //     The oracle ranks with a naive global ROW_NUMBER, cross-checking
+  //     the decomposition.
+  private val q202 = Q(
+    "q202_gini",
+    "✦ A ✦ Gini coefficient of customer spend: two-phase global rank, exact integer Σi·x",
+    (s, d) => {
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("x"))
+        .withColumn("block", expr("x div 1048576"))
+      val wB = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = spend.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+        .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+        .select(col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("block"))
+        .orderBy(col("x"), col("o_custkey"))
+      val ranked = spend.join(broadcast(off), Seq("block"))
+        .withColumn("i", col("boff") + row_number().over(wIn))
+      ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("n"), col("sx").as("total_cents"),
+          ((lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx"))
+            .cast("double")
+            / (col("n") * col("sx")).cast("double")).as("gini"))
+    },
+    Some("""WITH s AS (SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM s),
+    a AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(i * x) AS BIGINT) AS six FROM r)
+    SELECT n, sx AS total_cents,
+      CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+        AS gini
+    FROM a"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199)
+    q191, q193, q195, q196, q199, q202)
 }

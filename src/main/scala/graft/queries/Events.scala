@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.dsl._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1182,7 +1183,150 @@ object Events extends Q.Module {
         AS attributed_purchases
     FROM cr GROUP BY 1 ORDER BY hour"""))
 
+  // --- q200: LAG-k AUTOCORRELATION of the daily-total series per
+  //     event_type — the time-series diagnostic behind seasonality and
+  //     drift alarms (is today's volume predicted by yesterday's?).
+  //     Daily totals are exact integer cents (the dsl decimal rule), the
+  //     lag pairing is ONE window pass per series (partitioned by
+  //     event_type, frames days-sized — never event-sized), and both
+  //     lag-1 and lag-2 Pearson r come from EXACT integer moment sums
+  //     (n·Σxy−ΣxΣy over the paired rows) with null-guarded when()
+  //     filters, so the only float ops are the final cast/sqrt/divide
+  //     chain on identical longs — engine-identical (int64→double is
+  //     round-to-nearest in both engines even past 2^53). Long bounds:
+  //     n·Σx² ≈ 4e17 at sf0.1, an order below overflow; a 100 TB
+  //     deployment promotes the moment sums to DECIMAL(38,0) (the q174
+  //     mergeable-partials idiom). Degenerate series (zero variance)
+  //     yield NULL via the d>0 guard, not an engine-dependent NaN/Inf.
+  private val q200 = Q(
+    "q200_autocorrelation",
+    "✦ time series: lag-1/lag-2 autocorrelation of daily totals per event_type, exact integer moments",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = daily
+        .withColumn("y1", lag(col("x"), 1).over(w))
+        .withColumn("y2", lag(col("x"), 2).over(w))
+      def mom(y: Column, sfx: String) = Seq(
+        sum(when(y.isNotNull, lit(1L))).as(s"n$sfx"),
+        sum(when(y.isNotNull, col("x"))).as(s"sx$sfx"),
+        sum(when(y.isNotNull, y)).as(s"sy$sfx"),
+        sum(when(y.isNotNull, col("x") * y)).as(s"sxy$sfx"),
+        sum(when(y.isNotNull, col("x") * col("x"))).as(s"sxx$sfx"),
+        sum(when(y.isNotNull, y * y)).as(s"syy$sfx"))
+      val aggs = count(lit(1)).as("n_days") +:
+        (mom(col("y1"), "1") ++ mom(col("y2"), "2"))
+      def r(sfx: String) = {
+        val (n, sx, sy) = (col(s"n$sfx"), col(s"sx$sfx"), col(s"sy$sfx"))
+        val num = (n * col(s"sxy$sfx") - sx * sy).cast("double")
+        val d1 = (n * col(s"sxx$sfx") - sx * sx).cast("double")
+        val d2 = (n * col(s"syy$sfx") - sy * sy).cast("double")
+        when(d1 > 0 && d2 > 0, fpTrunc(num / sqrt(d1 * d2), 9))
+      }
+      lagged.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+        .select(col("event_type"), col("n_days"),
+          r("1").as("r1"), r("2").as("r2"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, x,
+        LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+        LAG(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS y2
+      FROM daily),
+    m AS (
+      SELECT event_type, COUNT(*) AS n_days,
+        CAST(SUM(CASE WHEN y1 IS NOT NULL THEN 1 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x END) AS BIGINT) AS sx1,
+        CAST(SUM(y1) AS BIGINT) AS sy1,
+        CAST(SUM(x * y1) AS BIGINT) AS sxy1,
+        CAST(SUM(CASE WHEN y1 IS NOT NULL THEN x * x END) AS BIGINT) AS sxx1,
+        CAST(SUM(y1 * y1) AS BIGINT) AS syy1,
+        CAST(SUM(CASE WHEN y2 IS NOT NULL THEN 1 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN y2 IS NOT NULL THEN x END) AS BIGINT) AS sx2,
+        CAST(SUM(y2) AS BIGINT) AS sy2,
+        CAST(SUM(x * y2) AS BIGINT) AS sxy2,
+        CAST(SUM(CASE WHEN y2 IS NOT NULL THEN x * x END) AS BIGINT) AS sxx2,
+        CAST(SUM(y2 * y2) AS BIGINT) AS syy2
+      FROM l GROUP BY event_type)
+    SELECT event_type, n_days,
+      CASE WHEN n1 * sxx1 - sx1 * sx1 > 0 AND n1 * syy1 - sy1 * sy1 > 0
+        THEN ${fpTruncSql(
+          "CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE) / SQRT(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) * CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE))",
+          9)} END AS r1,
+      CASE WHEN n2 * sxx2 - sx2 * sx2 > 0 AND n2 * syy2 - sy2 * sy2 > 0
+        THEN ${fpTruncSql(
+          "CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE) / SQRT(CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) * CAST(n2 * syy2 - sy2 * sy2 AS DOUBLE))",
+          9)} END AS r2
+    FROM m ORDER BY event_type"""))
+
+  // --- q201: SWEEP-LINE MAX CONCURRENCY — how many 5-minute activity
+  //     intervals overlap at the busiest instant, per event_type (the
+  //     capacity-planning / peak-load readout; same machinery answers
+  //     "max simultaneous sessions"). The classic sweep: every interval
+  //     emits a +1 boundary at its start and a −1 at its end, the
+  //     running sum over time order IS the concurrency, and its MAX is
+  //     the answer. Determinism under ties: boundaries sort by
+  //     (t, delta) so ends close before starts open (touching intervals
+  //     never count as overlap), and rows tied on BOTH keys carry
+  //     identical deltas, so every permutation yields the same partial-
+  //     sum set — no tiebreaker column needed. The running sum is the
+  //     q195/q196 two-phase decomposition, blocked by hour — block
+  //     offsets are an hours-sized window, in-block windows bounded by
+  //     the hour's boundary count — so no (event_type)-partitioned
+  //     window ever holds a full series (at 100 TB a single event_type
+  //     partition would be the whole table). The oracle computes the
+  //     same max off the naive single-window running sum.
+  private val q201 = Q(
+    "q201_max_concurrency",
+    "✦ event analytics: sweep-line max concurrent 5-min intervals per event_type (two-phase running sum)",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), micros.as("us"))
+      val bounds = ev.select(col("event_type"), col("us").as("t"),
+          lit(1L).as("delta"))
+        .unionAll(ev.select(col("event_type"),
+          (col("us") + 300000000L).as("t"), lit(-1L).as("delta")))
+        .withColumn("block", expr("t div 3600000000"))
+      val wB = Window.partitionBy(col("event_type")).orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = bounds.groupBy(col("event_type"), col("block"))
+        .agg(sum(col("delta")).as("bd"))
+        .withColumn("boff", sum(col("bd")).over(wB) - col("bd"))
+        .select(col("event_type"), col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("event_type"), col("block"))
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = bounds.join(broadcast(off), Seq("event_type", "block"))
+        .withColumn("cc", col("boff") + sum(col("delta")).over(wIn))
+      val base = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+      run.groupBy(col("event_type")).agg(max(col("cc")).as("max_concurrent"))
+        .join(broadcast(base), Seq("event_type"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    b AS (
+      SELECT event_type, us AS t, 1 AS delta FROM e
+      UNION ALL
+      SELECT event_type, us + 300000000, -1 FROM e),
+    r AS (SELECT event_type,
+      SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM b),
+    n AS (SELECT event_type, COUNT(*) AS n_events FROM e GROUP BY 1)
+    SELECT r.event_type AS event_type,
+      CAST(MAX(r.cc) AS BIGINT) AS max_concurrent,
+      MIN(n.n_events) AS n_events
+    FROM r JOIN n ON r.event_type = n.event_type
+    GROUP BY 1 ORDER BY event_type"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186, q192, q198)
+    q186, q192, q198, q200, q201)
 }
