@@ -1934,8 +1934,70 @@ object Aggs extends Q.Module {
         AS gini
     FROM a"""))
 
+  // --- q205: COUNT-MIN SKETCH HEAVY HITTERS — the streaming frequency
+  //     sketch beside the HLL (q24/q126/q193) and quantile (q181)
+  //     families: a 4×1024 integer counter matrix answers "how often did
+  //     item x appear" within ε·N overcount, in O(w·d) space per shard,
+  //     mergeable by element-wise sum (kappa re-aggregation). Unlike
+  //     engine HLL the whole sketch is DETERMINISTIC here — rows are
+  //     hashed with dsl.hashMod2 (seeded per depth row by +r·1000003) —
+  //     so the ORACLE REBUILDS THE IDENTICAL SKETCH in DuckDB from the
+  //     shared hash builder: full hash-match gate, not a rows-only
+  //     check (what q126 could not have). The estimate for the exact
+  //     top-10 parts is min over the 4 probed counters; `overcount ≥ 0`
+  //     surfaces the one-sided CMS error in-result. Shape at 100 TB:
+  //     the sketch build is one map-combined groupBy onto d·w = 4096
+  //     cells regardless of corpus size; probes are a broadcast join
+  //     against those cells.
+  private val q205 = Q(
+    "q205_cms_heavy_hitters",
+    "A5 ✦ count-min sketch heavy hitters: deterministic seeded hashes, oracle rebuilds the sketch",
+    (s, d) => {
+      val depth = 4
+      val width = 1024L
+      val stream = Tables.lineitem(s, d).select(col("l_partkey").as("item"))
+      val rs = array((0 until depth).map(r => lit(r.toLong)): _*)
+      val cms = stream.withColumn("r", explode(rs))
+        .withColumn("bucket",
+          hashMod2(col("item") + col("r") * lit(1000003L), lit(width)))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val exact = stream.groupBy(col("item")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("item")).limit(10)
+      val n = stream.agg(count(lit(1)).as("n_stream"))
+      exact.withColumn("r", explode(rs))
+        .withColumn("bucket",
+          hashMod2(col("item") + col("r") * lit(1000003L), lit(width)))
+        .join(broadcast(cms), Seq("r", "bucket"))
+        .groupBy(col("item"), col("exact_n")).agg(min(col("c")).as("cms_est"))
+        .crossJoin(broadcast(n))
+        .select(col("item"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"), col("n_stream"))
+        .orderBy(col("exact_n").desc, col("item"))
+    },
+    Some(s"""WITH st AS (SELECT l_partkey AS item FROM lineitem),
+    rs AS (SELECT CAST(r AS BIGINT) AS r
+      FROM (VALUES (0), (1), (2), (3)) t(r)),
+    cms AS (SELECT r,
+        ${hashMod2Sql("(item + r * 1000003)", "1024")} AS bucket,
+        COUNT(*) AS c
+      FROM st CROSS JOIN rs GROUP BY 1, 2),
+    ex AS (SELECT item, COUNT(*) AS exact_n FROM st GROUP BY 1
+      ORDER BY exact_n DESC, item LIMIT 10),
+    pr AS (SELECT ex.item, ex.exact_n, rs.r,
+        ${hashMod2Sql("(ex.item + rs.r * 1000003)", "1024")} AS bucket
+      FROM ex CROSS JOIN rs),
+    est AS (SELECT pr.item, pr.exact_n,
+        CAST(MIN(cms.c) AS BIGINT) AS cms_est
+      FROM pr JOIN cms ON pr.r = cms.r AND pr.bucket = cms.bucket
+      GROUP BY 1, 2),
+    n AS (SELECT COUNT(*) AS n_stream FROM st)
+    SELECT est.item AS item, est.exact_n AS exact_n, est.cms_est AS cms_est,
+      CAST(est.cms_est - est.exact_n AS BIGINT) AS overcount,
+      n.n_stream AS n_stream
+    FROM est, n ORDER BY exact_n DESC, item"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202)
+    q191, q193, q195, q196, q199, q202, q205)
 }

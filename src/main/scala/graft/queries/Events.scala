@@ -1326,7 +1326,128 @@ object Events extends Q.Module {
     FROM r JOIN n ON r.event_type = n.event_type
     GROUP BY 1 ORDER BY event_type"""))
 
+  // --- q203: EXACT AUDIENCE JACCARD MATRIX — the exact twin of q193's
+  //     HLL overlap, for ALL event_type pairs at once: how similar are
+  //     any two behaviors' user bases (the audience-targeting overlap
+  //     matrix; same shape audits training-split user leakage). ONE
+  //     corpus-scale distinct (user, type) pass; the intersection join
+  //     is keyed on user_id where each user carries ≤|types| rows, so
+  //     pair volume per user is C(|types|,2) — bounded by the type
+  //     vocabulary, never by events (the posting-list bound of q47).
+  //     Zero-overlap pairs are kept by generating the pair universe
+  //     from the types-sized size frame (broadcast theta join on
+  //     ta < tb) and left-joining the observed intersections. Jaccard
+  //     is one double division of exact integers.
+  private val q203 = Q(
+    "q203_jaccard_matrix",
+    "✦ set analytics: exact pairwise audience Jaccard matrix (user-keyed intersection counting)",
+    (s, d) => {
+      val a = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = a.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+      val inter = a.select(col("event_type").as("ta"), col("user_id"))
+        .join(a.select(col("event_type").as("tb"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_inter"))
+      val univ = sizes.select(col("event_type").as("ta"), col("nt").as("n_a"))
+        .join(broadcast(sizes.select(col("event_type").as("tb"),
+          col("nt").as("n_b"))), col("ta") < col("tb"))
+      univ.join(inter, Seq("ta", "tb"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("jaccard", col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .orderBy(col("ta"), col("tb"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    s AS (SELECT event_type, COUNT(*) AS nt FROM a GROUP BY 1),
+    i AS (SELECT x.event_type AS ta, y.event_type AS tb,
+        COUNT(*) AS n_inter
+      FROM a x JOIN a y ON x.user_id = y.user_id
+        AND x.event_type < y.event_type
+      GROUP BY 1, 2),
+    u AS (SELECT x.event_type AS ta, x.nt AS n_a,
+        y.event_type AS tb, y.nt AS n_b
+      FROM s x JOIN s y ON x.event_type < y.event_type)
+    SELECT u.ta AS ta, u.tb AS tb, u.n_a AS n_a, u.n_b AS n_b,
+      COALESCE(i.n_inter, 0) AS n_inter,
+      CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / CAST(u.n_a + u.n_b - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+    FROM u LEFT JOIN i ON u.ta = i.ta AND u.tb = i.tb
+    ORDER BY ta, tb"""))
+
+  // --- q204: CUSUM CHANGE-POINT DETECTION — where did the daily-volume
+  //     series shift level, per event_type (the pipeline-drift alarm:
+  //     "which day did this source's volume regime change"). The CUSUM
+  //     deviation at day k is cum_k − k·(S/n); floating the mean there
+  //     would poison every partial sum, so it is CROSS-MULTIPLIED to
+  //     exact integers — dev_k = n·cum_k − k·S (the q195 idiom; bounds
+  //     ~1e12 at sf0.1, far inside long) — and the change point is
+  //     argmax |dev_k| with a deterministic (|dev| desc, day asc)
+  //     row_number tiebreak. Windows are partitioned per event_type and
+  //     days-sized (the q200 series shape, never event-sized). The
+  //     before/after mean readout is two double divisions of exact
+  //     integers. The oracle repeats the same arithmetic off plain SQL
+  //     windows.
+  private val q204 = Q(
+    "q204_cusum_changepoint",
+    "✦ time series: CUSUM change-point per event_type (cross-multiplied integer deviations)",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("x"))
+      val wD = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val cum = daily
+        .withColumn("k", row_number().over(wD).cast("long"))
+        .withColumn("cum", sum(col("x")).over(
+          wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("stot"), count(lit(1)).as("n_days"))
+      val dev = cum.join(broadcast(tot), Seq("event_type"))
+        .withColumn("dev", col("n_days") * col("cum") - col("k") * col("stot"))
+        .withColumn("adev", abs(col("dev")))
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(col("adev").desc, col("day"))
+      dev.withColumn("pos", row_number().over(wPick))
+        .filter(col("pos") === 1)
+        .select(col("event_type"), col("n_days"), col("day").as("cp_day"),
+          col("adev").as("dev_abs"),
+          (col("cum").cast("double") / col("k").cast("double"))
+            .as("mean_before_cents"),
+          when(col("n_days") > col("k"),
+            (col("stot") - col("cum")).cast("double")
+              / (col("n_days") - col("k")).cast("double"))
+            .as("mean_after_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT event_type, day, x,
+        CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+          AS BIGINT) AS k,
+        CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+      FROM daily),
+    t AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS stot,
+        COUNT(*) AS n_days FROM daily GROUP BY 1),
+    dv AS (SELECT c.event_type, c.day, c.k, c.cum, t.stot, t.n_days,
+        ABS(t.n_days * c.cum - c.k * t.stot) AS adev
+      FROM c JOIN t ON c.event_type = t.event_type),
+    p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        ORDER BY adev DESC, day) AS pos FROM dv)
+    SELECT event_type, n_days, day AS cp_day, adev AS dev_abs,
+      CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS mean_before_cents,
+      CASE WHEN n_days > k THEN
+        CAST(stot - cum AS DOUBLE) / CAST(n_days - k AS DOUBLE)
+      END AS mean_after_cents
+    FROM p WHERE pos = 1 ORDER BY event_type"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186, q192, q198, q200, q201)
+    q186, q192, q198, q200, q201, q203, q204)
 }
