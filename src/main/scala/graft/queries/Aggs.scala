@@ -1996,8 +1996,67 @@ object Aggs extends Q.Module {
       n.n_stream AS n_stream
     FROM est, n ORDER BY exact_n DESC, item"""))
 
+  // --- q207: ORDER→SHIP LAG PERCENTILES PER PRIORITY — the SLA readout
+  //     (how long until goods ship, p50/p90/p99 by priority class) and
+  //     the one quantile query here whose INPUT is a fact-fact join:
+  //     lineitem⋈orders on the order key, the canonical corpus-scale
+  //     shuffle join that AQE plans (and can skew-split) — no dimension
+  //     broadcast shortcut exists. Lags are exact integer DAYS (both
+  //     engines difference date-valued timestamps exactly), so the
+  //     distribution collapses to a per-priority value histogram ~100
+  //     values wide — the cumulative window runs on that tiny frame with
+  //     no block decomposition needed (unlike q150's cent-grained
+  //     support). Ranks use the round-10 integer ceil-division rule
+  //     ((p·n+99) div 100 — never a double CEIL, the r10 ledger trap).
+  //     The oracle reads the same ranks off a naive ROW_NUMBER over raw
+  //     rows, cross-checking the histogram path.
+  private val q207 = Q(
+    "q207_ship_lag_percentiles",
+    "A9 ✦ order→ship lag p50/p90/p99 per priority: fact-fact equi-join + histogram rank",
+    (s, d) => {
+      val lag = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lag"))
+      val vc = lag.groupBy(col("pri"), col("lag")).agg(count(lit(1)).as("c"))
+      val wC = Window.partitionBy(col("pri")).orderBy(col("lag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.withColumn("cum", sum(col("c")).over(wC))
+      val tot = vc.groupBy(col("pri")).agg(sum(col("c")).as("n"))
+      val j = cum.join(broadcast(tot), Seq("pri"))
+      def pick(p: Int, name: String) =
+        j.filter(col("cum") >= expr(s"($p * n + 99) div 100"))
+          .groupBy(col("pri")).agg(min(col("lag")).as(name))
+      pick(50, "p50").join(pick(90, "p90"), Seq("pri"))
+        .join(pick(99, "p99"), Seq("pri"))
+        .join(broadcast(tot), Seq("pri"))
+        .orderBy(col("pri"))
+    },
+    Some("""WITH l AS (
+      SELECT o.o_orderpriority AS pri,
+        CAST(date_diff('day', o.o_orderdate, li.l_shipdate) AS BIGINT)
+          AS lag
+      FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+    r AS (SELECT pri, lag,
+        ROW_NUMBER() OVER (PARTITION BY pri ORDER BY lag) AS rn,
+        COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM l)
+    SELECT pri,
+      CAST(MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN lag END)
+        AS BIGINT) AS p50,
+      CAST(MIN(CASE WHEN rn = (90 * n + 99) // 100 THEN lag END)
+        AS BIGINT) AS p90,
+      CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN lag END)
+        AS BIGINT) AS p99,
+      MIN(n) AS n
+    FROM r GROUP BY pri ORDER BY pri"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202, q205)
+    q191, q193, q195, q196, q199, q202, q205, q207)
 }

@@ -751,6 +751,66 @@ object Windows extends Q.Module {
     FROM m ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
       l_quantity, l_extendedprice"""))
 
+  // --- q206: ROLLING Z-SCORE ANOMALY DAYS — the pointwise-outlier
+  //     complement of q204's level-shift CUSUM: flag days whose total is
+  //     >2 trailing-7-day standard deviations from the trailing mean.
+  //     Floating μ/σ per frame would make the flag engine-dependent near
+  //     the threshold, so the test |x−μ| > 2σ is CROSS-MULTIPLIED to
+  //     exact integers: with S=Σ₇x, SS=Σ₇x² (integer-cent window sums),
+  //     flag ⟺ 3·(7x−S)² > 14·(7·SS−S²) — algebra: (x−S/7)² > 4·(7SS−S²)/(7·6)
+  //     scaled by 147. Bounds ≈3e17 at sf0.1 (inside long; DECIMAL at
+  //     larger SF). The presented z uses the same exact integers through
+  //     one sqrt/divide chain + fpTrunc. Windows are 7-row frames per
+  //     event_type on the days-sized series (the q200 shape); rows
+  //     without a full 7-day history are not scored (cnt=7 guard), the
+  //     pandas min_periods contract. Output: the flagged days only —
+  //     the alarm feed, not the whole series.
+  private val q206 = Q(
+    "q206_rolling_zscore_anomaly",
+    "W2 ✦ rolling 7-day z-score anomaly days (cross-multiplied integer threshold, exact window moments)",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("x"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("s7", sum(col("x")).over(w7))
+        .withColumn("ss7", sum(col("x") * col("x")).over(w7))
+        .withColumn("cnt", count(lit(1)).over(w7))
+        .filter(col("cnt") === 7)
+        .withColumn("dev", lit(7L) * col("x") - col("s7"))
+        .withColumn("varn", lit(7L) * col("ss7") - col("s7") * col("s7"))
+        .filter(lit(3L) * col("dev") * col("dev") > lit(14L) * col("varn"))
+        .select(col("event_type"), col("day"), col("x").as("cents"),
+          fpTrunc(col("dev").cast("double")
+            / sqrt(col("varn").cast("double") * lit(7.0) / lit(6.0)), 9)
+            .as("z"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, x,
+        CAST(SUM(x) OVER w AS BIGINT) AS s7,
+        CAST(SUM(x * x) OVER w AS BIGINT) AS ss7,
+        COUNT(*) OVER w AS cnt
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    f AS (SELECT event_type, day, x, 7 * x - s7 AS dev,
+        7 * ss7 - s7 * s7 AS varn
+      FROM r WHERE cnt = 7)
+    SELECT event_type, day, x AS cents,
+      ${fpTruncSql(
+        "CAST(dev AS DOUBLE) / SQRT(CAST(varn AS DOUBLE) * 7.0 / 6.0)", 9)} AS z
+    FROM f WHERE 3 * dev * dev > 14 * varn
+    ORDER BY event_type, day"""))
+
   def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105, q120,
-    q142, q145, q147, q151)
+    q142, q145, q147, q151, q206)
 }
