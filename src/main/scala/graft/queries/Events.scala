@@ -1447,7 +1447,50 @@ object Events extends Q.Module {
       END AS mean_after_cents
     FROM p WHERE pos = 1 ORDER BY event_type"""))
 
+  // --- q208: ROLLING 7-DAY DISTINCT USERS (DAU/WAU/stickiness) — the
+  //     engagement dashboard's rolling-distinct problem: distinct counts
+  //     do NOT decompose over sliding windows (yesterday's WAU cannot be
+  //     updated incrementally from a sum), so the exact distributed form
+  //     COVERS each (user, day) activity fact onto the 7 window ends it
+  //     participates in (explode of a 7-element literal array — bounded
+  //     7× expansion of the users×days frame, NOT of raw events) and
+  //     distinct-counts per window end. One corpus-scale distinct; all
+  //     downstream frames are users×days-sized. Days with no activity
+  //     never appear as window ends (inner join against the DAU frame) —
+  //     identical semantics on both engines. Stickiness is one double
+  //     division of exact integers.
+  private val q208 = Q(
+    "q208_rolling_distinct_wau",
+    "✦ engagement: exact rolling 7-day distinct users per day + DAU/WAU stickiness",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val dau = act.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
+      val offs = array((0 until 7).map(o => lit(o.toLong)): _*)
+      val wau = act.withColumn("o", explode(offs))
+        .select(col("user_id"), (col("day") + col("o")).as("cday"))
+        .distinct()
+        .groupBy(col("cday")).agg(count(lit(1)).as("n_wau"))
+      dau.join(wau, col("day") === col("cday"))
+        .select(col("day"), col("n_dau"), col("n_wau"),
+          (col("n_dau").cast("double") / col("n_wau").cast("double"))
+            .as("stickiness"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+        epoch_us(ts) // 86400000000 AS day FROM events),
+    d AS (SELECT day, COUNT(*) AS n_dau FROM a GROUP BY 1),
+    off AS (SELECT CAST(o AS BIGINT) AS o
+      FROM (VALUES (0), (1), (2), (3), (4), (5), (6)) t(o)),
+    w AS (SELECT cday, COUNT(*) AS n_wau FROM (
+        SELECT DISTINCT a.user_id, a.day + off.o AS cday
+        FROM a CROSS JOIN off) GROUP BY 1)
+    SELECT d.day AS day, d.n_dau AS n_dau, w.n_wau AS n_wau,
+      CAST(d.n_dau AS DOUBLE) / CAST(w.n_wau AS DOUBLE) AS stickiness
+    FROM d JOIN w ON d.day = w.cday ORDER BY day"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186, q192, q198, q200, q201, q203, q204)
+    q186, q192, q198, q200, q201, q203, q204, q208)
 }

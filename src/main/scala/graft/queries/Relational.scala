@@ -934,7 +934,62 @@ object Relational extends Q.Module {
     FROM a JOIN s ON a.m0 = s.m0
     GROUP BY a.m0, a.off ORDER BY m0, off"""))
 
+  // --- q209: RATIO-TO-REPORT REVENUE SHARES — the BI staple "each
+  //     nation's revenue as a share of its region and of the world".
+  //     The share denominators are NOT windows over the data: revenue
+  //     collapses to a NATION-sized frame first (one orders⋈customer
+  //     shuffle join — customer is too big to broadcast at 100 TB, AQE
+  //     handles skew — then a map-combined cents aggregate), and the
+  //     region/grand totals are aggregate-sized frames joined back by
+  //     broadcast (grand total via the 1-row crossJoin pattern). Both
+  //     shares are double divisions of exact integer cents.
+  private val q209 = Q(
+    "q209_ratio_to_report",
+    "✦ BI: nation revenue share-of-region and share-of-total (broadcast aggregate denominators)",
+    (s, d) => {
+      val rev = Tables.orders(s, d).select(col("o_custkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("c"))
+        .join(Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey")).agg(sum(col("c")).as("cents"))
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"),
+          col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).select(col("r_regionkey"),
+          col("r_name"))), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("nation"), col("r_name").as("region"),
+          col("cents"))
+      val regTot = rev.groupBy(col("region")).agg(sum(col("cents")).as("rc"))
+      val tot = rev.agg(sum(col("cents")).as("tc"))
+      rev.join(broadcast(regTot), Seq("region"))
+        .crossJoin(broadcast(tot))
+        .select(col("nation"), col("region"), col("cents"),
+          (col("cents").cast("double") / col("rc").cast("double"))
+            .as("share_region"),
+          (col("cents").cast("double") / col("tc").cast("double"))
+            .as("share_total"))
+        .orderBy(col("region"), col("nation"))
+    },
+    Some("""WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    rt AS (SELECT region, CAST(SUM(cents) AS BIGINT) AS rc
+      FROM rev GROUP BY 1),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM rev)
+    SELECT rev.nation AS nation, rev.region AS region, rev.cents AS cents,
+      CAST(rev.cents AS DOUBLE) / CAST(rt.rc AS DOUBLE) AS share_region,
+      CAST(rev.cents AS DOUBLE) / CAST(t.tc AS DOUBLE) AS share_total
+    FROM rev JOIN rt ON rev.region = rt.region CROSS JOIN t
+    ORDER BY region, nation"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182, q194, q197)
+    q167, q169, q182, q194, q197, q209)
 }

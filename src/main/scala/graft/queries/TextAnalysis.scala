@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.dsl.{fpTrunc, hashMod}
+import graft.dsl.{fpTrunc, fpTruncSql, hashMod}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1414,8 +1414,70 @@ object TextAnalysis extends Q.Module {
       CAST(hits[1] - 1 AS BIGINT) AS first_pos
     FROM m WHERE len(hits) > 0 ORDER BY doc_id"""))
 
+  // --- q210: INTER-SOURCE CORPUS SIMILARITY — cosine between sources'
+  //     term-frequency distributions, the mixture-design audit ("are
+  //     these two crawls near-duplicates of each other at the corpus
+  //     level?"; feeds q176's mixture solver). The vector space is the
+  //     GLOBAL top-500 terms (TakeOrderedAndProject with a (count desc,
+  //     term) deterministic tiebreak — a fixed-width vocabulary, so the
+  //     per-source vectors are bounded regardless of corpus size), the
+  //     dot products come from a term equi-join on the pruned
+  //     sources×terms frame (pair volume ≤ |sources|²·500 — the q188
+  //     centroid idiom on text), and every sum is an exact integer
+  //     count product; only the final sqrt/divide chain is float, under
+  //     fpTrunc. One corpus-scale tokenize+groupBy; everything after is
+  //     vocabulary-sized.
+  private val q210 = Q(
+    "q210_corpus_similarity",
+    "✦ text: pairwise source-distribution cosine over the global top-500 term space",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      val top = tf.groupBy(col("term")).agg(sum(col("c")).as("tc"))
+        .orderBy(col("tc").desc, col("term")).limit(500)
+      val v = tf.join(broadcast(top.select(col("term"))), Seq("term"))
+      val norms = v.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("nn"))
+      v.select(col("term"), col("source").as("sa"), col("c").as("ca"))
+        .join(v.select(col("term"), col("source").as("sb"),
+          col("c").as("cb")), Seq("term"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+        .join(broadcast(norms.select(col("source").as("sa"),
+          col("nn").as("na"))), Seq("sa"))
+        .join(broadcast(norms.select(col("source").as("sb"),
+          col("nn").as("nb"))), Seq("sb"))
+        .select(col("sa"), col("sb"), col("dot"),
+          fpTrunc(col("dot").cast("double")
+            / sqrt(col("na").cast("double") * col("nb").cast("double")), 9)
+            .as("cosine"))
+        .orderBy(col("sa"), col("sb"))
+    },
+    Some(s"""WITH tf AS (SELECT source, term, COUNT(*) AS c FROM
+      (SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents) GROUP BY 1, 2),
+    top AS (SELECT term FROM (
+      SELECT term, CAST(SUM(c) AS BIGINT) AS tc FROM tf GROUP BY 1
+      ORDER BY tc DESC, term LIMIT 500)),
+    v AS (SELECT tf.source, tf.term, tf.c
+      FROM tf JOIN top ON tf.term = top.term),
+    n AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS nn
+      FROM v GROUP BY 1),
+    dt AS (SELECT a.source AS sa, b.source AS sb,
+        CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT dt.sa AS sa, dt.sb AS sb, dt.dot AS dot,
+      ${fpTruncSql(
+        "CAST(dt.dot AS DOUBLE) / SQRT(CAST(x.nn AS DOUBLE) * CAST(y.nn AS DOUBLE))",
+        9)} AS cosine
+    FROM dt JOIN n x ON dt.sa = x.source JOIN n y ON dt.sb = y.source
+    ORDER BY sa, sb"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183)
+      q171, q173, q183, q210)
 }
