@@ -706,6 +706,58 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("q205 CMS: one-sided error, exact top-10, and element-wise merge") {
+    // Three CMS contracts, adversarially on a synthetic skewed stream:
+    // (1) estimates never undercount (the one-sided CMS guarantee — a
+    // wrong hash twin or a lost counter would break it), (2) the exact
+    // branch matches ground truth computed in plain Scala, (3) sketches
+    // built per shard and merged by element-wise cell sum equal the
+    // sketch built directly — the kappa re-aggregation claim.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new Random(11)
+    // zipf-ish: item i appears ~ ceil(600/i) times
+    val stream = (1L to 60L).flatMap(i =>
+      Seq.fill((600 / i).toInt)(i)) ++ (0 until 500).map(_ =>
+      100L + rng.nextInt(2000))
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    try {
+      stream.toDF("l_partkey").write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      val out = SparkEntry.queries("q205_cms_heavy_hitters")(spark, dir)
+        .select("item", "exact_n", "cms_est", "overcount")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(out.forall(_._4 >= 0), s"CMS undercounted: $out")
+      assert(out.forall(r => r._3 == r._2 + r._4), s"overcount math: $out")
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.map { case (i, n) => (i, n) }
+        .sortBy { case (i, n) => (-n, i) }.take(10)
+      assert(out.map(r => (r._1, r._2)) == truth,
+        s"exact top-10 drifted: ${out.map(r => (r._1, r._2))} vs $truth")
+
+      // merge property on the dsl-level sketch build
+      def cms(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("r", explode(array((0 until 4).map(r => lit(r.toLong)): _*)))
+        .withColumn("bucket",
+          dsl.hashMod2(col("l_partkey") + col("r") * lit(1000003L), lit(1024L)))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val full = spark.read.parquet(s"$dir/lineitem.parquet")
+      val (h1, h2) = (full.filter(col("l_partkey") % 2 === 0),
+        full.filter(col("l_partkey") % 2 =!= 0))
+      val merged = cms(h1).select(col("r"), col("bucket"), col("c"))
+        .unionAll(cms(h2).select(col("r"), col("bucket"), col("c")))
+        .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+      val direct = cms(full)
+      assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+        "element-wise shard merge != direct sketch")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }

@@ -131,4 +131,39 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k fell back to a global sort:\n$plan")
   }
+
+  test("q199/q202 prefix sums: every window references the block key") {
+    // The two-phase claim for the round-10 rank/cumsum family: no
+    // corpus-global ROW_NUMBER/SUM window — the only unpartitioned
+    // windows run over block totals and carry `block` as their key.
+    for (q <- Seq("q199_pareto_abc", "q202_gini")) {
+      val plan = planOf(q)
+      val windows = plan.split("\n").filter(_.contains("Window "))
+      assert(windows.nonEmpty, s"$q: no Window in plan:\n$plan")
+      val global = windows.filterNot(_.contains("block"))
+      assert(global.isEmpty,
+        s"$q: corpus-global window found (one-task global sort):\n$plan")
+    }
+  }
+
+  test("q205 CMS: exact top-10 is TakeOrderedAndProject, probe is broadcast") {
+    val plan = planOf("q205_cms_heavy_hitters")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"exact top-10 fell back to a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"4096-cell sketch probe did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"probe degenerated to an all-pairs join:\n$plan")
+  }
+
+  test("q207 ship-lag: every window is partitioned by priority") {
+    // The histogram-rank claim: cumulative counts run per (pri) over the
+    // ~100-value day histogram — a global unpartitioned window would
+    // mean the raw fact-fact join output was sorted on one task.
+    val plan = planOf("q207_ship_lag_percentiles")
+    val windows = plan.split("\n").filter(_.contains("Window "))
+    assert(windows.nonEmpty, s"no Window in plan:\n$plan")
+    val global = windows.filterNot(_.contains("pri"))
+    assert(global.isEmpty, s"unpartitioned window found:\n$plan")
+  }
 }
