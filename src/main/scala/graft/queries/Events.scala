@@ -1490,7 +1490,113 @@ object Events extends Q.Module {
       CAST(d.n_dau AS DOUBLE) / CAST(w.n_wau AS DOUBLE) AS stickiness
     FROM d JOIN w ON d.day = w.cday ORDER BY day"""))
 
+  // --- q211: LEAD-LAG CROSS-CORRELATION (CCF) — does click volume LEAD
+  //     purchase volume, and by how many days? corr(click_t,
+  //     purchase_{t+k}) for k = 0..3, the cross-series complement of
+  //     q200's autocorrelation. The k-shifted pairing is an equi-join of
+  //     the two days-sized series on p.day = c.day + k (one row per
+  //     (day, k) — never an event-scale join; the 4 lags come from one
+  //     bounded literal-array explode). Pearson r per k uses the exact
+  //     integer moment sums + single cast/sqrt/divide chain of q200,
+  //     fpTrunc-presented, with the zero-variance guard.
+  private val q211 = Q(
+    "q211_cross_correlation",
+    "✦ time series: click→purchase cross-correlation at lags 0-3 days (exact integer moments)",
+    (s, d) => {
+      def daily(t: String, v: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as(v))
+      val ks = array((0 until 4).map(k => lit(k.toLong)): _*)
+      val c = daily("click", "x").withColumn("k", explode(ks))
+        .select(col("k"), (col("day") + col("k")).as("jday"), col("x"))
+      val p = daily("purchase", "y").select(col("day").as("jday"), col("y"))
+      val m = c.join(p, Seq("jday"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val num = (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+      val d1 = (col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+      val d2 = (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+        .cast("double")
+      m.select(col("k").as("lag_days"), col("n_pairs"),
+          when(d1 > 0 && d2 > 0, fpTrunc(num / sqrt(d1 * d2), 9)).as("ccf"))
+        .orderBy(col("lag_days"))
+    },
+    Some(s"""WITH cx AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    py AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    ks AS (SELECT CAST(k AS BIGINT) AS k
+      FROM (VALUES (0), (1), (2), (3)) t(k)),
+    m AS (
+      SELECT ks.k, COUNT(*) AS n_pairs,
+        CAST(SUM(cx.x) AS BIGINT) AS sx, CAST(SUM(py.y) AS BIGINT) AS sy,
+        CAST(SUM(cx.x * py.y) AS BIGINT) AS sxy,
+        CAST(SUM(cx.x * cx.x) AS BIGINT) AS sxx,
+        CAST(SUM(py.y * py.y) AS BIGINT) AS syy
+      FROM cx CROSS JOIN ks JOIN py ON py.day = cx.day + ks.k
+      GROUP BY 1)
+    SELECT k AS lag_days, n_pairs,
+      CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+        THEN ${fpTruncSql(
+          "CAST(n_pairs * sxy - sx * sy AS DOUBLE) / SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE) * CAST(n_pairs * syy - sy * sy AS DOUBLE))",
+          9)} END AS ccf
+    FROM m ORDER BY lag_days"""))
+
+  // --- q213: TOP EVENT PATHS (trigram sequence mining) — the "what do
+  //     users actually do" readout: the 10 most common 3-step event-type
+  //     sequences, with share of all trigrams. Per-user ordering is one
+  //     window (partitioned by user_id, (µs, event_id) total order — the
+  //     q186 transition idiom extended to two LAGs); path counting is a
+  //     map-combined aggregate on the tiny path vocabulary (≤|types|³),
+  //     and the top-10 compiles to TakeOrderedAndProject. The share is
+  //     one double division of exact counts.
+  private val q213 = Q(
+    "q213_event_paths",
+    "✦ sequence mining: top-10 event-type trigram paths per user ordering + share",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val tri = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          micros.as("us"))
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("p2").isNotNull)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+          .as("path"))
+      val counts = tri.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("tn"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("path"), col("n"),
+          (col("n").cast("double") / col("tn").cast("double")).as("share"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+    Some("""WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT event_type,
+        LAG(event_type, 1) OVER w AS p1,
+        LAG(event_type, 2) OVER w AS p2
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    t AS (SELECT p2 || '>' || p1 || '>' || event_type AS path
+      FROM l WHERE p2 IS NOT NULL),
+    c AS (SELECT path, COUNT(*) AS n FROM t GROUP BY 1),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM c)
+    SELECT path, n, CAST(n AS DOUBLE) / CAST(tn AS DOUBLE) AS share
+    FROM c, s ORDER BY n DESC, path LIMIT 10"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186, q192, q198, q200, q201, q203, q204, q208)
+    q186, q192, q198, q200, q201, q203, q204, q208, q211, q213)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.dsl._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core: SURVEY.md §2.2 (projection/filter), §2.3 (joins),
@@ -989,7 +990,70 @@ object Relational extends Q.Module {
     FROM rev JOIN rt ON rev.region = rt.region CROSS JOIN t
     ORDER BY region, nation"""))
 
+  // --- q212: MONTH-OVER-MONTH RANK MOVERS — "which parts are trending":
+  //     rank every part by revenue within two adjacent months and
+  //     surface the 20 biggest rank climbers. The per-month global rank
+  //     is NOT a per-month global window (at 100 TB one month's parts
+  //     are still hundreds of millions of rows): it is the q199/q202
+  //     two-phase rank with the MONTH IN THE PARTITION KEY — count
+  //     offsets per (month, block desc), in-block row_number bounded by
+  //     the 2²⁴-unit revenue span, (u desc, partkey) total order. The
+  //     movers join is part-keyed on the two months' rank frames; the
+  //     top-20 compiles to TakeOrderedAndProject. All integer. The
+  //     oracle ranks with naive per-month windows, cross-checking the
+  //     decomposition.
+  private val q212 = Q(
+    "q212_rank_movers",
+    "✦ BI: month-over-month part revenue rank movers (per-month two-phase desc rank)",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .withColumn("m", (year(col("l_shipdate")) * 100
+          + month(col("l_shipdate"))).cast("long"))
+        .filter(col("m").isin(199803L, 199804L))
+        .groupBy(col("m"), col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1) - col("l_discount").cast("decimal(4,2)")) * 10000)
+          .cast("long").as("u"))
+        .withColumn("block", expr("u div 16777216"))
+      val wB = Window.partitionBy(col("m")).orderBy(col("block").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = rev.groupBy(col("m"), col("block"))
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+        .select(col("m"), col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("m"), col("block"))
+        .orderBy(col("u").desc, col("l_partkey"))
+      val ranked = rev.join(broadcast(off), Seq("m", "block"))
+        .withColumn("rnk", col("boff") + row_number().over(wIn))
+      val a = ranked.filter(col("m") === 199803L)
+        .select(col("l_partkey"), col("rnk").as("rank_prev"),
+          col("u").as("u_prev"))
+      val b = ranked.filter(col("m") === 199804L)
+        .select(col("l_partkey"), col("rnk").as("rank_curr"),
+          col("u").as("u_curr"))
+      a.join(b, Seq("l_partkey"))
+        .withColumn("delta", col("rank_prev") - col("rank_curr"))
+        .orderBy(col("delta").desc, col("l_partkey"))
+        .limit(20)
+    },
+    Some("""WITH rev AS (
+      SELECT YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS m, l_partkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000) AS BIGINT) AS u
+      FROM lineitem
+      WHERE YEAR(l_shipdate) * 100 + MONTH(l_shipdate) IN (199803, 199804)
+      GROUP BY 1, 2),
+    r AS (SELECT m, l_partkey, u,
+        CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY u DESC, l_partkey)
+          AS BIGINT) AS rnk
+      FROM rev)
+    SELECT a.l_partkey AS l_partkey, a.rnk AS rank_prev, a.u AS u_prev,
+      b.rnk AS rank_curr, b.u AS u_curr, a.rnk - b.rnk AS delta
+    FROM r a JOIN r b ON a.l_partkey = b.l_partkey
+      AND a.m = 199803 AND b.m = 199804
+    ORDER BY delta DESC, l_partkey LIMIT 20"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182, q194, q197, q209)
+    q167, q169, q182, q194, q197, q209, q212)
 }
