@@ -1959,14 +1959,14 @@ object Aggs extends Q.Module {
       val rs = array((0 until depth).map(r => lit(r.toLong)): _*)
       val cms = stream.withColumn("r", explode(rs))
         .withColumn("bucket",
-          hashMod2(col("item") + col("r") * lit(1000003L), lit(width)))
+          hashMod2L(col("item") + col("r") * lit(1000003L), lit(width)))
         .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
       val exact = stream.groupBy(col("item")).agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("item")).limit(10)
       val n = stream.agg(count(lit(1)).as("n_stream"))
       exact.withColumn("r", explode(rs))
         .withColumn("bucket",
-          hashMod2(col("item") + col("r") * lit(1000003L), lit(width)))
+          hashMod2L(col("item") + col("r") * lit(1000003L), lit(width)))
         .join(broadcast(cms), Seq("r", "bucket"))
         .groupBy(col("item"), col("exact_n")).agg(min(col("c")).as("cms_est"))
         .crossJoin(broadcast(n))
@@ -1978,13 +1978,13 @@ object Aggs extends Q.Module {
     rs AS (SELECT CAST(r AS BIGINT) AS r
       FROM (VALUES (0), (1), (2), (3)) t(r)),
     cms AS (SELECT r,
-        ${hashMod2Sql("(item + r * 1000003)", "1024")} AS bucket,
+        ${hashMod2LSql("(item + r * 1000003)", "1024")} AS bucket,
         COUNT(*) AS c
       FROM st CROSS JOIN rs GROUP BY 1, 2),
     ex AS (SELECT item, COUNT(*) AS exact_n FROM st GROUP BY 1
       ORDER BY exact_n DESC, item LIMIT 10),
     pr AS (SELECT ex.item, ex.exact_n, rs.r,
-        ${hashMod2Sql("(ex.item + rs.r * 1000003)", "1024")} AS bucket
+        ${hashMod2LSql("(ex.item + rs.r * 1000003)", "1024")} AS bucket
       FROM ex CROSS JOIN rs),
     est AS (SELECT pr.item, pr.exact_n,
         CAST(MIN(cms.c) AS BIGINT) AS cms_est

@@ -739,7 +739,7 @@ class OperatorPropertySpec extends SparkSuite {
       def cms(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("r", explode(array((0 until 4).map(r => lit(r.toLong)): _*)))
         .withColumn("bucket",
-          dsl.hashMod2(col("l_partkey") + col("r") * lit(1000003L), lit(1024L)))
+          dsl.hashMod2L(col("l_partkey") + col("r") * lit(1000003L), lit(1024L)))
         .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
       val full = spark.read.parquet(s"$dir/lineitem.parquet")
       val (h1, h2) = (full.filter(col("l_partkey") % 2 === 0),
