@@ -673,6 +673,93 @@ object Vectors extends Q.Module {
         * SQRT(CAST(qnb AS DOUBLE)))) * 1e6) / 1e6 AS cos_t
     FROM pairs ORDER BY label_a, label_b"""))
 
+  // --- q214: DISTRIBUTED K-MEANS (Lloyd, k=4, 3 iterations) — the
+  //     clustering workhorse behind IVF cell training (q74) and SemDeDup
+  //     (q109), here as a first-class oracle-gated operator. Every step
+  //     is engine-exact: coordinates quantize ONCE to integer 1e-6 units
+  //     (FLOOR of the same float→double product — the q167 integer-unit
+  //     rule), distances are exact integer Σ(x−c)² sums, argmin uses the
+  //     composite d²·8+cid key (min of one BIGINT — the deterministic
+  //     tie rule: lower cid wins equal distances), and the centroid
+  //     update re-quantizes via FLOOR(sum/count) — one double division
+  //     of exact integers, engine-identical — so iteration 3's centroids
+  //     cannot drift between engines (floating centroids would be the
+  //     q167 DECIMAL-cast trap at every generation). Init is data-
+  //     deterministic (vec_id 0..3). Shape at 100 TB: per iteration ONE
+  //     broadcast of the k×64 centroid frame against the persisted
+  //     long-format corpus, one map-combined (vec, cid) distance
+  //     aggregate, one (cid, dim) centroid aggregate; centroid frames
+  //     are localCheckpoint-truncated so the 3-deep lazy chain is not
+  //     re-executed per action (the PageRank lineage lesson). The
+  //     oracle unrolls the identical 3 iterations as CTEs (the q194
+  //     unrolled-chain idiom).
+  private val q214 = Q(
+    "q214_kmeans",
+    "✦ ML: distributed k-means (k=4, 3 Lloyd iterations), integer-quantized exact arithmetic",
+    (s, d) => {
+      val ve = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1e6).as("xu"))
+        .persist()
+      def assign(cent: org.apache.spark.sql.DataFrame) =
+        ve.join(broadcast(cent), Seq("dim"))
+          .withColumn("dd",
+            (col("xu") - col("cu")) * (col("xu") - col("cu")))
+          .groupBy(col("vec_id"), col("cid")).agg(sum(col("dd")).as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("d2") * 8 + col("cid")).as("key"))
+          .select(col("vec_id"), pmod(col("key"), lit(8L)).as("cid"))
+      def update(asg: org.apache.spark.sql.DataFrame) =
+        ve.join(asg, Seq("vec_id"))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("xu")).as("ss"), count(lit(1)).as("n"))
+          .select(col("cid"), col("dim"),
+            floor(col("ss").cast("double") / col("n").cast("double"))
+              .as("cu"))
+      val c0 = ve.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("dim"), col("xu").as("cu"))
+        .localCheckpoint(true)
+      var cent = c0
+      var asg: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        asg = assign(cent).localCheckpoint(true)
+        cent = update(asg).localCheckpoint(true)
+      }
+      val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      cent.join(broadcast(sizes), Seq("cid"))
+        .select(col("cid"), col("dim"), col("cu"), col("n_members"))
+        .orderBy(col("cid"), col("dim"))
+    },
+    Some {
+      def a(i: Int, c: String) = s"""a$i AS (
+        SELECT vec_id, CAST(MIN(d2 * 8 + cid) % 8 AS BIGINT) AS cid FROM (
+          SELECT ve.vec_id, c.cid,
+            CAST(SUM((ve.xu - c.cu) * (ve.xu - c.cu)) AS BIGINT) AS d2
+          FROM ve JOIN $c c ON ve.dim = c.dim GROUP BY 1, 2)
+        GROUP BY 1)"""
+      def u(i: Int) = s"""c$i AS (
+        SELECT a.cid, ve.dim,
+          CAST(FLOOR(CAST(SUM(ve.xu) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+        FROM ve JOIN a$i a ON ve.vec_id = a.vec_id GROUP BY 1, 2)"""
+      s"""WITH ve AS (
+        SELECT vec_id, g.i AS dim,
+          CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+            AS xu
+        FROM embeddings,
+          (SELECT unnest(generate_series(0, 63)) AS i) g),
+      c0 AS (SELECT vec_id AS cid, dim, xu AS cu FROM ve WHERE vec_id < 4),
+      ${a(1, "c0")}, ${u(1)},
+      ${a(2, "c1")}, ${u(2)},
+      ${a(3, "c2")}, ${u(3)},
+      s AS (SELECT cid, COUNT(*) AS n_members FROM a3 GROUP BY 1)
+      SELECT c3.cid AS cid, c3.dim AS dim, c3.cu AS cu, s.n_members
+      FROM c3 JOIN s ON c3.cid = s.cid
+      ORDER BY cid, dim"""
+    })
+
   def defs: Seq[Q] =
-    Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188)
+    Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
+      q214)
 }
