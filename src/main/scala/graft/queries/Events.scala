@@ -1596,7 +1596,53 @@ object Events extends Q.Module {
     SELECT path, n, CAST(n AS DOUBLE) / CAST(tn AS DOUBLE) AS share
     FROM c, s ORDER BY n DESC, path LIMIT 10"""))
 
+  // --- q216: RECENCY-WEIGHTED ENGAGEMENT SCORE — exponential time decay
+  //     with a one-day half-life: score = Σ cents·2^(30−age). Arbitrary
+  //     decay bases (0.9^age) would make the sum float-order-dependent;
+  //     POWERS OF TWO keep every term an exact integer (shiftleft on a
+  //     BIGINT — the dyadic-weights trick), so the sum is an associative
+  //     integer aggregate with map-side combine and the /2^30
+  //     presentation divides by an exact power of two. Events older than
+  //     30 days carry zero weight and are FILTERED (a pushdown-able
+  //     predicate once `day` derives from the scan column), bounding the
+  //     shift exponent. The anchor day is a 1-row broadcast max. Top-20
+  //     compiles to TakeOrderedAndProject.
+  private val q216 = Q(
+    "q216_recency_weighted_score",
+    "✦ engagement: recency-weighted user value score (exact dyadic 2^(30−age) weights), top-20",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val mx = ev.agg(max(col("day")).as("maxd"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age", col("maxd") - col("day"))
+        .filter(col("age") <= 30)
+        .withColumn("wt",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents") * col("wt")).as("score_units"),
+          count(lit(1)).as("n_events"))
+        .withColumn("score",
+          col("score_units").cast("double") / lit(1073741824.0))
+        .orderBy(col("score_units").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH ev AS (SELECT user_id,
+        epoch_us(ts) // 86400000000 AS day,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT MAX(day) AS maxd FROM ev),
+    w AS (SELECT user_id, cents,
+        (CAST(1 AS BIGINT) << CAST(30 - (m.maxd - day) AS INT)) AS wt
+      FROM ev, m WHERE m.maxd - day <= 30)
+    SELECT user_id, CAST(SUM(cents * wt) AS BIGINT) AS score_units,
+      COUNT(*) AS n_events,
+      CAST(CAST(SUM(cents * wt) AS BIGINT) AS DOUBLE) / 1073741824.0
+        AS score
+    FROM w GROUP BY 1 ORDER BY score_units DESC, user_id LIMIT 20"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186, q192, q198, q200, q201, q203, q204, q208, q211, q213)
+    q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216)
 }

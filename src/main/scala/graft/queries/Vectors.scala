@@ -759,7 +759,63 @@ object Vectors extends Q.Module {
       ORDER BY cid, dim"""
     })
 
+  // --- q215: DETERMINISTIC NEGATIVE SAMPLING — the contrastive-training
+  //     data op: pick 2 cross-label negatives per anchor with NO rand()
+  //     anywhere (the shard-reproducibility contract of q152/q164).
+  //     Candidates come from the dsl.hashMod2L ring over the dense
+  //     vec_id space (6 seeded draws per anchor — a bounded literal
+  //     explode), each draw is label-checked by ONE equi-join against
+  //     the id→label frame, invalid draws (self or same label) are
+  //     dropped without resampling — deterministic over-provisioning
+  //     (6 draws for 2 slots), the distributed answer to "rejection
+  //     sampling needs a loop". Slots are (anchor, draw-order) windows
+  //     over ≤6 rows. At 100 TB the candidate frame is 6×|corpus| rows
+  //     joined on neg_id — a plain shuffle equi-join AQE can split;
+  //     nothing is ever collected or iterated.
+  private val q215 = Q(
+    "q215_negative_sampling",
+    "✦ training data: deterministic hash negative sampling (2 cross-label negatives per anchor)",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val n = e.agg(count(lit(1)).as("n_total"))
+      val js = array((1 to 6).map(j => lit(j.toLong)): _*)
+      val cand = e.select(col("vec_id").as("anchor"),
+          col("label").as("anchor_label"))
+        .crossJoin(broadcast(n))
+        .withColumn("j", explode(js))
+        .withColumn("neg_id",
+          graft.dsl.hashMod2L(col("anchor") * 8 + col("j"), col("n_total")))
+      val w = Window.partitionBy(col("anchor")).orderBy(col("j"))
+      cand.join(e.select(col("vec_id").as("neg_id"),
+          col("label").as("neg_label")), Seq("neg_id"))
+        .filter(col("neg_id") =!= col("anchor")
+          && col("neg_label") =!= col("anchor_label"))
+        .withColumn("slot", row_number().over(w).cast("long"))
+        .filter(col("slot") <= 2)
+        .select(col("anchor"), col("anchor_label"), col("slot"),
+          col("neg_id"), col("neg_label"))
+        .orderBy(col("anchor"), col("slot"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label FROM embeddings),
+    n AS (SELECT COUNT(*) AS n_total FROM e),
+    js AS (SELECT CAST(j AS BIGINT) AS j
+      FROM (VALUES (1), (2), (3), (4), (5), (6)) t(j)),
+    cand AS (SELECT e.vec_id AS anchor, e.label AS anchor_label, js.j,
+        ${graft.dsl.hashMod2LSql("e.vec_id * 8 + js.j", "n.n_total")}
+          AS neg_id
+      FROM e CROSS JOIN js CROSS JOIN n),
+    kept AS (SELECT c.anchor, c.anchor_label, c.j, c.neg_id,
+        x.label AS neg_label
+      FROM cand c JOIN e x ON c.neg_id = x.vec_id
+      WHERE c.neg_id <> c.anchor AND x.label <> c.anchor_label),
+    r AS (SELECT anchor, anchor_label, neg_id, neg_label,
+        CAST(ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY j) AS BIGINT)
+          AS slot
+      FROM kept)
+    SELECT anchor, anchor_label, slot, neg_id, neg_label
+    FROM r WHERE slot <= 2 ORDER BY anchor, slot"""))
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214)
+      q214, q215)
 }
