@@ -1642,7 +1642,70 @@ object Events extends Q.Module {
         AS score
     FROM w GROUP BY 1 ORDER BY score_units DESC, user_id LIMIT 20"""))
 
+  // --- q217: SPARSE COLUMN CONSOLIDATION — the profile-merge CDC op:
+  //     each event carries AT MOST ONE profile field (here: k is field A
+  //     on clicks, field B on views), and the consolidated profile is
+  //     the LATEST NON-NULL value per column per user, with its
+  //     observation time. pandas spells this groupby().ffill().tail(1);
+  //     the distributed form is one user-partitioned window pass —
+  //     last(ignoreNulls) running values + a (desc-time) row_number tail
+  //     pick — with the (µs, event_id) total order making "latest"
+  //     deterministic under equal timestamps. The per-field observation
+  //     time is the same last() over a when()-masked µs column: no
+  //     second scan, no per-field join. At 100 TB: ONE shuffle on
+  //     user_id, partition-local sort, frames per-user-bounded.
+  private val q217 = Q(
+    "q217_sparse_consolidation",
+    "✦ CDC: latest non-null per column per user (sparse profile merge, one window pass)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), micros.as("us"), col("event_id"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("ka", when(col("event_type") === "click", col("k")))
+        .withColumn("kb", when(col("event_type") === "view", col("k")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      ev
+        .withColumn("last_ka", last(col("ka"), ignoreNulls = true).over(w))
+        .withColumn("last_ka_us",
+          last(when(col("ka").isNotNull, col("us")), ignoreNulls = true)
+            .over(w))
+        .withColumn("last_kb", last(col("kb"), ignoreNulls = true).over(w))
+        .withColumn("last_kb_us",
+          last(when(col("kb").isNotNull, col("us")), ignoreNulls = true)
+            .over(w))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("last_ka"), col("last_ka_us"),
+          col("last_kb"), col("last_kb_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        CASE WHEN event_type = 'click'
+          THEN CAST(props->>'k' AS BIGINT) END AS ka,
+        CASE WHEN event_type = 'view'
+          THEN CAST(props->>'k' AS BIGINT) END AS kb
+      FROM events),
+    f AS (SELECT user_id,
+        LAST_VALUE(ka IGNORE NULLS) OVER w AS last_ka,
+        LAST_VALUE(CASE WHEN ka IS NOT NULL THEN us END IGNORE NULLS)
+          OVER w AS last_ka_us,
+        LAST_VALUE(kb IGNORE NULLS) OVER w AS last_kb,
+        LAST_VALUE(CASE WHEN kb IS NOT NULL THEN us END IGNORE NULLS)
+          OVER w AS last_kb_us,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY us DESC, event_id DESC) AS rn
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, last_ka, last_ka_us, last_kb, last_kb_us
+    FROM f WHERE rn = 1 ORDER BY user_id"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216)
+    q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217)
 }

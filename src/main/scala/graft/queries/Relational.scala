@@ -1053,7 +1053,42 @@ object Relational extends Q.Module {
       AND a.m = 199803 AND b.m = 199804
     ORDER BY delta DESC, l_partkey LIMIT 20"""))
 
+  // --- q218: RELATIONAL DIVISION (the FORALL query) — "customers with
+  //     at least 3 orders, EVERY one of them high-priority": the classic
+  //     division operator that trips SQL beginners into double
+  //     NOT EXISTS. The scalable form is COUNTING — one map-combined
+  //     aggregate computes (total orders, qualifying orders) per
+  //     customer and division is the filter n_orders = n_hi — no
+  //     anti-join, no second scan of orders, one corpus shuffle. The
+  //     survivors (a tiny frame) then join customer for attributes.
+  private val q218 = Q(
+    "q218_relational_division",
+    "✦ relational division: customers whose every order is high-priority (count-based FORALL)",
+    (s, d) => {
+      val agg = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1L))
+            .otherwise(lit(0L)).as("hi"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("hi")).as("n_hi"))
+        .filter(col("n_orders") >= 3 && col("n_orders") === col("n_hi"))
+      agg.join(Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH a AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+      FROM orders GROUP BY 1)
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, a.n_orders
+    FROM a JOIN customer c ON a.o_custkey = c.c_custkey
+    WHERE a.n_orders >= 3 AND a.n_orders = a.n_hi
+    ORDER BY c.c_custkey"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182, q194, q197, q209, q212)
+    q167, q169, q182, q194, q197, q209, q212, q218)
 }

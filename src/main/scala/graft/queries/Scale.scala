@@ -674,6 +674,49 @@ object Scale extends Q.Module {
         AND prio <> prio2 THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_changed
     FROM j GROUP BY 1 ORDER BY 1"""))
 
+  // --- q219: PARTITION CHECKSUMS — the replication/migration
+  //     reconciliation primitive: a per-partition content fingerprint
+  //     two independent systems can compute and diff WITHOUT moving
+  //     data (the q185 snapshot-diff's cheap precursor — checksums first,
+  //     full diff only on mismatched partitions). The row hash is the
+  //     dsl.hashMod2L chain over (orderkey, cents) — pure integer, so
+  //     DuckDB computes the IDENTICAL fingerprint (engine hash functions
+  //     like xxhash64 exist on one side only) — and the partition
+  //     checksum is the plain SUM of row hashes: order-free, associative,
+  //     mergeable (a parent partition's checksum is the sum of its
+  //     children's — the same kappa shape as q174/q205). Long bound:
+  //     2^31-bounded hashes × rows stay under 2^63 up to ~4e9 rows per
+  //     partition; promote to DECIMAL(38,0) beyond. One map-combined
+  //     aggregate; zero joins.
+  private val q219 = Q(
+    "q219_partition_checksums",
+    "✦ integrity: per-month order checksums (order-free mergeable hash sums, engine-portable)",
+    (s, d) => {
+      val rows = Tables.orders(s, d).select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      rows
+        .withColumn("h", hashMod2L(
+          pmod(col("o_orderkey"), lit(2147483647L)) * 1000003L
+            + pmod(col("cents"), lit(1000003L)), lit(2147483648L)))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .orderBy(col("m"))
+    },
+    Some(s"""WITH rows_ AS (
+      SELECT YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS m,
+        o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders)
+    SELECT m, COUNT(*) AS n_rows,
+      CAST(SUM(${hashMod2LSql(
+        "(o_orderkey % 2147483647) * 1000003 + (cents % 1000003)",
+        "2147483648")}) AS BIGINT) AS checksum
+    FROM rows_ GROUP BY m ORDER BY m"""))
+
   def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165,
-    q185)
+    q185, q219)
 }
