@@ -1088,7 +1088,108 @@ object Relational extends Q.Module {
     WHERE a.n_orders >= 3 AND a.n_orders = a.n_hi
     ORDER BY c.c_custkey"""))
 
+  // --- q220: TPC-H Q21 SHAPE (sole-blame supplier) — the hardest
+  //     classic decorrelation: suppliers with a returned line on a
+  //     finished multi-supplier order where NO OTHER supplier returned —
+  //     EXISTS(other supplier on o) AND NOT EXISTS(other supplier with a
+  //     returned line on o). Correlated twice against the fact table, a
+  //     naive engine rescans lineitem per order; the Spark-first form
+  //     DECORRELATES BOTH into per-order aggregates — n_supp (distinct
+  //     suppliers) and n_r_supp (distinct returning suppliers) computed
+  //     in ONE pass each — so EXISTS becomes n_supp > 1 and NOT EXISTS
+  //     becomes n_r_supp = 1, order-keyed equi-joins thereafter. The
+  //     ORACLE deliberately keeps the correlated EXISTS/NOT EXISTS
+  //     formulation: the hash match proves the decorrelation is
+  //     semantics-preserving (the q123/q124 evidence pattern). Top-20
+  //     compiles to TakeOrderedAndProject; supplier names broadcast.
+  private val q220 = Q(
+    "q220_blame_supplier",
+    "✦ TPC-H Q21 shape: sole-blame supplier via aggregate decorrelation of EXISTS/NOT EXISTS",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      val rLines = li.filter(col("l_returnflag") === "R")
+      val rPerOrder = rLines.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_r_supp"))
+      val fOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      rLines.select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(perOrder.filter(col("n_supp") > 1), Seq("l_orderkey"))
+        .join(rPerOrder.filter(col("n_r_supp") === 1), Seq("l_orderkey"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"),
+          col("s_name"))), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""SELECT s.s_name AS s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_returnflag = 'R') l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20"""))
+
+  // --- q221: TPC-H Q22 SHAPE (global-customer sleepers) — customers
+  //     with above-average account balance and NO orders at all, rolled
+  //     up by nation. Two classic sub-patterns: a SCALAR SUBQUERY (the
+  //     positive-balance average — a 1-row broadcast crossJoin, never a
+  //     recomputed correlated aggregate) and an ANTI-JOIN against the
+  //     fact table (Spark's left_anti — at 100 TB a shuffle anti-join
+  //     AQE can convert to broadcast when the distinct custkey side
+  //     shrinks). The balance average compares in EXACT decimal cents —
+  //     avg is kept as the (sum, count) pair and the predicate is
+  //     cross-multiplied (bal·n > sum — the q195 rule), so no float
+  //     boundary can split engines; the output acctbal total is dsum.
+  private val q221 = Q(
+    "q221_sleeper_customers",
+    "✦ TPC-H Q22 shape: above-avg-balance customers with no orders (scalar subquery + anti-join)",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("bal"))
+      val pos = c.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("sbal"), count(lit(1)).as("nbal"))
+      c.crossJoin(broadcast(pos))
+        .filter(col("bal") * col("nbal") > col("sbal"))
+        .join(Tables.orders(s, d).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"),
+          col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal")).as("totbal_cents"))
+        .orderBy(col("n_name"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      FROM customer),
+    p AS (SELECT CAST(SUM(bal) AS BIGINT) AS sbal, COUNT(*) AS nbal
+      FROM c WHERE bal > 0)
+    SELECT n.n_name AS n_name, COUNT(*) AS numcust,
+      CAST(SUM(c.bal) AS BIGINT) AS totbal_cents
+    FROM c CROSS JOIN p
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.bal * p.nbal > p.sbal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name ORDER BY n_name"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182, q194, q197, q209, q212, q218)
+    q167, q169, q182, q194, q197, q209, q212, q218, q220, q221)
 }
