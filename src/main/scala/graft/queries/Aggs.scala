@@ -2055,8 +2055,99 @@ object Aggs extends Q.Module {
       MIN(n) AS n
     FROM r GROUP BY pri ORDER BY pri"""))
 
+  // --- q222: DETERMINISTIC PERMUTATION (randomization) TEST — the
+  //     nonparametric significance gate beside q179's z and q195's KS:
+  //     is the click-vs-error mean-value gap larger than chance? The 16
+  //     re-randomizations are HASH permutations (hashMod2L over
+  //     event_id, seeded per replicate — the no-rand() rule, so the
+  //     p-value is reproducible to the bit), each reduced map-side to
+  //     four integer sums in one 16×-exploded pass. The "as extreme"
+  //     comparison NEVER floats a mean: |ps_a·pn_b − ps_b·pn_a|·n_a·n_b
+  //     ≥ |s_a·n_b − s_b·n_a|·pn_a·pn_b in DECIMAL(38,0)/HUGEINT
+  //     (~28 digits at sf0.1 — past long, inside both engines' exact
+  //     range). p = (n_extreme+1)/(B+1), the standard add-one estimate,
+  //     one exact division.
+  private val q222 = Q(
+    "q222_permutation_test",
+    "A ✦ deterministic permutation test: click-vs-error mean gap, 16 hash re-randomizations",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"),
+          when(col("event_type") === "click", lit(1L)).otherwise(lit(0L))
+            .as("isa"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val obs = e.agg(
+        sum(when(col("isa") === 1, col("cents"))).as("sa"),
+        sum(col("isa")).as("na"),
+        sum(when(col("isa") === 0, col("cents"))).as("sb"),
+        sum(lit(1L) - col("isa")).as("nb"))
+      val bs = array((1 to 16).map(b => lit(b.toLong)): _*)
+      val perms = e.withColumn("b", explode(bs))
+        .withColumn("pa", hashMod2L(col("event_id") * 32 + col("b"),
+          lit(2L)))
+        .groupBy(col("b")).agg(
+          sum(when(col("pa") === 1, col("cents"))).as("psa"),
+          sum(col("pa")).as("pna"),
+          sum(when(col("pa") === 0, col("cents"))).as("psb"),
+          sum(lit(1L) - col("pa")).as("pnb"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val extreme = perms.crossJoin(broadcast(obs))
+        .withColumn("lhs",
+          abs(dec(col("psa")) * col("pnb") - dec(col("psb")) * col("pna"))
+            * (dec(col("na")) * col("nb")))
+        .withColumn("rhs",
+          abs(dec(col("sa")) * col("nb") - dec(col("sb")) * col("na"))
+            * (dec(col("pna")) * col("pnb")))
+        .agg(sum(when(col("lhs") >= col("rhs"), lit(1L)).otherwise(lit(0L)))
+          .as("n_extreme"))
+      extreme.crossJoin(broadcast(obs))
+        .select(col("n_extreme"),
+          fpTrunc(col("sa").cast("double") / col("na").cast("double")
+            - col("sb").cast("double") / col("nb").cast("double"), 9)
+            .as("diff_obs_cents"),
+          ((col("n_extreme") + 1).cast("double") / lit(17.0)).as("p_value"))
+    },
+    Some(s"""WITH e AS (
+      SELECT event_id,
+        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'error')),
+    obs AS (SELECT
+        CAST(SUM(CASE WHEN isa = 1 THEN cents END) AS BIGINT) AS sa,
+        CAST(SUM(isa) AS BIGINT) AS na,
+        CAST(SUM(CASE WHEN isa = 0 THEN cents END) AS BIGINT) AS sb,
+        CAST(SUM(1 - isa) AS BIGINT) AS nb
+      FROM e),
+    bs AS (SELECT CAST(b AS BIGINT) AS b FROM (VALUES (1), (2), (3), (4),
+      (5), (6), (7), (8), (9), (10), (11), (12), (13), (14), (15), (16))
+      t(b)),
+    perms AS (SELECT b,
+        CAST(SUM(CASE WHEN pa = 1 THEN cents END) AS BIGINT) AS psa,
+        CAST(SUM(pa) AS BIGINT) AS pna,
+        CAST(SUM(CASE WHEN pa = 0 THEN cents END) AS BIGINT) AS psb,
+        CAST(SUM(1 - pa) AS BIGINT) AS pnb
+      FROM (SELECT e.cents, bs.b,
+          ${hashMod2LSql("e.event_id * 32 + bs.b", "2")} AS pa
+        FROM e CROSS JOIN bs)
+      GROUP BY b),
+    x AS (SELECT CAST(SUM(CASE WHEN
+        ABS(CAST(psa AS HUGEINT) * pnb - CAST(psb AS HUGEINT) * pna)
+          * (CAST(na AS HUGEINT) * nb)
+        >= ABS(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na)
+          * (CAST(pna AS HUGEINT) * pnb)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM perms CROSS JOIN obs)
+    SELECT x.n_extreme,
+      ${fpTruncSql(
+        "CAST(o.sa AS DOUBLE) / CAST(o.na AS DOUBLE) - CAST(o.sb AS DOUBLE) / CAST(o.nb AS DOUBLE)",
+        9)} AS diff_obs_cents,
+      CAST(x.n_extreme + 1 AS DOUBLE) / 17.0 AS p_value
+    FROM x CROSS JOIN obs o"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202, q205, q207)
+    q191, q193, q195, q196, q199, q202, q205, q207, q222)
 }

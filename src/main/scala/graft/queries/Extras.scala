@@ -485,6 +485,62 @@ object Extras extends Q.Module {
     FROM pairs JOIN freq fa ON fa.p = pa JOIN freq fb ON fb.p = pb, no
     ORDER BY sup DESC, pa, pb LIMIT 20"""))
 
+  // --- q224: 2D SKYLINE (Pareto front) — parts no other part dominates
+  //     on (retail price ↑, size ↓): the multi-criteria shortlist
+  //     operator. The textbook test is O(n²) NOT EXISTS; in 2D the
+  //     skyline collapses to ONE ordered pass — a point survives iff no
+  //     strictly-higher-priced point has size ≤ its own AND no same-
+  //     priced point is strictly smaller. Both tests come from the
+  //     DISTINCT-PRICE frame (price, min-size-at-price): the
+  //     strictly-higher prefix min is an EXCLUSIVE two-phase running min
+  //     over price-desc blocks (block offsets via an exclusive
+  //     blocks-sized window + in-block rowsBetween(…, -1) frame — the
+  //     q199 decomposition with exclusive frames), and the same-price
+  //     test is size = min-size-at-price. All integer cents. The oracle
+  //     runs the O(n²) NOT EXISTS definition — a genuinely different
+  //     algorithm certifying the one-pass reduction.
+  private val q224 = Q(
+    "q224_skyline",
+    "✦ skyline / Pareto front on (price↑, size↓): one ordered pass vs O(n²) oracle",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"), col("p_size").cast("long").as("sz"))
+      val perPrice = p.groupBy(col("cents")).agg(min(col("sz")).as("msize"))
+        .withColumn("block", expr("cents div 4096"))
+      val wB = Window.orderBy(col("block").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = perPrice.groupBy(col("block"))
+        .agg(min(col("msize")).as("bmin"))
+        .withColumn("boffmin", min(col("bmin")).over(wB))
+        .select(col("block"), col("boffmin"))
+      val wIn = Window.partitionBy(col("block")).orderBy(col("cents").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pref = perPrice.join(broadcast(off), Seq("block"))
+        .withColumn("m1", least(coalesce(min(col("msize")).over(wIn),
+          lit(Long.MaxValue)), coalesce(col("boffmin"),
+          lit(Long.MaxValue))))
+        .select(col("cents"), col("msize"), col("m1"))
+      p.join(pref, Seq("cents"))
+        .filter(col("sz") === col("msize") && col("m1") > col("sz"))
+        .select(col("p_partkey"), col("cents").as("price_cents"), col("sz"))
+        .orderBy(col("price_cents").desc, col("p_partkey"))
+    },
+    Some("""WITH p AS (SELECT p_partkey,
+        CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents,
+        CAST(p_size AS BIGINT) AS sz
+      FROM part)
+    SELECT a.p_partkey, a.cents AS price_cents, a.sz
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cents >= a.cents AND b.sz <= a.sz
+        AND (b.cents > a.cents OR b.sz < a.sz))
+    ORDER BY price_cents DESC, p_partkey"""))
+
   def defs: Seq[Q] =
-    Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166, q190)
+    Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166, q190,
+      q224)
 }

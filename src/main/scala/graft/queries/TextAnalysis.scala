@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.dsl.{fpTrunc, fpTruncSql, hashMod}
+import graft.dsl.{fpTrunc, fpTruncSql, hashMod, hashMod2L, hashMod2LSql}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1476,8 +1476,48 @@ object TextAnalysis extends Q.Module {
     FROM dt JOIN n x ON dt.sa = x.source JOIN n y ON dt.sb = y.source
     ORDER BY sa, sb"""))
 
+  // --- q223: DATASET MANIFEST / DATA CARD — the one-row-per-source
+  //     release artifact a training run pins: document count, char and
+  //     token totals, language spread, and a CONTENT CHECKSUM (q219's
+  //     order-free mergeable hash-sum over (doc_id, n_chars) — two
+  //     manifests from independent systems diff by simple equality).
+  //     One map-combined pass over the corpus; the tokenizer is the
+  //     shared whitespace split (q53's convention, so manifest token
+  //     counts reconcile with the curation pipeline's).
+  private val q223 = Q(
+    "q223_dataset_manifest",
+    "✦ training data: per-source dataset card (docs, chars, tokens, langs, checksum)",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("h", hashMod2L(
+          pmod(col("doc_id"), lit(2147483647L)) * 1000003L
+            + pmod(col("n_chars"), lit(1000003L)), lit(2147483648L)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("toks")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("h")).as("checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH t AS (
+      SELECT source, lang, doc_id, n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        ${hashMod2LSql(
+          "(doc_id % 2147483647) * 1000003 + (n_chars % 1000003)",
+          "2147483648")} AS h
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      CAST(SUM(h) AS BIGINT) AS checksum
+    FROM t GROUP BY source ORDER BY source"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210)
+      q171, q173, q183, q210, q223)
 }
