@@ -758,6 +758,68 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("q224 skyline one-pass == brute-force domination on random points") {
+    // The exclusive-prefix-min reduction vs the O(n²) definition, on
+    // adversarial data: duplicated coordinates, price ties, and a
+    // dominated-chain cluster. Equality proves the tie rules (equal
+    // coords both survive; same-price larger-size dies) transfer.
+    import spark.implicits._
+    val rng = new Random(23)
+    (1 to 3).foreach { _ =>
+      val pts = Seq.fill(300)((rng.nextInt(50) * 100 + 900_00,
+        1 + rng.nextInt(25))) ++ Seq((1000_00, 5), (1000_00, 5)) // dup pair
+      val dir = java.nio.file.Files.createTempDirectory("sky").toString
+      try {
+        pts.zipWithIndex.map { case ((c, sz), i) =>
+          (i.toLong, c / 100.0, sz) }
+          .toDF("p_partkey", "p_retailprice", "p_size")
+          .write.mode("overwrite").parquet(s"$dir/part.parquet")
+        val got = SparkEntry.queries("q224_skyline")(spark, dir)
+          .select("p_partkey").as[Long].collect().toSet
+        val want = pts.zipWithIndex.filter { case ((c, s), _) =>
+          !pts.exists { case (c2, s2) =>
+            c2 >= c && s2 <= s && (c2 > c || s2 < s) }
+        }.map(_._2.toLong).toSet
+        assert(got == want, s"skyline drifted: $got vs $want")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(dir))
+      }
+    }
+  }
+
+  test("q201 two-phase sweep == brute-force max concurrency") {
+    // Random event times with deliberate collisions (coarse grid) so
+    // start==end ties exercise the (t, delta) ends-first rule; the
+    // brute-force replica counts open intervals just after each start.
+    import spark.implicits._
+    val rng = new Random(29)
+    val span = 300000000L
+    val times = Seq.fill(400)(
+      1700000000000000L + rng.nextInt(50) * 60000000L)
+    val dir = java.nio.file.Files.createTempDirectory("sweep").toString
+    try {
+      times.zipWithIndex.map { case (us, i) =>
+        (i.toLong, new java.sql.Timestamp(us / 1000), 1L, "e", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = SparkEntry.queries("q201_max_concurrency")(spark, dir)
+        .select("max_concurrent").as[Long].head()
+      // brute force: for each start t, count intervals with s <= t < s+span
+      // (an interval ending exactly at t is closed first — not counted)
+      val want = times.map(t =>
+        times.count(s => s <= t && t < s + span).toLong).max
+      assert(got == want, s"sweep=$got brute=$want")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
