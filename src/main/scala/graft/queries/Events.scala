@@ -1705,7 +1705,75 @@ object Events extends Q.Module {
     SELECT user_id, last_ka, last_ka_us, last_kb, last_kb_us
     FROM f WHERE rn = 1 ORDER BY user_id"""))
 
+  // --- q227: TIME-TO-CONVERT PERCENTILES — how long from first view to
+  //     first purchase, p50/p90 over converting users plus the
+  //     conversion rate (q127's funnel asks IF users convert; this asks
+  //     HOW FAST). Durations collapse to whole seconds on a users-sized
+  //     frame, then the q202/q207 two-phase histogram rank reads the
+  //     ranks — block = seconds div 2¹⁶ (bounded in-block span), integer
+  //     ceil-division rank thresholds, no global window. Both stage
+  //     aggregates are min-reductions over pushdown-filtered scans.
+  private val q227 = Q(
+    "q227_time_to_convert",
+    "✦ funnel: view→purchase time-to-convert p50/p90 + conversion rate (two-phase histogram rank)",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", micros)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"))
+        .join(v, Seq("user_id"))
+        .filter(col("us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_buy"),
+          min(col("t_view")).as("t_view2"))
+      val dur = p.select(
+        expr("(t_buy - t_view2) div 1000000").as("sec"))
+      val vc = dur.groupBy(col("sec")).agg(count(lit(1)).as("c"))
+        .withColumn("block", expr("sec div 65536"))
+      val wB = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = vc.groupBy(col("block")).agg(sum(col("c")).as("bc"))
+        .withColumn("boff", sum(col("bc")).over(wB) - col("bc"))
+        .select(col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("block")).orderBy(col("sec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.join(broadcast(off), Seq("block"))
+        .withColumn("cum", col("boff") + sum(col("c")).over(wIn))
+      val tot = vc.agg(sum(col("c")).as("n_conv"))
+      val nView = v.agg(count(lit(1)).as("n_view"))
+      def pick(pp: Int, name: String) = cum.crossJoin(broadcast(tot))
+        .filter(col("cum") >= expr(s"($pp * n_conv + 99) div 100"))
+        .agg(min(col("sec")).as(name))
+      pick(50, "p50_sec").crossJoin(pick(90, "p90_sec"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(nView))
+        .select(col("n_view"), col("n_conv"), col("p50_sec"),
+          col("p90_sec"),
+          (col("n_conv").cast("double") / col("n_view").cast("double"))
+            .as("conv_rate"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events),
+    v AS (SELECT user_id, MIN(us) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.us) AS t_buy, MIN(v.t_view) AS t_view2
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.us > v.t_view GROUP BY 1),
+    dur AS (SELECT (t_buy - t_view2) // 1000000 AS sec FROM p),
+    r AS (SELECT sec,
+        ROW_NUMBER() OVER (ORDER BY sec) AS rn,
+        COUNT(*) OVER () AS n FROM dur),
+    nv AS (SELECT COUNT(*) AS n_view FROM v),
+    t AS (SELECT COUNT(*) AS n_conv FROM dur)
+    SELECT nv.n_view AS n_view, t.n_conv AS n_conv,
+      (SELECT CAST(MIN(sec) AS BIGINT) FROM r
+        WHERE rn >= (50 * n + 99) // 100) AS p50_sec,
+      (SELECT CAST(MIN(sec) AS BIGINT) FROM r
+        WHERE rn >= (90 * n + 99) // 100) AS p90_sec,
+      CAST(t.n_conv AS DOUBLE) / CAST(nv.n_view AS DOUBLE) AS conv_rate
+    FROM nv, t"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
-    q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217)
+    q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
+    q227)
 }

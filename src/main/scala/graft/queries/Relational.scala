@@ -1189,7 +1189,63 @@ object Relational extends Q.Module {
         WHERE o.o_custkey = c.c_custkey)
     GROUP BY n.n_name ORDER BY n_name"""))
 
+  // --- q225: MULTI-SOURCE BFS HOP DISTANCES — "how far is every user
+  //     from the seed cohort" over the co-purchase graph (3 bounded
+  //     rounds): the graph-distance primitive under influence-radius
+  //     and contamination-spread questions, completing the graph family
+  //     (CC q76, PageRank q167, triangles q182, k-core q194). Per round:
+  //     ONE frontier⋈edges equi-join + ONE min-distance aggregate
+  //     (map-combined), then eager localCheckpoint — the CC/PageRank
+  //     lineage rule (a lazily-chained generation re-executes all prior
+  //     rounds). Seeds are node % 7 = 0 (deterministic, same `%` on
+  //     positive ids both engines). Bounded rounds make the result
+  //     well-defined without a fixpoint test: d is the true distance
+  //     for d ≤ 3, everything else is simply absent. The oracle unrolls
+  //     the identical 3 rounds as CTEs (the q194/q214 idiom).
+  private val q225 = Q(
+    "q225_bfs_hops",
+    "✦ graph: multi-source BFS hop-distance histogram (3 rounds, min-dist per round)",
+    (s, d) => {
+      val pairs = coPurchasePairs(s, d)
+      val adj = pairs.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+        .persist()
+      val nodes = adj.select(col("src").as("node")).distinct()
+      var dist = nodes.filter(col("node") % 7 === 0)
+        .select(col("node"), lit(0L).as("d")).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val next = dist.join(adj, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("d") + 1).as("d"))
+        dist = dist.select(col("node"), col("d")).unionByName(next)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      val totals = nodes.agg(count(lit(1)).as("n_graph"))
+      dist.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(totals))
+        .orderBy(col("d"))
+    },
+    Some {
+      def round(i: Int) = s"""d$i AS (
+        SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+          SELECT node, d FROM d${i - 1}
+          UNION ALL
+          SELECT a.dst AS node, p.d + 1 AS d
+          FROM d${i - 1} p JOIN adj a ON p.node = a.src)
+        GROUP BY 1)"""
+      s"""WITH $coPurchasePairsSql,
+    adj AS (SELECT x AS src, y AS dst FROM pairs
+      UNION ALL SELECT y AS src, x AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM adj),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes
+      WHERE node % 7 = 0),
+    ${round(1)}, ${round(2)}, ${round(3)},
+    t AS (SELECT COUNT(*) AS n_graph FROM nodes)
+    SELECT d, COUNT(*) AS n_nodes, t.n_graph AS n_graph
+    FROM d3, t GROUP BY d, t.n_graph ORDER BY d"""
+    })
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182, q194, q197, q209, q212, q218, q220, q221)
+    q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225)
 }
