@@ -156,6 +156,27 @@ class PlanEvidenceSpec extends SparkSuite {
       s"probe degenerated to an all-pairs join:\n$plan")
   }
 
+  test("q212/q224/q227 rank family: every window references the block key") {
+    for (q <- Seq("q212_rank_movers", "q224_skyline", "q227_time_to_convert")) {
+      val plan = planOf(q)
+      val windows = plan.split("\n").filter(_.contains("Window "))
+      assert(windows.nonEmpty, s"$q: no Window in plan:\n$plan")
+      val global = windows.filterNot(_.contains("block"))
+      assert(global.isEmpty,
+        s"$q: corpus-global window found (one-task global sort):\n$plan")
+    }
+  }
+
+  test("q216/q220 top-k compile to TakeOrderedAndProject, no cartesian") {
+    for (q <- Seq("q216_recency_weighted_score", "q220_blame_supplier")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: top-k fell back to a global sort:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: cartesian in plan:\n$plan")
+    }
+  }
+
   test("q207 ship-lag: every window is partitioned by priority") {
     // The histogram-rank claim: cumulative counts run per (pri) over the
     // ~100-value day histogram — a global unpartitioned window would
