@@ -867,6 +867,99 @@ object Dedup extends Q.Module {
     FROM scored JOIN groups USING (h)
     ORDER BY cluster, doc_id"""))
 
+  // --- q228: PREFIX-FILTERED SET-SIMILARITY JOIN (PPJoin family) — the
+  //     third scale path for exact-threshold similarity, distinct from
+  //     both MinHash banding (q48, probabilistic) and the full inverted
+  //     index (q47, every token generates pairs). Tokens are globally
+  //     ordered rarest-first (document frequency asc, token asc); a doc
+  //     whose token set has size n only indexes its first
+  //     L = n − ⌈t·n⌉ + 1 tokens under that order. Losslessness (Bayardo
+  //     et al., Chaudhuri et al. SSJoin): J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·n⌉ for
+  //     BOTH sizes (|A∪B| ≥ max size), and ⌈t·n⌉ common tokens cannot all
+  //     fit in a suffix of length ⌈t·n⌉ − 1 — so the prefixes must share
+  //     a token. 100 TB story: the candidate join fans out on the RAREST
+  //     tokens only (a stopword never enters a prefix unless the doc is
+  //     nearly all stopwords), so pair volume is bounded by rare-token
+  //     df² instead of hot-token df² — the prefix is what makes an exact
+  //     similarity join survive a corpus where "the" is in every doc.
+  //     The size filter 5·min(na,nb) ≥ 3·max(na,nb) (J ≥ 0.6 forces
+  //     t ≤ nb/na ≤ 1/t) prunes candidates before the verify join; the
+  //     verify recount is exact integer arithmetic and the threshold is
+  //     the cross-multiplied 5·inter ≥ 3·(na+nb−inter), so the only
+  //     double is the one presentation division. The ⌈0.6n⌉ is integer
+  //     ceil-division (3n+4) div 5 — never double CEIL (ledger trap 1).
+  //     Oracle: the FULL inverted-index all-token pair join (q47's
+  //     algorithm) with the same threshold — a genuinely different
+  //     algorithm, certifying the prefix filter drops no pair.
+  private val q228 = Q(
+    "q228_prefix_filter_join",
+    "✦ set-similarity join: rarest-first prefix filtering, exact token Jaccard >= 0.6",
+    (s, d) => {
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      // every 10th doc re-enters with one appended token: token-Jaccard
+      // n/(n+1) ≥ 0.6 guarantees true pairs exist to find.
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" prefixprobe")).as("text")))
+      val tok = corpus.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // one window pass per doc: global rarest-first rank + set size.
+      // dfreq is vocabulary-sized (aggregated) → broadcast to the rank.
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val ranked = tok.join(broadcast(dfreq), Seq("tok"))
+        .withColumn("rn",
+          row_number().over(wDoc.orderBy(col("df"), col("tok"))))
+        .withColumn("n", count(lit(1)).over(wDoc))
+      val pref = ranked
+        .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("tok"), col("n"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.tok") === col("b.tok")
+            && col("a.doc_id") < col("b.doc_id")
+            && lit(5) * least(col("a.n"), col("b.n"))
+              >= lit(3) * greatest(col("a.n"), col("b.n")))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(tok.select(col("doc_id").as("da"), col("tok")), Seq("da"))
+        .join(tok.select(col("doc_id").as("db"), col("tok")),
+          Seq("db", "tok"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .filter(lit(5) * col("inter")
+          >= lit(3) * (col("na") + col("nb") - col("inter")))
+        .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
+          (col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter"))).as("jacc"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text || ' prefixprobe'
+      FROM documents WHERE doc_id % 10 = 0),
+    tok AS (SELECT doc_id,
+        unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM corpus),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1),
+    pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tok a JOIN tok b USING (tok)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT da, db, inter, sa.n AS na, sb.n AS nb,
+      CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jacc
+    FROM pr JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+    WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
+    ORDER BY da, db"""))
+
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148, q156)
+    q148, q156, q228)
 }

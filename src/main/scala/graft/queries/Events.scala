@@ -1772,8 +1772,60 @@ object Events extends Q.Module {
       CAST(t.n_conv AS DOUBLE) / CAST(nv.n_view AS DOUBLE) AS conv_rate
     FROM nv, t"""))
 
+  // --- q229: GAPS-AND-ISLANDS — longest consecutive-active-day streak
+  //     per user, the canonical run-length shape (pandas: diff+cumsum on
+  //     a DatetimeIndex). island id = day_index − row_number per user:
+  //     consecutive days share it, any gap shifts it — one partitioned
+  //     window pass, then two hash aggregates; no self-join, no
+  //     sequence materialization, so the shape is a constant number of
+  //     shuffles on (user_id) regardless of history length. Everything
+  //     is exact integer day arithmetic on the BIGINT-ns ts contract
+  //     (86400000000 µs/day). The per-user best streak rides max_by on
+  //     the composite key len·2²¹ − start_dd (longest streak, earliest
+  //     start on ties; dd ≈ 10⁴ days since epoch « 2²¹ keeps ranges
+  //     disjoint, product ≤ len·2²¹ « 2⁶³) — the q148 argmax idiom, so
+  //     the survivor is engine-identical without a struct comparator.
+  //     Top-20 ends in TakeOrderedAndProject with the user_id tiebreak.
+  private val q229 = Q(
+    "q229_activity_streaks",
+    "✦ gaps-and-islands: longest consecutive-active-day streak per user (top-20)",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("dd"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("dd"))
+      val isl = days.withColumn("island",
+        col("dd") - row_number().over(wU))
+      val streaks = isl.groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"), min(col("dd")).as("start_dd"))
+      streaks.groupBy(col("user_id"))
+        .agg(max(col("len")).as("best_streak"),
+          max_by(col("start_dd"),
+            col("len") * lit(2097152L) - col("start_dd")).as("best_start_dd"),
+          count(lit(1)).as("n_islands"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy(col("best_streak").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dd
+      FROM events),
+    isl AS (SELECT user_id, dd,
+        dd - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dd) AS island
+      FROM days),
+    st AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+        MIN(dd) AS start_dd
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, MAX(len) AS best_streak,
+      arg_max(start_dd, len * 2097152 - start_dd) AS best_start_dd,
+      CAST(COUNT(*) AS BIGINT) AS n_islands,
+      CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM st GROUP BY user_id
+    ORDER BY best_streak DESC, user_id LIMIT 20"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227)
+    q227, q229)
 }
