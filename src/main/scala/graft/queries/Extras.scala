@@ -605,7 +605,72 @@ object Extras extends Q.Module {
     FROM cand GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
     ORDER BY sup DESC, pa, pb, pc LIMIT 20"""))
 
+  // --- q230: ASSOCIATION RULES — the step after frequent-itemset mining
+  //     (q190 pairs, q226 triples): turn the L2-frequent pairs into
+  //     directed rules a→b scored by support, confidence and lift. Shape:
+  //     the rule frame is PAIR-sized (already aggregated), so the two
+  //     single-support joins broadcast the frequent-item table and the
+  //     basket count rides as a 1-row broadcast frame — no further pass
+  //     over lineitem. Determinism: the confidence gate is the
+  //     cross-multiplied integer 2·sup(ab) ≥ sup(a) (conf ≥ 0.5, never a
+  //     double compare); conf and lift are each ONE double division of
+  //     exact BIGINT products (sup·N and sup(a)·sup(b) both « 2⁶³), so
+  //     both engines order the top-25 identically; ties break on
+  //     (ante, cons). Ends in TakeOrderedAndProject.
+  private val q230 = Q(
+    "q230_assoc_rules",
+    "✦ basket mining: association rules from frequent pairs — support/confidence/lift top-25",
+    (s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nB = op.select(col("o")).distinct()
+        .agg(count(lit(1)).as("nb"))
+      val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
+        .filter(col("s1") >= 2)
+      val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
+      val l2 = pr.select(col("o"), col("p").as("pa")).as("a")
+        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("b"),
+          col("o") === col("o2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
+        .filter(col("s2") >= 2)
+      val rules = l2.select(col("pa").as("ante"), col("pb").as("cons"),
+          col("s2"))
+        .unionByName(l2.select(col("pb").as("ante"), col("pa").as("cons"),
+          col("s2")))
+        .join(broadcast(f1.select(col("p").as("ante"), col("s1").as("sa"))),
+          Seq("ante"))
+        .join(broadcast(f1.select(col("p").as("cons"), col("s1").as("sc"))),
+          Seq("cons"))
+        .crossJoin(broadcast(nB))
+      rules.filter(col("s2") * 2 >= col("sa"))
+        .select(col("ante"), col("cons"), col("s2").as("support"),
+          col("sa").as("ante_support"),
+          (col("s2").cast("double") / col("sa")).as("conf"),
+          ((col("s2") * col("nb")).cast("double")
+            / (col("sa") * col("sc"))).as("lift"))
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(25)
+    },
+    Some("""WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS nb FROM op),
+    f1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s1 FROM op
+      GROUP BY p HAVING COUNT(*) >= 2),
+    pr AS (SELECT op.o, op.p FROM op JOIN f1 USING (p)),
+    l2 AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS s2
+      FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    ru AS (SELECT pa AS ante, pb AS cons, s2 FROM l2
+      UNION ALL SELECT pb, pa, s2 FROM l2)
+    SELECT ante, cons, s2 AS support, fa.s1 AS ante_support,
+      CAST(s2 AS DOUBLE) / fa.s1 AS conf,
+      CAST(s2 * nb.nb AS DOUBLE) / (fa.s1 * fc.s1) AS lift
+    FROM ru JOIN f1 fa ON fa.p = ante JOIN f1 fc ON fc.p = cons, nb
+    WHERE 2 * s2 >= fa.s1
+    ORDER BY lift DESC, ante, cons LIMIT 25"""))
+
   def defs: Seq[Q] =
     Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166, q190,
-      q224, q226)
+      q224, q226, q230)
 }

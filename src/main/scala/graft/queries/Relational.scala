@@ -1245,7 +1245,50 @@ object Relational extends Q.Module {
     FROM d3, t GROUP BY d, t.n_graph ORDER BY d"""
     })
 
+  // --- q231: FRIEND-OF-FRIEND LINK PREDICTION — common-neighbor scoring
+  //     of NON-edges on q182's blocked co-purchase graph: for every
+  //     two-hop pair (a −m− b, a < b) count the distinct shared
+  //     neighbors m, drop pairs already connected (left_anti against the
+  //     canonical edge list), rank by count. The wedge enumeration is
+  //     the same Σ deg(m)² frame q182 orients away — here it CANNOT be
+  //     oriented (a CN score needs every center, not each triangle
+  //     once), so the cost is intrinsic to the metric and the scale
+  //     controls are upstream (the blocked graph caps per-block degree)
+  //     plus AQE skew-split on hub centers. Everything is exact integer
+  //     counting — no Adamic-Adar 1/ln(deg) weighting, which is the
+  //     textbook refinement but engine-unstable (ln() is not bit-stable
+  //     across libm implementations; the determinism ledger's rule).
+  //     Top-20 ends in TakeOrderedAndProject with (ua, ub) tiebreaks.
+  private val q231 = Q(
+    "q231_friend_of_friend",
+    "✦ graph: friend-of-friend link prediction — top common-neighbor non-edges",
+    (s, d) => {
+      val pairs = coPurchasePairs(s, d)
+      val adj = pairs.unionByName(
+        pairs.select(col("y").as("x"), col("x").as("y")))
+      val cn = adj.select(col("x").as("m"), col("y").as("a")).as("e1")
+        .join(adj.select(col("x").as("m2"), col("y").as("b")).as("e2"),
+          col("m") === col("m2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common_neighbors"))
+      cn.join(pairs.select(col("x").as("a"), col("y").as("b")),
+          Seq("a", "b"), "left_anti")
+        .select(col("a").as("ua"), col("b").as("ub"),
+          col("common_neighbors"))
+        .orderBy(col("common_neighbors").desc, col("ua"), col("ub"))
+        .limit(20)
+    },
+    Some(s"""WITH $coPurchasePairsSql,
+    adj AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+    cn AS (SELECT e1.y AS a, e2.y AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+      FROM adj e1 JOIN adj e2 ON e1.x = e2.x AND e1.y < e2.y
+      GROUP BY 1, 2)
+    SELECT a AS ua, b AS ub, common_neighbors
+    FROM cn
+    WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE x = a AND y = b)
+    ORDER BY common_neighbors DESC, ua, ub LIMIT 20"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225)
+    q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225, q231)
 }
