@@ -1288,7 +1288,107 @@ object Relational extends Q.Module {
     WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE x = a AND y = b)
     ORDER BY common_neighbors DESC, ua, ub LIMIT 20"""))
 
+  // --- q232: TPC-H Q20 SHAPE — "dominant supplier-part pairs": supplier
+  //     shipped >50% of a part's total 1995 volume. The reference form is
+  //     a correlated scalar subquery per (part, supplier) — the oracle
+  //     keeps exactly that form (same certification pattern as
+  //     q123/q124/q220/q221) — while the Spark plan decorrelates it into
+  //     two aggregates over ONE filtered scan (per-pair and per-part
+  //     totals) joined on partkey, with the >50% gate as the
+  //     cross-multiplied integer 2·sq > tq over exact quantity-cents
+  //     (never a 0.5·double compare). Both aggregates share the same
+  //     shuffle key family; supplier/nation dims broadcast. Top-15 ends
+  //     in TakeOrderedAndProject with the s_name tiebreak.
+  private val q232 = Q(
+    "q232_dominant_supplier_parts",
+    "TPC-H Q20 shape: suppliers dominating >50% of a part's shipped volume (decorrelated)",
+    (s, d) => {
+      val li95 = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1995)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+            .as("qc"))
+      val sp = li95.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qc")).as("sq"))
+      val pt = li95.groupBy(col("l_partkey")).agg(sum(col("qc")).as("tq"))
+      val dom = sp.join(pt, Seq("l_partkey"))
+        .filter(col("sq") * 2 > col("tq"))
+      dom.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominated"), sum(col("sq")).as("qty_cents"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"),
+            col("s_nationkey"))), Seq("l_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+          Seq("s_nationkey"))
+        .select(col("s_name"), col("n_name").as("nation"),
+          col("n_dominated"), col("qty_cents"))
+        .orderBy(col("n_dominated").desc, col("s_name"))
+        .limit(15)
+    },
+    Some("""WITH li95 AS (SELECT l_partkey, l_suppkey,
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+      FROM lineitem WHERE year(l_shipdate) = 1995),
+    sp AS (SELECT l_partkey, l_suppkey, CAST(SUM(qc) AS BIGINT) AS sq
+      FROM li95 GROUP BY 1, 2)
+    SELECT s_name, n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_dominated,
+      CAST(SUM(sq) AS BIGINT) AS qty_cents
+    FROM sp
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE 2 * sq > (SELECT SUM(qc) FROM li95 t
+      WHERE t.l_partkey = sp.l_partkey)
+    GROUP BY s_name, n_name
+    ORDER BY n_dominated DESC, s_name LIMIT 15"""))
+
+  // --- q234: TPC-H Q15 SHAPE — top-revenue supplier(s) for a quarter:
+  //     the scalar-MAX-subquery pattern (revenue = (SELECT MAX ...)).
+  //     Spark decorrelates it as: one aggregate over the filtered
+  //     quarter, a 1-row MAX aggregate of THAT frame broadcast back, and
+  //     an exact-decimal equality filter — the aggregate is computed
+  //     once and reused, where the naive correlated form recomputes the
+  //     view per row. Revenue stays DECIMAL through the MAX-equality
+  //     compare (exact in both engines; the dsum idiom) and is cast to
+  //     double only for presentation. Q15's "top supplier" ties are kept
+  //     (all rows equal to max), ordered by s_suppkey.
+  private val q234 = Q(
+    "q234_top_revenue_supplier",
+    "TPC-H Q15 shape: supplier(s) with max Q1-1996 revenue (scalar-max subquery, decorrelated)",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("revd"),
+          count(lit(1)).as("n_items"))
+      val mx = rev.agg(max(col("revd")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("revd") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
+          Seq("l_suppkey"))
+        .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+          col("revd").cast("double").as("total_revenue"), col("n_items"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH rev AS (
+      SELECT l_suppkey,
+        SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+          AS revd,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT l_suppkey AS s_suppkey, s_name,
+      CAST(revd AS DOUBLE) AS total_revenue, n_items
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE revd = (SELECT MAX(revd) FROM rev)
+    ORDER BY s_suppkey"""))
+
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
-    q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225, q231)
+    q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225, q231,
+    q232, q234)
 }

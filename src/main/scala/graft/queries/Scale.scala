@@ -717,6 +717,45 @@ object Scale extends Q.Module {
         "2147483648")}) AS BIGINT) AS checksum
     FROM rows_ GROUP BY m ORDER BY m"""))
 
+  // --- q233: DETERMINISTIC WEIGHTED SAMPLING — bottom-k per source under
+  //     the priority key u/w (u = seeded hash draw, w = n_chars): heavier
+  //     docs get systematically smaller keys, so inclusion probability
+  //     rises with weight while the draw stays a pure function of doc_id
+  //     — reproducible across runs, partitionings and engines, the same
+  //     property q152/q215 build on. The textbook exact scheme (A-ES /
+  //     exponential keys, u^(1/w)) needs pow/ln, which are NOT bit-stable
+  //     across libm implementations (determinism ledger) — the rational
+  //     priority u/w is the engine-stable member of that family: one
+  //     IEEE division of exact integers, identical in both engines, with
+  //     doc_id as the total tiebreak. Scale shape: one window pass
+  //     partitioned by source (WindowGroupLimit prunes map-side for the
+  //     rank filter) — no global sort, no driver collect.
+  private val q233 = Q(
+    "q233_weighted_priority_sample",
+    "✦ deterministic weighted sampling: hash-priority u/w bottom-5 per source",
+    (s, d) => {
+      val pr = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("u", hashMod2L(col("doc_id"), lit(1048576L)) + 1)
+      pr.withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("u").cast("double") / col("n_chars"),
+              col("doc_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+          col("u"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some(s"""WITH pr AS (SELECT doc_id, source, n_chars,
+      ${hashMod2LSql("doc_id", "1048576")} + 1 AS u
+    FROM documents),
+    rk AS (SELECT source, doc_id, n_chars, u,
+      ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY CAST(u AS DOUBLE) / n_chars, doc_id) AS rk
+    FROM pr)
+    SELECT source, rk, doc_id, n_chars, u FROM rk
+    WHERE rk <= 5 ORDER BY source, rk"""))
+
   def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165,
-    q185, q219)
+    q185, q219, q233)
 }
