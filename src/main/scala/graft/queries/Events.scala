@@ -1824,8 +1824,57 @@ object Events extends Q.Module {
     FROM st GROUP BY user_id
     ORDER BY best_streak DESC, user_id LIMIT 20"""))
 
+  // --- q237: NEW vs RETURNING DAU — the growth-accounting decomposition
+  //     every product dashboard runs: per day, split active users into
+  //     first-ever-seen ("new") and returning, plus the cumulative
+  //     unique-user count. Shape: one distinct (user, day) pass, a
+  //     per-user MIN aggregate broadcast back (user-sized, aggregated),
+  //     then a day-grained aggregate — cumulative uniques is a window
+  //     cumsum over the DAY-sized frame only (the block-totals
+  //     exception: ~10² rows, never the raw events), because
+  //     Σ_new-per-day telescopes into cumulative distinct count without
+  //     any distinct-over-expanding-window work. All exact integers.
+  private val q237 = Q(
+    "q237_dau_new_returning",
+    "✦ growth accounting: per-day new vs returning users + cumulative uniques",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("dd"))
+        .distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("dd")).as("fd"))
+      val daily = ud.join(first, Seq("user_id"))
+        .groupBy(col("dd"))
+        .agg(count(lit(1)).as("active_users"),
+          sum(when(col("dd") === col("fd"), 1L).otherwise(0L))
+            .as("new_users"))
+      daily
+        .withColumn("returning_users",
+          col("active_users") - col("new_users"))
+        .withColumn("cum_unique_users",
+          sum(col("new_users")).over(Window.orderBy(col("dd"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("dd"), col("active_users"), col("new_users"),
+          col("returning_users"), col("cum_unique_users"))
+        .orderBy(col("dd"))
+    },
+    Some("""WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dd
+      FROM events),
+    first_ AS (SELECT user_id, MIN(dd) AS fd FROM ud GROUP BY user_id),
+    daily AS (SELECT dd, CAST(COUNT(*) AS BIGINT) AS active_users,
+        CAST(SUM(CASE WHEN dd = fd THEN 1 ELSE 0 END) AS BIGINT)
+          AS new_users
+      FROM ud JOIN first_ USING (user_id) GROUP BY dd)
+    SELECT dd, active_users, new_users,
+      active_users - new_users AS returning_users,
+      CAST(SUM(new_users) OVER (ORDER BY dd
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_unique_users
+    FROM daily ORDER BY dd"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227, q229)
+    q227, q229, q237)
 }

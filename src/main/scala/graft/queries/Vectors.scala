@@ -815,7 +815,61 @@ object Vectors extends Q.Module {
     SELECT anchor, anchor_label, slot, neg_id, neg_label
     FROM r WHERE slot <= 2 ORDER BY anchor, slot"""))
 
+  // --- q236: GRID-BLOCKED ε-NEIGHBOR JOIN — the spatial-join pattern
+  //     (DBSCAN's region query, geo proximity): all point pairs within
+  //     euclidean ε in the (dim0, dim1) plane of the embedding space.
+  //     Cell size = ε, so a point's neighbors can only live in its 3×3
+  //     cell neighborhood: one side explodes to its 9 neighbor cells,
+  //     the other stays in its home cell, and the equi-join on cell id
+  //     replaces the O(n²) product — pair volume is Σ (9·cell_pop²),
+  //     bounded by data density, the standard grid spatial join. Each
+  //     true pair is produced exactly once (the probe side has ONE home
+  //     cell). Determinism: cell = FLOOR(x/ε) of identical doubles is
+  //     engine-identical (the fpTrunc argument); the verify d² ≤ ε² and
+  //     the reported d² are the same IEEE expression in both engines.
+  //     At 100 TB the same plan shards by cell id; hot cells (dense
+  //     regions) are the AQE skew-split case. Oracle: the naive O(n²)
+  //     threshold join — a different algorithm certifying the 3×3 cover
+  //     is complete.
+  private val q236 = Q(
+    "q236_grid_epsilon_join",
+    "✦ spatial: grid-blocked ε-neighbor join on the (dim0, dim1) embedding plane",
+    (s, d) => {
+      val eps = 0.02
+      val p = Tables.embeddings(s, d).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      val cells = p
+        .withColumn("cx", floor(col("x") / eps))
+        .withColumn("cy", floor(col("y") / eps))
+      val probe = cells.select(col("vec_id").as("vb"),
+        col("x").as("xb"), col("y").as("yb"), col("cx"), col("cy"))
+      val build = cells
+        .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("vec_id").as("va"), col("x").as("xa"),
+          col("y").as("ya"),
+          (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
+      build.join(probe, Seq("cx", "cy"))
+        .filter(col("va") < col("vb"))
+        .withColumn("d2",
+          (col("xa") - col("xb")) * (col("xa") - col("xb"))
+            + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .filter(col("d2") <= lit(eps * eps))
+        .select(col("va"), col("vb"), col("d2"))
+        .orderBy(col("va"), col("vb"))
+    },
+    Some("""WITH p AS (SELECT vec_id,
+        CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings)
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+      (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= 0.02 * 0.02
+    ORDER BY va, vb"""))
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214, q215)
+      q214, q215, q236)
 }

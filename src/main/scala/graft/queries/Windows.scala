@@ -811,6 +811,65 @@ object Windows extends Q.Module {
     FROM f WHERE 3 * dev * dev > 14 * varn
     ORDER BY event_type, day"""))
 
+  // --- q235: CLAMPED RUNNING BALANCE — the inventory/wallet scan
+  //     s_t = max(0, s_{t−1} + x_t), the canonical NON-LINEAR prefix
+  //     recursion that looks sequential but is not: the closed form
+  //     s_t = cum_t − min(0, min_{k≤t} cum_k) (withdrawals that would
+  //     overdraw are forfeited, which is exactly the running-min deficit)
+  //     turns it into TWO ordinary window passes — cumulative sum, then
+  //     running min — both partitioned by user, so the whole scan
+  //     distributes with zero cross-key traffic and no sequential state.
+  //     Here only the per-user FINAL state is reported, which needs just
+  //     cum's per-key MIN and SUM: one window pass + one hash aggregate.
+  //     Everything is exact integer cents (credits: purchase/signup;
+  //     debits: all other event types). The oracle runs the NAIVE
+  //     sequential recurrence (list_reduce greatest(acc+x, 0) over the
+  //     (ts, event_id)-ordered list) — a genuinely different algorithm,
+  //     certifying the closed form.
+  private val q235 = Q(
+    "q235_clamped_running_balance",
+    "✦ non-linear scan: clamp-at-zero running balance via cumsum − running-min identity",
+    (s, d) => {
+      val tx = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (when(col("event_type").isin("purchase", "signup"), lit(1))
+            .otherwise(lit(-1))
+            * (col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tx.withColumn("cum", sum(col("cents")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_tx"),
+          sum(col("cents")).as("net_cents"),
+          min(col("cum")).as("min_prefix_cents"))
+        .select(col("user_id"), col("n_tx"), col("net_cents"),
+          col("min_prefix_cents"),
+          (col("net_cents") - least(col("min_prefix_cents"), lit(0L)))
+            .as("end_balance_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH tx AS (SELECT user_id, ts, event_id,
+        (CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE -1 END)
+          * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    l AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_tx,
+        CAST(SUM(cents) AS BIGINT) AS net_cents,
+        list(cents ORDER BY ts, event_id) AS xs
+      FROM tx GROUP BY user_id),
+    mn AS (SELECT user_id, CAST(MIN(cum) AS BIGINT) AS min_prefix_cents FROM (
+        SELECT user_id, SUM(cents) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tx) GROUP BY user_id)
+    SELECT l.user_id, n_tx, net_cents, min_prefix_cents,
+      list_reduce(list_concat([CAST(0 AS BIGINT)], xs),
+        (acc, x) -> GREATEST(acc + x, CAST(0 AS BIGINT)))
+        AS end_balance_cents
+    FROM l JOIN mn ON l.user_id = mn.user_id
+    ORDER BY l.user_id"""))
+
   def defs: Seq[Q] = Seq(q18, q19, q20, q21, q22, q77, q80, q86, q105, q120,
-    q142, q145, q147, q151, q206)
+    q142, q145, q147, q151, q206, q235)
 }
