@@ -820,6 +820,99 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("clamped running balance closed form == scanLeft recurrence (q235)") {
+    // s_t = max(0, s_{t-1} + x_t)  ==  cum_t - min(0, min_{k<=t} cum_k):
+    // random signed sequences per key, compare FINAL balances.
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rng = new Random(31)
+    (1 to 5).foreach { _ =>
+      val xs = Seq.fill(300)(
+        (rng.nextInt(6).toLong, rng.nextInt(2001).toLong - 1000L))
+        .zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+      val w = Window.partitionBy(col("k")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = xs.toDF("k", "i", "v")
+        .withColumn("cum", sum(col("v")).over(w))
+        .groupBy(col("k"))
+        .agg((sum(col("v")) - least(min(col("cum")), lit(0L))).as("bal"))
+        .as[(Long, Long)].collect().toMap
+      val want = xs.groupBy(_._1).map { case (k, g) =>
+        k -> g.sortBy(_._2).map(_._3)
+          .foldLeft(0L)((acc, x) => math.max(0L, acc + x))
+      }
+      assert(got == want)
+    }
+  }
+
+  test("prefix-filter candidates cover every Jaccard>=0.6 pair (q228)") {
+    // random small token sets: the rarest-first prefix join must generate
+    // a candidate for EVERY pair the brute-force O(n²) Jaccard finds.
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rng = new Random(37)
+    val docs = (0 until 40).map { id =>
+      val base = Seq.fill(4 + rng.nextInt(8))("t" + rng.nextInt(30)).distinct
+      (id.toLong, if (id % 3 == 0 && id > 0)
+        // mutate a previous doc slightly -> guaranteed high-sim pairs
+        (Seq("t" + rng.nextInt(30)) ++ base).distinct.take(base.size max 2)
+      else base)
+    }
+    val sets = docs.toMap
+    val want = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa.toSet & sb.toSet).size
+      if 5 * inter >= 3 * (sa.size + sb.size - inter)
+    } yield (a, b)).toSet
+    val tok = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("doc_id", "tok")
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val pref = tok.join(broadcast(dfreq), Seq("tok"))
+      .withColumn("rn",
+        row_number().over(wDoc.orderBy(col("df"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val missed = want -- cand
+    assert(missed.isEmpty,
+      s"prefix filter dropped true pairs: ${missed.map { case (a, b) =>
+        (a, b, sets(a), sets(b)) }}")
+  }
+
+  test("grid epsilon-join == brute-force threshold join (q236)") {
+    import spark.implicits._
+    val rng = new Random(41)
+    val eps = 0.1
+    val pts = (0 until 120).map(i =>
+      (i.toLong, rng.nextDouble() * 2 - 1, rng.nextDouble() * 2 - 1))
+    val want = (for {
+      (a, xa, ya) <- pts; (b, xb, yb) <- pts if a < b
+      if (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= eps * eps
+    } yield (a, b)).toSet
+    val p = pts.toDF("id", "x", "y")
+      .withColumn("cx", floor(col("x") / eps))
+      .withColumn("cy", floor(col("y") / eps))
+    val probe = p.select(col("id").as("vb"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    val build = p
+      .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("va"), col("x").as("xa"), col("y").as("ya"),
+        (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
+    val got = build.join(probe, Seq("cx", "cy"))
+      .filter(col("va") < col("vb")
+        && (col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb"))
+          <= lit(eps * eps))
+      .select(col("va"), col("vb")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
