@@ -2146,8 +2146,88 @@ object Aggs extends Q.Module {
       CAST(x.n_extreme + 1 AS DOUBLE) / 17.0 AS p_value
     FROM x CROSS JOIN obs o"""))
 
+  // --- q240: DECILE LIFT / GAINS TABLE — the model-evaluation readout
+  //     (score deciles × conversion): users ranked by total purchase
+  //     spend, split into 10 equal-count bins, per-bin signup-conversion
+  //     rate, lift vs the base rate, and cumulative capture — the gains
+  //     chart every targeting model ships with. Ranking is q202's
+  //     two-phase global rank (value-range blocks + tiny block-offset
+  //     frame + in-block ROW_NUMBER — no single-partition window over
+  //     users); the decile is pure integer arithmetic on the rank,
+  //     10 − ((i−1)·10) div n, so bin edges are engine-exact; rates,
+  //     lift and capture are single double divisions of exact integer
+  //     counts (lift = conv_d·N / (n_d·CONV), cross-multiplied before
+  //     the one cast). The cumulative window runs over the 10-row
+  //     decile frame only.
+  private val q240 = Q(
+    "q240_decile_lift",
+    "✦ model eval: spend-decile lift/gains table (two-phase rank, integer bin edges)",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val spend = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("x"))
+      val conv = ev.filter(col("event_type") === "signup")
+        .select(col("user_id")).distinct().withColumn("converted", lit(1L))
+      val scored = spend.join(conv, Seq("user_id"), "left")
+        .withColumn("converted", coalesce(col("converted"), lit(0L)))
+        .withColumn("block", expr("x div 1048576"))
+      val wB = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = scored.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+        .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+        .select(col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("block"))
+        .orderBy(col("x"), col("user_id"))
+      val ranked = scored.join(broadcast(off), Seq("block"))
+        .withColumn("i", col("boff") + row_number().over(wIn))
+      val tot = ranked.agg(count(lit(1)).as("n"),
+        sum(col("converted")).as("cv"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .withColumn("decile",
+          lit(10L) - expr("((i - 1) * 10) div n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"),
+          max(col("n")).as("n"), max(col("cv")).as("cv"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cum_conv", sum(col("n_conv")).over(wCum))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          (col("n_conv").cast("double") / col("n_users")).as("conv_rate"),
+          ((col("n_conv") * col("n")).cast("double")
+            / (col("n_users") * col("cv"))).as("lift"),
+          (col("cum_conv").cast("double") / col("cv")).as("cum_capture"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH spend AS (SELECT user_id,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    conv AS (SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS converted
+      FROM events WHERE event_type = 'signup'),
+    scored AS (SELECT s.user_id, x, COALESCE(converted, 0) AS converted
+      FROM spend s LEFT JOIN conv USING (user_id)),
+    r AS (SELECT x, converted,
+        ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM scored),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(converted) AS BIGINT) AS cv FROM r),
+    dec AS (SELECT 10 - ((i - 1) * 10) // n AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(converted) AS BIGINT) AS n_conv,
+        MAX(n) AS n, MAX(cv) AS cv
+      FROM r, t GROUP BY 1)
+    SELECT decile, n_users, n_conv,
+      CAST(n_conv AS DOUBLE) / n_users AS conv_rate,
+      CAST(n_conv * n AS DOUBLE) / (n_users * cv) AS lift,
+      CAST(SUM(n_conv) OVER (ORDER BY decile
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / cv
+        AS cum_capture
+    FROM dec ORDER BY decile"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202, q205, q207, q222)
+    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240)
 }

@@ -47,7 +47,14 @@ object Dedup extends Q.Module {
 
   /** Same shingle pipeline over an arbitrary (doc_id, text) frame —
     * q112 runs it over a corpus with injected near-duplicates. */
-  private def shinglesOf(corpus: DataFrame): DataFrame = {
+  private def shinglesOf(corpus: DataFrame): DataFrame =
+    shinglesWithDfOf(corpus).drop("df")
+
+  /** The shingle pipeline keeping the document-frequency column the
+    * cutoff window already computed — q228's rarest-first prefix order
+    * needs df per row, and recomputing it would be a second full
+    * shuffle-by-shingle over the corpus. */
+  private def shinglesWithDfOf(corpus: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     // size(w) >= 3 guard: Spark's sequence(1, size-2) counts DOWN when
     // size-2 < 1 (sequence(1,0) = [1,0]) and slice(w, 0, 3) throws, while
@@ -67,7 +74,6 @@ object Dedup extends Q.Module {
     // corpus where "the and of" appears in every document.
     sh0.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxShingleDf)
-      .drop("df")
   }
 
   private def shinglesSqlFrom(src: String): String =
@@ -877,58 +883,65 @@ object Dedup extends Q.Module {
   //     et al., Chaudhuri et al. SSJoin): J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·n⌉ for
   //     BOTH sizes (|A∪B| ≥ max size), and ⌈t·n⌉ common tokens cannot all
   //     fit in a suffix of length ⌈t·n⌉ − 1 — so the prefixes must share
-  //     a token. 100 TB story: the candidate join fans out on the RAREST
-  //     tokens only (a stopword never enters a prefix unless the doc is
-  //     nearly all stopwords), so pair volume is bounded by rare-token
-  //     df² instead of hot-token df² — the prefix is what makes an exact
-  //     similarity join survive a corpus where "the" is in every doc.
-  //     The size filter 5·min(na,nb) ≥ 3·max(na,nb) (J ≥ 0.6 forces
-  //     t ≤ nb/na ≤ 1/t) prunes candidates before the verify join; the
-  //     verify recount is exact integer arithmetic and the threshold is
-  //     the cross-multiplied 5·inter ≥ 3·(na+nb−inter), so the only
-  //     double is the one presentation division. The ⌈0.6n⌉ is integer
-  //     ceil-division (3n+4) div 5 — never double CEIL (ledger trap 1).
-  //     Oracle: the FULL inverted-index all-token pair join (q47's
-  //     algorithm) with the same threshold — a genuinely different
-  //     algorithm, certifying the prefix filter drops no pair.
+  //     a token. The set elements are the family's word-3-gram SHINGLES
+  //     (the df-capped `shingles` frame q47/q48 share), NOT raw word
+  //     tokens: the fixture corpus has a 31-word vocabulary, so every
+  //     word is a stopword (min df 250 at sf0.1) and a word-level prefix
+  //     join degenerates to near-all-pairs (measured 106 s at sf0.1);
+  //     shingles have ~27k distinct values with max df 25 — the prefix
+  //     fans out on genuinely rare elements, the same reason q47 indexes
+  //     shingles. 100 TB story: candidate volume is bounded by
+  //     rare-shingle df², not hot-element df² — the prefix is what makes
+  //     an exact similarity join survive a corpus where every word is
+  //     common. The size filter 5·min(na,nb) ≥ 3·max(na,nb) (J ≥ 0.6
+  //     forces t ≤ nb/na ≤ 1/t) prunes candidates before the verify
+  //     join; the verify recount is exact integer arithmetic and the
+  //     threshold is the cross-multiplied 5·inter ≥ 3·(na+nb−inter), so
+  //     the only double is the one presentation division. The ⌈0.6n⌉ is
+  //     integer ceil-division (3n+4) div 5 — never double CEIL (ledger
+  //     trap 1). Oracle: the FULL inverted-index all-shingle pair join
+  //     (q47's algorithm) with the same threshold — a genuinely
+  //     different algorithm, certifying the prefix filter drops no pair.
   private val q228 = Q(
     "q228_prefix_filter_join",
-    "✦ set-similarity join: rarest-first prefix filtering, exact token Jaccard >= 0.6",
+    "✦ set-similarity join: rarest-first prefix filtering, exact shingle Jaccard >= 0.6",
     (s, d) => {
       val base = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), col("text"))
-      // every 10th doc re-enters with one appended token: token-Jaccard
-      // n/(n+1) ≥ 0.6 guarantees true pairs exist to find.
+      // every 10th doc re-enters with one appended word: that changes
+      // exactly one 3-gram shingle, so shingle-Jaccard n/(n+1) ≥ 0.6
+      // guarantees true pairs exist to find.
       val corpus = base.unionByName(
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"),
             concat(col("text"), lit(" prefixprobe")).as("text")))
-      val tok = corpus.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-      val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // df rides along from the cutoff window — no second shuffle-by-
+      // shingle to recompute document frequency for the prefix order.
+      val shDf = shinglesWithDfOf(corpus)
+        .select(col("doc_id"), col("shingle").as("tok"), col("df"))
+        .persist()
+      val sh = shDf.select(col("doc_id"), col("tok"))
       // one window pass per doc: global rarest-first rank + set size.
-      // dfreq is vocabulary-sized (aggregated) → broadcast to the rank.
       val wDoc = Window.partitionBy(col("doc_id"))
-      val ranked = tok.join(broadcast(dfreq), Seq("tok"))
+      val pref = shDf
         .withColumn("rn",
           row_number().over(wDoc.orderBy(col("df"), col("tok"))))
         .withColumn("n", count(lit(1)).over(wDoc))
-      val pref = ranked
         .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
         .select(col("doc_id"), col("tok"), col("n"))
       val cand = pref.as("a")
-        .join(pref.as("b"),
+        .join(pref.as("b").hint("shuffle_hash"),
           col("a.tok") === col("b.tok")
             && col("a.doc_id") < col("b.doc_id")
             && lit(5) * least(col("a.n"), col("b.n"))
               >= lit(3) * greatest(col("a.n"), col("b.n")))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
-      val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
-        .join(tok.select(col("doc_id").as("da"), col("tok")), Seq("da"))
-        .join(tok.select(col("doc_id").as("db"), col("tok")),
-          Seq("db", "tok"))
+        .join(sh.select(col("doc_id").as("da"), col("tok")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("tok"))
+          .hint("shuffle_hash"), Seq("db", "tok"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       inter
         .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
@@ -940,14 +953,13 @@ object Dedup extends Q.Module {
             / (col("na") + col("nb") - col("inter"))).as("jacc"))
         .orderBy(col("da"), col("db"))
     },
-    Some("""WITH corpus AS (
+    Some(s"""WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 10000, text || ' prefixprobe'
       FROM documents WHERE doc_id % 10 = 0),
-    tok AS (SELECT doc_id,
-        unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM corpus),
+    ${shinglesSqlFrom("corpus")},
+    tok AS (SELECT doc_id, shingle AS tok FROM sh),
     sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
       FROM tok GROUP BY 1),
     pr AS (SELECT a.doc_id AS da, b.doc_id AS db,

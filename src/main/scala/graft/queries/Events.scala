@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.dsl._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1873,8 +1873,121 @@ object Events extends Q.Module {
         AS cum_unique_users
     FROM daily ORDER BY dd"""))
 
+  // --- q238: BITEMPORAL AS-OF — the warehouse question q192's SCD2
+  //     cannot answer alone: "what did we BELIEVE was the user's state at
+  //     valid time V, as of transaction time T" vs what we NOW know was
+  //     true at V. Records carry two axes: valid time (event time) and
+  //     transaction time (arrival = event time + a deterministic
+  //     per-event ingest delay of hashMod2L(event_id, 86400) seconds —
+  //     the late-data model, reproducible in both engines). The
+  //     as-known-at-T answer filters tx_us ≤ T then takes the latest
+  //     valid_from ≤ V per user; the current-knowledge answer drops the
+  //     tx filter; `revised` marks users whose belief at T was later
+  //     corrected by late arrivals. Both picks are one partitioned
+  //     window pass (ROW_NUMBER desc, event_id tiebreak) — no
+  //     correlated subqueries, no composite-key overflow risk. At
+  //     100 TB this is two scans of the same partition-pruned changelog
+  //     (tx_us ≤ T prunes by ingest partition; us ≤ V by event-date
+  //     partition) + a user-keyed join.
+  private val q238 = Q(
+    "q238_bitemporal_asof",
+    "✦ warehouse: bitemporal as-of — belief at transaction time T vs current knowledge at valid time V",
+    (s, d) => {
+      val V = 1705500000000000L
+      val T = V + 3600000000L
+      val ch = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), micros.as("us"), col("event_id"),
+          col("value"))
+        .withColumn("tx_us",
+          col("us") + hashMod2L(col("event_id"), lit(86400L)) * 1000000L)
+        .filter(col("us") <= V)
+      val wPick = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      def pick(frame: DataFrame, pfx: String) = frame
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("us").as(s"${pfx}_from_us"),
+          col("value").as(s"${pfx}_value"))
+      val known = pick(ch.filter(col("tx_us") <= T), "known")
+      val current = pick(ch, "current")
+      current.join(known, Seq("user_id"), "left")
+        .select(col("user_id"), col("known_from_us"), col("known_value"),
+          col("current_from_us"), col("current_value"),
+          (!col("known_from_us").eqNullSafe(col("current_from_us")))
+            .as("revised"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH ch AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+        epoch_us(ts) + ${hashMod2LSql("event_id", "86400")} * 1000000
+          AS tx_us
+      FROM events
+      WHERE event_type = 'purchase'
+        AND epoch_us(ts) <= 1705500000000000),
+    known AS (SELECT user_id, us AS known_from_us, value AS known_value
+      FROM (SELECT user_id, us, value, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM ch WHERE tx_us <= 1705503600000000)
+      WHERE rn = 1),
+    cur AS (SELECT user_id, us AS current_from_us, value AS current_value
+      FROM (SELECT user_id, us, value, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM ch)
+      WHERE rn = 1)
+    SELECT cur.user_id, known_from_us, known_value,
+      current_from_us, current_value,
+      COALESCE(known_from_us, -1) <> current_from_us AS revised
+    FROM cur LEFT JOIN known ON cur.user_id = known.user_id
+    ORDER BY cur.user_id"""))
+
+  // --- q239: DAY-OF-WEEK SEASONAL RESIDUALS — the seasonal-decomposition
+  //     step before any daily-revenue anomaly call: expected revenue is
+  //     the day-of-week profile mean, and the reported residual is the
+  //     deviation from that profile (a Monday is compared to Mondays).
+  //     The profile is a 7-row broadcast aggregate of the DAY-sized
+  //     frame; the anomaly ordering key |dev| is computed from the
+  //     exact-integer cross-multiplied deviation dev_num = rev·n_d −
+  //     Σrev_d (never mean-subtracted floats), and the presented
+  //     dow_mean / residual are each ONE double division of exact
+  //     integers — both engines order the top-15 identically with the
+  //     day tiebreak.
+  private val q239 = Q(
+    "q239_dow_seasonal_residual",
+    "✦ seasonal decomposition: day-of-week revenue profile + top residual anomaly days",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 86400000000").as("dd"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("dd")).agg(sum(col("cents")).as("rev_cents"))
+        .withColumn("dow", col("dd") % 7)
+      val prof = daily.groupBy(col("dow"))
+        .agg(sum(col("rev_cents")).as("srev"), count(lit(1)).as("nd"))
+      daily.join(broadcast(prof), Seq("dow"))
+        .withColumn("dev_num", col("rev_cents") * col("nd") - col("srev"))
+        .select(col("dd"), col("dow"), col("rev_cents"),
+          (col("srev").cast("double") / col("nd")).as("dow_mean"),
+          (col("dev_num").cast("double") / col("nd")).as("residual"))
+        .orderBy(abs(col("residual")).desc, col("dd"))
+        .limit(15)
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS rev_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    prof AS (SELECT dd % 7 AS dow, CAST(SUM(rev_cents) AS BIGINT) AS srev,
+        CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily GROUP BY 1)
+    SELECT dd, dd % 7 AS dow, rev_cents,
+      CAST(srev AS DOUBLE) / nd AS dow_mean,
+      CAST(rev_cents * nd - srev AS DOUBLE) / nd AS residual
+    FROM daily JOIN prof ON dd % 7 = prof.dow
+    ORDER BY ABS(CAST(rev_cents * nd - srev AS DOUBLE) / nd) DESC, dd
+    LIMIT 15"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227, q229, q237)
+    q227, q229, q237, q238, q239)
 }

@@ -187,4 +187,51 @@ class PlanEvidenceSpec extends SparkSuite {
     val global = windows.filterNot(_.contains("pri"))
     assert(global.isEmpty, s"unpartitioned window found:\n$plan")
   }
+
+  test("q228/q236 blocked similarity joins: equi-joins only, no cartesian") {
+    // The blocking claim both queries exist for: candidates come from an
+    // equi-join on the blocking key (rare-shingle prefix / grid cell),
+    // never a cartesian or broadcast-NLJ pair product.
+    for (q <- Seq("q228_prefix_filter_join", "q236_grid_epsilon_join")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: cartesian in plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: nested-loop pair product in plan:\n$plan")
+    }
+  }
+
+  test("q230/q231/q239 top-k compile to TakeOrderedAndProject") {
+    for (q <- Seq("q230_assoc_rules", "q231_friend_of_friend",
+        "q239_dow_seasonal_residual")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: top-k fell back to a global sort:\n$plan")
+    }
+  }
+
+  test("q232 decorrelates: no correlated re-scan, aggregates share one base") {
+    // The oracle keeps the correlated scalar subquery; the Spark plan
+    // must instead read lineitem ONCE per aggregate branch (2 scans max)
+    // and join the per-pair and per-part aggregates — no nested-loop
+    // per-row re-execution shape.
+    val plan = planOf("q232_dominant_supplier_parts")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q232: correlated-style plan:\n$plan")
+    // AQE's toString echoes the Initial Plan below the Final Plan —
+    // count scans in the final section only.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val scans = finalPlan.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 2, s"q232: lineitem scanned $scans times:\n$plan")
+  }
+
+  test("q235 clamped balance: windows are user-partitioned, one agg pass") {
+    val plan = planOf("q235_clamped_running_balance")
+    val windows = plan.split("\n").filter(_.contains("Window "))
+    assert(windows.nonEmpty, s"no Window in plan:\n$plan")
+    assert(windows.forall(_.contains("user_id")),
+      s"unpartitioned window in the scan path:\n$plan")
+  }
 }
