@@ -2146,6 +2146,44 @@ object Aggs extends Q.Module {
       CAST(x.n_extreme + 1 AS DOUBLE) / 17.0 AS p_value
     FROM x CROSS JOIN obs o"""))
 
+  // --- q241: EMPIRICAL CDF EVALUATION — the inverse of the quantile
+  //     family (q26/q150/q153 answer "what value sits at percentile p";
+  //     this answers "what percentile is value X"): evaluate the customer
+  //     lifetime-spend ECDF at fixed business thresholds. The thresholds
+  //     are a 4-row inline frame broadcast against the customer-spend
+  //     aggregate, so the evaluation is one conditional-sum pass over
+  //     customers — never a rank/sort of the data, which is what makes
+  //     "where does $X fall" O(scan) instead of O(global sort) at any
+  //     scale. Counts are exact integers; each ecdf is one double
+  //     division.
+  private val q241 = Q(
+    "q241_ecdf_eval",
+    "A9-inverse ✦: empirical CDF of customer spend evaluated at fixed thresholds",
+    (s, d) => {
+      import s.implicits._
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("x"))
+      val th = Seq(10000L, 1000000L, 10000000L, 30000000L).toDF("t_cents")
+      spend.crossJoin(broadcast(th))
+        .groupBy(col("t_cents"))
+        .agg(sum(when(col("x") <= col("t_cents"), 1L).otherwise(0L))
+          .as("n_le"), count(lit(1)).as("n"))
+        .select(col("t_cents"), col("n_le"), col("n"),
+          (col("n_le").cast("double") / col("n")).as("ecdf"))
+        .orderBy(col("t_cents"))
+    },
+    Some("""WITH s AS (SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    th(t0) AS (VALUES (10000), (1000000), (10000000), (30000000))
+    SELECT CAST(t0 AS BIGINT) AS t_cents,
+      CAST(SUM(CASE WHEN x <= t0 THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN x <= t0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        AS ecdf
+    FROM s, th GROUP BY t0 ORDER BY t_cents"""))
+
   // --- q240: DECILE LIFT / GAINS TABLE — the model-evaluation readout
   //     (score deciles × conversion): users ranked by total purchase
   //     spend, split into 10 equal-count bins, per-bin signup-conversion
@@ -2229,5 +2267,5 @@ object Aggs extends Q.Module {
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240)
+    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241)
 }

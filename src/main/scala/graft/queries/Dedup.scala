@@ -179,6 +179,46 @@ object Dedup extends Q.Module {
   //     The shared shingle/signature frames are persisted: the band
   //     self-join and candidate verification would otherwise recompute the
   //     scan→explode→aggregate pipeline up to six times.
+  /** MinHash band-bucket candidate pairs (da < db, distinct) from the
+    * shingle frame: 8 md5-derived min-hash slices, 2 bands of 4 — shared
+    * by q48 (the dedup) and q242 (the recall audit of that dedup).
+    * One projection computes both digests once (CSE), then the min-agg
+    * runs over plain LONG slices in a fixed-width HashAggregate buffer. */
+  private def minhashBandCandidates(sh: DataFrame): DataFrame = {
+    val h = Seq(md5(col("shingle")), md5(concat(lit("x:"), col("shingle"))))
+    val sliced = sh.select(col("doc_id") +:
+      (0 to 7).map(i =>
+        conv(substring(h(i / 4), 1 + 8 * (i % 4), 8), 16, 10)
+          .cast("long").as(s"s$i")): _*)
+    val sig = sliced.groupBy(col("doc_id"))
+      .agg(min(col("s0")).as("m0"),
+        (1 to 7).map(i => min(col(s"s$i")).as(s"m$i")): _*)
+      .persist()
+    val banded = sig.select(col("doc_id"),
+      explode(array(
+        md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3"))),
+        md5(concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7"))))).as("band"))
+    banded.select(col("doc_id").as("da"), col("band"))
+      .join(banded.select(col("doc_id").as("db"), col("band")), Seq("band"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+  }
+
+  /** DuckDB twin of `minhashBandCandidates` — expects `sh` in scope. */
+  private val bandCandidatesSql: String =
+    s"""sig AS (SELECT doc_id,
+      ${(0 to 7).map { i =>
+      val digest = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
+      s"MIN(${hex8Sql(digest, 1 + 8 * (i % 4))}) m$i"
+    }.mkString(", ")}
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band FROM sig
+      UNION ALL
+      SELECT doc_id, md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
+             FROM banded a JOIN banded b USING(band) WHERE a.doc_id < b.doc_id)"""
+
   private val q48 = Q(
     "q48_dedup_minhash_lsh",
     "✦ MinHash+LSH: band-bucket candidates, verified jacc >= 0.5",
@@ -186,25 +226,7 @@ object Dedup extends Q.Module {
       // persist pair: harness-owned cache (see q47) — clearCache after
       // each query is the paired release for both frames.
       val sh = shingles(s, d).persist()
-      // One projection computes both digests once (CSE), then the min-agg
-      // runs over plain LONG slices in a fixed-width HashAggregate buffer.
-      val h = Seq(md5(col("shingle")), md5(concat(lit("x:"), col("shingle"))))
-      val sliced = sh.select(col("doc_id") +:
-        (0 to 7).map(i =>
-          conv(substring(h(i / 4), 1 + 8 * (i % 4), 8), 16, 10)
-            .cast("long").as(s"s$i")): _*)
-      val sig = sliced.groupBy(col("doc_id"))
-        .agg(min(col("s0")).as("m0"),
-          (1 to 7).map(i => min(col(s"s$i")).as(s"m$i")): _*)
-        .persist()
-      val banded = sig.select(col("doc_id"),
-        explode(array(
-          md5(concat_ws(",", col("m0"), col("m1"), col("m2"), col("m3"))),
-          md5(concat_ws(",", col("m4"), col("m5"), col("m6"), col("m7"))))).as("band"))
-      val cand = banded.select(col("doc_id").as("da"), col("band"))
-        .join(banded.select(col("doc_id").as("db"), col("band")), Seq("band"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
+      val cand = minhashBandCandidates(sh)
       // Verify ONLY the LSH candidates — never the full pair space. The
       // candidate set is tiny (near-dups + band collisions), so the exact
       // Jaccard runs on a broadcast-joinable sliver of the inverted index;
@@ -225,19 +247,7 @@ object Dedup extends Q.Module {
         .select(col("da"), col("db"), col("jacc"))
         .orderBy(col("da"), col("db"))
     },
-    Some(s"""WITH $shinglesSql, $jaccardPairsSql,
-    sig AS (SELECT doc_id,
-      ${(0 to 7).map { i =>
-        val digest = if (i < 4) "md5(shingle)" else "md5('x:' || shingle)"
-        s"MIN(${hex8Sql(digest, 1 + 8 * (i % 4))}) m$i"
-      }.mkString(", ")}
-      FROM sh GROUP BY doc_id),
-    banded AS (
-      SELECT doc_id, md5(m0 || ',' || m1 || ',' || m2 || ',' || m3) AS band FROM sig
-      UNION ALL
-      SELECT doc_id, md5(m4 || ',' || m5 || ',' || m6 || ',' || m7) FROM sig),
-    cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-             FROM banded a JOIN banded b USING(band) WHERE a.doc_id < b.doc_id)
+    Some(s"""WITH $shinglesSql, $jaccardPairsSql, $bandCandidatesSql
     SELECT jp.da AS da, jp.db AS db, jp.jacc AS jacc
     FROM cand JOIN jp ON jp.da = cand.da AND jp.db = cand.db
     WHERE jacc >= 0.5 ORDER BY jp.da, jp.db"""))
@@ -972,6 +982,74 @@ object Dedup extends Q.Module {
     WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
     ORDER BY da, db"""))
 
+  // --- q242: LSH RECALL/PRECISION AUDIT — the evaluation harness a
+  //     production dedup pipeline runs BEFORE trusting its banded
+  //     geometry: ground truth is the exact inverted-index Jaccard join
+  //     (q47's algorithm, jacc ≥ 0.5), the system under test is q48's
+  //     deterministic 2×4 MinHash banding, and the readout is the
+  //     confusion of the CANDIDATE set against truth — recall (what
+  //     fraction of true near-dup pairs fall in some shared band; missed
+  //     pairs are silently-kept duplicates) and candidate precision
+  //     (what fraction of band collisions survive the verify; the knob
+  //     that prices the verify join). Both engines rebuild the identical
+  //     md5 banding, so this is a full hash-match gate over the audit —
+  //     counts are exact integers, the two rates are single divisions.
+  //     At 100 TB you run exact truth on a SAMPLE; here the fixture IS
+  //     the sample, and the audit's joins stay on the q47/q48 machinery
+  //     (posting lists + band buckets), never an all-pairs product.
+  //     The audited corpus injects GRADED near-duplicates (every 3rd doc
+  //     re-enters with doc-unique filler words scaling with doc_id % 6 —
+  //     Jaccard ≈ 1/(1 + k/8), k = 0..5, spanning ~0.61..0.97): the raw
+  //     fixture's only true pairs are J ≈ 1 copies that every banding
+  //     catches (recall 1.0 — a vacuous audit); the graded pairs sit in
+  //     the band geometry's miss zone (P(candidate) = 1−(1−J⁴)² ≈ 0.26
+  //     at J = 0.61), so the readout actually measures the geometry.
+  private val q242 = Q(
+    "q242_lsh_recall_audit",
+    "✦ similarity-search evaluation: MinHash-band recall/precision vs exact Jaccard truth",
+    (s, d) => {
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val mut = base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" "), expr(
+            "array_join(transform(sequence(1, 1 + " +
+              "(size(split(text, ' ')) * (doc_id % 6)) div 8), " +
+              "i -> concat('fz', doc_id, 'x', i)), ' ')")).as("text"))
+      val sh = shinglesOf(base.unionByName(mut)).persist()
+      val truth = jaccardPairs(sh).filter(col("jacc") >= 0.5)
+        .select(col("da"), col("db")).persist()
+      val cand = minhashBandCandidates(sh).persist()
+      val tp = truth.join(cand, Seq("da", "db"), "semi")
+        .agg(count(lit(1)).as("tp"))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      tp.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+        .select(col("n_true"), col("n_cand"), col("tp"),
+          (col("n_true") - col("tp")).as("fn"),
+          (col("tp").cast("double") / col("n_true")).as("recall"),
+          (col("tp").cast("double") / col("n_cand"))
+            .as("cand_precision"))
+    },
+    Some(s"""WITH mut AS (SELECT doc_id + 20000 AS doc_id,
+      text || ' ' || array_to_string(list_transform(
+        generate_series(1, 1 + (len(string_split(text, ' '))
+          * (doc_id % 6)) // 8),
+        i -> 'fz' || doc_id || 'x' || i), ' ') AS text
+      FROM documents WHERE doc_id % 3 = 0),
+    corpus AS (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM mut),
+    ${shinglesSqlFrom("corpus")}, $jaccardPairsSql, $bandCandidatesSql,
+    truth AS (SELECT da, db FROM jp WHERE jacc >= 0.5),
+    tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS tp
+      FROM truth JOIN cand USING (da, db)),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+    SELECT n_true, n_cand, tp, n_true - tp AS fn,
+      CAST(tp AS DOUBLE) / n_true AS recall,
+      CAST(tp AS DOUBLE) / n_cand AS cand_precision
+    FROM tp, nt, nc"""))
+
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148, q156, q228)
+    q148, q156, q228, q242)
 }
