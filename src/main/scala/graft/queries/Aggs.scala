@@ -2146,6 +2146,98 @@ object Aggs extends Q.Module {
       CAST(x.n_extreme + 1 AS DOUBLE) / 17.0 AS p_value
     FROM x CROSS JOIN obs o"""))
 
+  // --- q245: RFM SEGMENTATION — the classic marketing cube: every
+  //     purchasing user scored 1–5 on Recency (days since last purchase,
+  //     5 = most recent), Frequency (purchase count) and Monetary
+  //     (lifetime cents), then bucketed into R×F×M segments. Each score
+  //     is an independent q202-style TWO-PHASE GLOBAL RANK (value-range
+  //     blocks; tiny block-offset frame; in-block ROW_NUMBER) with the
+  //     quintile as pure integer arithmetic on the rank — ((i−1)·5)
+  //     div n — so bin edges are engine-exact and no dimension ever
+  //     sorts on one task. The reference day is the corpus's own max
+  //     purchase day (a 1-row broadcast), keeping the query
+  //     fixture-relative. Output is the non-empty segment histogram
+  //     with exact cents totals; avg is the one presentation division.
+  private val q245 = Q(
+    "q245_rfm_segmentation",
+    "✦ marketing: RFM quintile segmentation via three two-phase global ranks",
+    (s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("dd"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val agg = p.groupBy(col("user_id"))
+        .agg(max(col("dd")).as("last_dd"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+      val dmax = p.agg(max(col("dd")).as("dmax"))
+      // score5: two-phase rank of (user_id, v) asc; quintile from rank.
+      def score5(vals: DataFrame, blockDiv: Long, hi: Boolean,
+          name: String): DataFrame = {
+        val b = vals.withColumn("block", expr(s"v div $blockDiv"))
+        val wB = Window.orderBy(col("block"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val off = b.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+          .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+          .select(col("block"), col("boff"))
+        val wIn = Window.partitionBy(col("block"))
+          .orderBy(col("v"), col("user_id"))
+        val ranked = b.join(broadcast(off), Seq("block"))
+          .withColumn("i", col("boff") + row_number().over(wIn))
+        val n1 = ranked.agg(count(lit(1)).as("n"))
+        val base = ranked.crossJoin(broadcast(n1))
+        (if (hi) base.select(col("user_id"),
+          (expr("((i - 1) * 5) div n") + lit(1L)).as(name))
+        else base.select(col("user_id"),
+          (lit(5L) - expr("((i - 1) * 5) div n")).as(name)))
+      }
+      val rs = score5(agg.crossJoin(broadcast(dmax))
+        .select(col("user_id"), (col("dmax") - col("last_dd")).as("v")),
+        8L, hi = false, "r_score")
+      val fs = score5(agg.select(col("user_id"), col("f").as("v")),
+        8L, hi = true, "f_score")
+      val ms = score5(agg.select(col("user_id"), col("m").as("v")),
+        1048576L, hi = true, "m_score")
+      rs.join(fs, Seq("user_id")).join(ms, Seq("user_id"))
+        .join(agg.select(col("user_id"), col("m")), Seq("user_id"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_cents"))
+        .select(col("r_score"), col("f_score"), col("m_score"),
+          col("n_users"), col("m_cents"),
+          (col("m_cents").cast("double") / col("n_users"))
+            .as("avg_m_cents"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+    Some("""WITH p AS (SELECT user_id,
+        epoch_us(ts) // 86400000000 AS dd,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    agg AS (SELECT user_id, MAX(dd) AS last_dd,
+        CAST(COUNT(*) AS BIGINT) AS f, CAST(SUM(cents) AS BIGINT) AS m
+      FROM p GROUP BY 1),
+    mx AS (SELECT MAX(dd) AS dmax FROM p),
+    rr AS (SELECT user_id,
+        ROW_NUMBER() OVER (ORDER BY dmax - last_dd, user_id) AS i,
+        COUNT(*) OVER () AS n
+      FROM agg, mx),
+    rs AS (SELECT user_id, 5 - ((i - 1) * 5) // n AS r_score FROM rr),
+    fr AS (SELECT user_id,
+        ROW_NUMBER() OVER (ORDER BY f, user_id) AS i,
+        COUNT(*) OVER () AS n FROM agg),
+    fs AS (SELECT user_id, ((i - 1) * 5) // n + 1 AS f_score FROM fr),
+    mr AS (SELECT user_id,
+        ROW_NUMBER() OVER (ORDER BY m, user_id) AS i,
+        COUNT(*) OVER () AS n FROM agg),
+    ms AS (SELECT user_id, ((i - 1) * 5) // n + 1 AS m_score FROM mr)
+    SELECT r_score, f_score, m_score,
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(m) AS BIGINT) AS m_cents,
+      CAST(SUM(m) AS DOUBLE) / COUNT(*) AS avg_m_cents
+    FROM rs JOIN fs USING (user_id) JOIN ms USING (user_id)
+      JOIN agg USING (user_id)
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   // --- q241: EMPIRICAL CDF EVALUATION — the inverse of the quantile
   //     family (q26/q150/q153 answer "what value sits at percentile p";
   //     this answers "what percentile is value X"): evaluate the customer
@@ -2267,5 +2359,5 @@ object Aggs extends Q.Module {
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241)
+    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245)
 }

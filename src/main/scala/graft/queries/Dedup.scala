@@ -1050,6 +1050,105 @@ object Dedup extends Q.Module {
       CAST(tp AS DOUBLE) / n_cand AS cand_precision
     FROM tp, nt, nc"""))
 
+  // --- q244: SORTED-NEIGHBORHOOD ENTITY RESOLUTION — the third classic
+  //     blocking family beside LSH banding (q48) and prefix filtering
+  //     (q228): sort the corpus by a canonical key (first three words +
+  //     doc_id), slide a fixed window of size 5 down the sorted order,
+  //     and verify only pairs whose ranks are within the window.
+  //     Distributed shape: the global sort RANK is q202's two-phase
+  //     construction — block by the FIRST WORD (the sort key's leading
+  //     component, so block order == key order), tiny block-offset
+  //     frame, in-block ROW_NUMBER — and the window-neighbor join is an
+  //     equi-join on rank-group g = rank div 5 with the probe side
+  //     exploded to (g, g+1), filtered to 1 ≤ rb − ra ≤ 4: every
+  //     in-window pair is found exactly once, no self-join on an
+  //     inequality. Verification is the exact shingle-Jaccard ≥ 0.6
+  //     recount (cross-multiplied integers). Every 10th doc re-enters
+  //     with one appended word: same leading words → adjacent ranks →
+  //     inside the window, so SNM finds what it is designed to find.
+  //     The oracle replicates the window semantics with one global
+  //     ROW_NUMBER and a rank-range join — same heuristic, different
+  //     rank machinery, certifying the two-phase rank == a global sort.
+  private val q244 = Q(
+    "q244_sorted_neighborhood",
+    "✦ entity resolution: sorted-neighborhood blocking (window 5), exact Jaccard verify",
+    (s, d) => {
+      val winSz = 5
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" snmprobe")).as("text")))
+        .persist()
+      val keyed = corpus.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 3), " ").as("k"),
+        split(col("text"), " ").getItem(0).as("blk"))
+      val wB = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = keyed.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+        .select(col("blk"), col("boff"))
+      val wIn = Window.partitionBy(col("blk"))
+        .orderBy(col("k"), col("doc_id"))
+      val ranked = keyed.join(broadcast(off), Seq("blk"))
+        .withColumn("r", col("boff") + row_number().over(wIn))
+        .select(col("doc_id"), col("r"))
+      val probe = ranked.select(col("doc_id").as("da"), col("r").as("ra"))
+        .withColumn("g", explode(array(expr(s"ra div $winSz"),
+          expr(s"ra div $winSz + 1"))))
+      val cand = probe.join(
+          ranked.select(col("doc_id").as("db"), col("r").as("rb"),
+            expr(s"r div $winSz").as("g")), Seq("g"))
+        .filter(col("rb") - col("ra") >= 1
+          && col("rb") - col("ra") <= winSz - 1)
+        .select(when(col("da") < col("db"), col("da")).otherwise(col("db"))
+            .as("da"),
+          when(col("da") < col("db"), col("db")).otherwise(col("da"))
+            .as("db"))
+        .distinct()
+      val sh = shinglesOf(corpus).persist()
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("shingle"))
+          .hint("shuffle_hash"), Seq("db", "shingle"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .filter(lit(5) * col("inter")
+          >= lit(3) * (col("na") + col("nb") - col("inter")))
+        .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text || ' snmprobe'
+      FROM documents WHERE doc_id % 10 = 0),
+    keyed AS (SELECT doc_id,
+        array_to_string(string_split(text, ' ')[1:3], ' ') AS k
+      FROM corpus),
+    r AS (SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r FROM keyed),
+    cand AS (SELECT LEAST(a.doc_id, b.doc_id) AS da,
+        GREATEST(a.doc_id, b.doc_id) AS db
+      FROM r a JOIN r b
+        ON b.r BETWEEN a.r + 1 AND a.r + ${5 - 1}),
+    ${shinglesSqlFrom("corpus")},
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM sh GROUP BY 1),
+    pr AS (SELECT cand.da, cand.db, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.da
+      JOIN sh b ON b.doc_id = cand.db AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT pr.da, pr.db, inter, sa.n AS na, sb.n AS nb
+    FROM pr JOIN sz sa ON sa.doc_id = pr.da JOIN sz sb ON sb.doc_id = pr.db
+    WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
+    ORDER BY pr.da, pr.db"""))
+
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148, q156, q228, q242)
+    q148, q156, q228, q242, q244)
 }

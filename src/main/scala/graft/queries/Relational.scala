@@ -1245,6 +1245,79 @@ object Relational extends Q.Module {
     FROM d3, t GROUP BY d, t.n_graph ORDER BY d"""
     })
 
+  // --- q243: WEIGHTED SSSP (3 Bellman-Ford rounds) — the weighted
+  //     companion of q225's hop-count BFS: edge length shrinks with tie
+  //     strength (w = max(1, 8 − #shared co-purchase blocks), exact
+  //     integers), so the distance ranks "how socially close to the seed
+  //     cohort" rather than "how many hops". Per round: ONE
+  //     frontier⋈edges equi-join relaxation (d + w) + ONE min-distance
+  //     aggregate (map-combined), eager localCheckpoint per generation —
+  //     the CC/PageRank/BFS lineage rule. Bounded rounds make the
+  //     result well-defined without a fixpoint: d is the true shortest
+  //     distance among ≤3-edge paths (min-plus semiring power A³ over
+  //     the seed vector). The oracle unrolls the identical 3 relaxation
+  //     rounds as CTEs.
+  private val q243 = Q(
+    "q243_weighted_sssp",
+    "✦ graph: multi-source weighted shortest distance (3 Bellman-Ford rounds, integer weights)",
+    (s, d) => {
+      val pe = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 3600000000").as("h"),
+          floor(col("value") / 10).as("b"), col("user_id").as("u"))
+      val wpairs = pe.as("a")
+        .join(pe.as("p2"),
+          col("a.h") === col("p2.h") && col("a.b") === col("p2.b")
+            && col("a.u") < col("p2.u"))
+        .groupBy(col("a.u").as("x"), col("p2.u").as("y"))
+        .agg(greatest(lit(1L), lit(8L) - count(lit(1))).as("w"))
+      val adj = wpairs.select(col("x").as("src"), col("y").as("dst"),
+          col("w"))
+        .unionAll(wpairs.select(col("y").as("src"), col("x").as("dst"),
+          col("w")))
+        .persist()
+      val nodes = adj.select(col("src").as("node")).distinct()
+      var dist = nodes.filter(col("node") % 7 === 0)
+        .select(col("node"), lit(0L).as("d")).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val next = dist.join(adj, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.select(col("node"), col("d")).unionByName(next)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      val totals = nodes.agg(count(lit(1)).as("n_graph"))
+      dist.groupBy(col("d")).agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(totals))
+        .orderBy(col("d"))
+    },
+    Some {
+      def round(i: Int) = s"""d$i AS (
+        SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+          SELECT node, d FROM d${i - 1}
+          UNION ALL
+          SELECT a.dst AS node, p.d + a.w AS d
+          FROM d${i - 1} p JOIN adj a ON p.node = a.src)
+        GROUP BY 1)"""
+      s"""WITH pe AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, FLOOR(value / 10) AS b,
+        user_id AS u
+      FROM events WHERE event_type = 'purchase'),
+    wp AS (SELECT a.u AS x, p2.u AS y,
+        GREATEST(CAST(1 AS BIGINT), 8 - COUNT(*)) AS w
+      FROM pe a JOIN pe p2 ON a.h = p2.h AND a.b = p2.b AND a.u < p2.u
+      GROUP BY 1, 2),
+    adj AS (SELECT x AS src, y AS dst, w FROM wp
+      UNION ALL SELECT y, x, w FROM wp),
+    nodes AS (SELECT DISTINCT src AS node FROM adj),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes
+      WHERE node % 7 = 0),
+    ${round(1)}, ${round(2)}, ${round(3)},
+    t AS (SELECT COUNT(*) AS n_graph FROM nodes)
+    SELECT d, COUNT(*) AS n_nodes, t.n_graph AS n_graph
+    FROM d3, t GROUP BY d, t.n_graph ORDER BY d"""
+    })
+
   // --- q231: FRIEND-OF-FRIEND LINK PREDICTION — common-neighbor scoring
   //     of NON-edges on q182's blocked co-purchase graph: for every
   //     two-hop pair (a −m− b, a < b) count the distinct shared
@@ -1390,5 +1463,5 @@ object Relational extends Q.Module {
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
     q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225, q231,
-    q232, q234)
+    q232, q234, q243)
 }
