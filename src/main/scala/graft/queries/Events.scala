@@ -1986,8 +1986,62 @@ object Events extends Q.Module {
     ORDER BY ABS(CAST(rev_cents * nd - srev AS DOUBLE) / nd) DESC, dd
     LIMIT 15"""))
 
+  // --- q247: TRAILING-24H HOURLY LEADERBOARD — the sliding top-k every
+  //     live dashboard runs: for each hour, the top-3 users by spend
+  //     over the trailing 24 hours. The trailing sums use q208's
+  //     COVER-SET EXPLODE — each purchase hour's cents explode into the
+  //     24 leaderboard hours they influence (bounded ×24 fan-out, a
+  //     map-side projection), then one (hour, user) hash aggregate —
+  //     instead of a densified user×hour grid (data-sized × 720) or a
+  //     per-user range window that misses users idle at hour h but
+  //     active in its window. Top-3 per hour is a rank window
+  //     partitioned by hour (WindowGroupLimit pre-prunes map-side) with
+  //     the (cents desc, user_id) deterministic tiebreak. All exact
+  //     integer cents.
+  private val q247 = Q(
+    "q247_trailing_leaderboard",
+    "✦ event analytics: trailing-24h top-3 spend leaderboard per hour (cover-set explode)",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 3600000000").as("h0"),
+          col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("h0"), col("user_id"))
+        .agg(sum(col("cents")).as("c"))
+      val trailing = hourly
+        .select(col("user_id"), col("c"),
+          explode(expr("sequence(h0, h0 + 23)")).as("h"))
+        .groupBy(col("h"), col("user_id"))
+        .agg(sum(col("c")).as("trailing_cents"))
+      val wRank = Window.partitionBy(col("h"))
+        .orderBy(col("trailing_cents").desc, col("user_id"))
+      trailing
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("h"), col("rk"), col("user_id"), col("trailing_cents"))
+        .orderBy(col("h"), col("rk"))
+    },
+    Some("""WITH hourly AS (SELECT
+        epoch_us(ts) // 3600000000 AS h0, user_id,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    cover AS (SELECT user_id, c,
+        unnest(generate_series(h0, h0 + 23)) AS h
+      FROM hourly),
+    tr AS (SELECT h, user_id, CAST(SUM(c) AS BIGINT) AS trailing_cents
+      FROM cover GROUP BY 1, 2),
+    r AS (SELECT h, user_id, trailing_cents,
+        ROW_NUMBER() OVER (PARTITION BY h
+          ORDER BY trailing_cents DESC, user_id) AS rk
+      FROM tr)
+    SELECT h, rk, user_id, trailing_cents FROM r
+    WHERE rk <= 3 ORDER BY h, rk"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227, q229, q237, q238, q239)
+    q227, q229, q237, q238, q239, q247)
 }

@@ -428,6 +428,61 @@ object Sources extends Q.Module {
       sha256(text) AS sha
     FROM documents WHERE doc_id < 25 ORDER BY doc_id"""))
 
+  // --- q246: DYNAMIC PARTITION OVERWRITE — the backfill pattern every
+  //     partitioned lake needs: rewrite exactly ONE month's partition in
+  //     place (corrected rows) while every other partition's files stay
+  //     untouched. partitionOverwriteMode=dynamic scopes the overwrite
+  //     to partitions present in the incoming frame — STATIC mode (the
+  //     default) would delete the whole table root first, which at
+  //     100 TB is the difference between rewriting 1/1000th of the lake
+  //     and all of it. The verify reads the table BACK and checks both
+  //     directions: the backfilled month contains only corrected rows
+  //     (n_backfilled = n) and the neighboring months contain only
+  //     originals (n_backfilled = 0) with their full row counts — if
+  //     dynamic mode had clobbered siblings, the read-back counts drop
+  //     and the oracle (which computes the expected post-backfill state
+  //     from the source table) catches it. ym is the directory-inferred
+  //     INT partition column on read-back.
+  private val q246 = Q(
+    "q246_dynamic_partition_overwrite",
+    "S6 ✦ dynamic partition overwrite: single-month backfill, sibling partitions untouched",
+    (s, d) => {
+      val path = tmp("dpo", d)
+      val base = Tables.orders(s, d)
+        .withColumn("ym",
+          expr("year(o_orderdate) * 100 + month(o_orderdate)"))
+      Sinks.once(path) {
+        base.write.mode("overwrite").partitionBy("ym").parquet(path)
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try base.filter(col("ym") === 199506)
+          .withColumn("o_orderpriority",
+            concat(lit("BF-"), col("o_orderpriority")))
+          .write.mode("overwrite").partitionBy("ym").parquet(path)
+        finally prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      s.read.parquet(path)
+        .filter(col("ym") >= 199504 && col("ym") <= 199508)
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority").startsWith("BF-"), 1L)
+            .otherwise(0L)).as("n_backfilled"))
+        .orderBy(col("ym"))
+    },
+    Some("""WITH m AS (SELECT
+        CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym
+      FROM orders)
+    SELECT ym, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(CASE WHEN ym = 199506 THEN COUNT(*) ELSE 0 END AS BIGINT)
+        AS n_backfilled
+    FROM m WHERE ym BETWEEN 199504 AND 199508
+    GROUP BY ym ORDER BY ym"""))
+
   def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q152, q88,
-    q96, q99, q143)
+    q96, q99, q143, q246)
 }
