@@ -2146,6 +2146,108 @@ object Aggs extends Q.Module {
       CAST(x.n_extreme + 1 AS DOUBLE) / 17.0 AS p_value
     FROM x CROSS JOIN obs o"""))
 
+  // --- q249: ABC × XYZ INVENTORY MATRIX — q199's revenue Pareto class
+  //     crossed with the demand-VARIABILITY class (XYZ): per part, the
+  //     coefficient of variation of monthly demand decides X (steady,
+  //     cv ≤ 0.5), Y (cv ≤ 1) or Z (erratic). Missing months count as
+  //     zero demand, which costs nothing extra: with the global month
+  //     count M broadcast, Σx and Σx² over all M months equal the sums
+  //     over present months, so cv² = M·Σx²/(Σx)² − 1 needs no
+  //     densification. Both class boundaries are CROSS-MULTIPLIED
+  //     integer comparisons in wide decimal (4·M·Σx² ≤ 5·(Σx)² for X;
+  //     M·Σx² ≤ 2·(Σx)² for Y) — no sqrt, no division, no float
+  //     boundary. The ABC leg reuses q199's two-phase desc prefix-sum
+  //     rank verbatim. Output is the 9-cell planning matrix.
+  private val q249 = Q(
+    "q249_abc_xyz",
+    "✦ inventory: ABC×XYZ matrix — Pareto revenue class × integer-CV variability class",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("m"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+          .as("qc"),
+        (col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(4,2)")) * 10000)
+          .as("ru"))
+      val pm = li.groupBy(col("l_partkey"), col("m"))
+        .agg(sum(col("qc")).as("x"))
+      val mTot = li.select(col("m")).distinct()
+        .agg(count(lit(1)).as("mm"))
+      val xyz = pm.groupBy(col("l_partkey"))
+        .agg(sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sx2"))
+        .crossJoin(broadcast(mTot))
+        .withColumn("xyz",
+          when(col("mm").cast("decimal(38,0)") * col("sx2") * 4
+            <= col("sx").cast("decimal(38,0)") * col("sx") * 5, "X")
+            .when(col("mm").cast("decimal(38,0)") * col("sx2")
+              <= col("sx").cast("decimal(38,0)") * col("sx") * 2, "Y")
+            .otherwise("Z"))
+        .select(col("l_partkey"), col("xyz"))
+      val rev = li.groupBy(col("l_partkey"))
+        .agg(sum(col("ru")).cast("long").as("u"))
+        .withColumn("block", expr("u div 1073741824"))
+      val wB = Window.orderBy(col("block").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = rev.groupBy(col("block")).agg(sum(col("u")).as("bu"))
+        .withColumn("boff", sum(col("bu")).over(wB) - col("bu"))
+        .select(col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("block"))
+        .orderBy(col("u").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = rev.join(broadcast(off), Seq("block"))
+        .withColumn("cum", col("boff") + sum(col("u")).over(wIn))
+      val tot = rev.agg(sum(col("u")).as("tu"))
+      val abc = cum.crossJoin(broadcast(tot))
+        .withColumn("abc",
+          when(col("cum").cast("decimal(38,0)") * 100
+            <= col("tu").cast("decimal(38,0)") * 80, "A")
+            .when(col("cum").cast("decimal(38,0)") * 100
+              <= col("tu").cast("decimal(38,0)") * 95, "B")
+            .otherwise("C"))
+        .select(col("l_partkey"), col("abc"))
+      abc.join(xyz, Seq("l_partkey"))
+        .groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("abc"), col("xyz"))
+    },
+    Some("""WITH li AS (SELECT l_partkey,
+        YEAR(l_shipdate) * 12 + MONTH(l_shipdate) AS m,
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc,
+        CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS ru
+      FROM lineitem),
+    pm AS (SELECT l_partkey, m, CAST(SUM(qc) AS BIGINT) AS x
+      FROM li GROUP BY 1, 2),
+    mt AS (SELECT COUNT(DISTINCT m) AS mm FROM li),
+    st AS (SELECT l_partkey, CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM pm GROUP BY 1),
+    xyz AS (SELECT l_partkey, CASE
+        WHEN CAST(mm AS HUGEINT) * sx2 * 4 <= CAST(sx AS HUGEINT) * sx * 5
+          THEN 'X'
+        WHEN CAST(mm AS HUGEINT) * sx2 <= CAST(sx AS HUGEINT) * sx * 2
+          THEN 'Y'
+        ELSE 'Z' END AS xyz
+      FROM st, mt),
+    r AS (SELECT l_partkey, CAST(SUM(ru) AS BIGINT) AS u
+      FROM li GROUP BY 1),
+    c AS (SELECT l_partkey, u,
+        CAST(SUM(u) OVER (ORDER BY u DESC, l_partkey) AS BIGINT) AS cum
+      FROM r),
+    t AS (SELECT CAST(SUM(u) AS BIGINT) AS tu FROM r),
+    abc AS (SELECT l_partkey, CASE
+        WHEN CAST(cum AS HUGEINT) * 100 <= CAST(t.tu AS HUGEINT) * 80
+          THEN 'A'
+        WHEN CAST(cum AS HUGEINT) * 100 <= CAST(t.tu AS HUGEINT) * 95
+          THEN 'B'
+        ELSE 'C' END AS abc
+      FROM c, t)
+    SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM abc JOIN xyz USING (l_partkey)
+    GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // --- q245: RFM SEGMENTATION — the classic marketing cube: every
   //     purchasing user scored 1–5 on Recency (days since last purchase,
   //     5 = most recent), Frequency (purchase count) and Monetary
@@ -2359,5 +2461,5 @@ object Aggs extends Q.Module {
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245)
+    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245, q249)
 }

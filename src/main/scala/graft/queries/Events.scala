@@ -2040,8 +2040,83 @@ object Events extends Q.Module {
     SELECT h, rk, user_id, trailing_cents FROM r
     WHERE rk <= 3 ORDER BY h, rk"""))
 
+  // --- q250: DIFFERENCE-IN-DIFFERENCES — the causal-readout arithmetic
+  //     behind every before/after×treatment/control launch analysis:
+  //     DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) on mean
+  //     purchase value. Assignment is deterministic (user_id parity);
+  //     the period split is a fixed day boundary. ONE conditional-sum
+  //     pass computes all four cells (exact integer cents + counts); the
+  //     four means are single divisions of exact integers and the DiD is
+  //     arithmetic on those identical doubles — no variance estimate
+  //     here (q222's permutation test is the significance machinery this
+  //     point estimate plugs into).
+  private val q250 = Q(
+    "q250_diff_in_diff",
+    "✦ experimentation: difference-in-differences on mean purchase value (2×2 conditional sums)",
+    (s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2 === 0).as("treat"),
+          (expr("(ts div 1000) div 86400000000") >= 19738L).as("post"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      def cell(t: Boolean, po: Boolean, nm: String) = Seq(
+        sum(when(col("treat") === t && col("post") === po, col("cents"))
+          .otherwise(0L)).as(s"c_$nm"),
+        sum(when(col("treat") === t && col("post") === po, 1L)
+          .otherwise(0L)).as(s"n_$nm"))
+      val agg = p.agg(
+        (cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+          cell(false, false, "cpre") ++ cell(false, true, "cpost")).head,
+        (cell(true, false, "tpre") ++ cell(true, true, "tpost") ++
+          cell(false, false, "cpre") ++ cell(false, true, "cpost")).tail: _*)
+      def mean(nm: String) =
+        col(s"c_$nm").cast("double") / col(s"n_$nm")
+      agg.select(
+        col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+        mean("tpre").as("mean_treat_pre"),
+        mean("tpost").as("mean_treat_post"),
+        mean("cpre").as("mean_ctrl_pre"),
+        mean("cpost").as("mean_ctrl_post"),
+        ((mean("tpost") - mean("tpre")) - (mean("cpost") - mean("cpre")))
+          .as("did_cents"))
+    },
+    Some("""WITH p AS (SELECT
+        user_id % 2 = 0 AS treat,
+        epoch_us(ts) // 86400000000 >= 19738 AS post,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    a AS (SELECT
+        CAST(SUM(CASE WHEN treat AND NOT post THEN cents ELSE 0 END)
+          AS BIGINT) AS c_tpre,
+        CAST(SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_tpre,
+        CAST(SUM(CASE WHEN treat AND post THEN cents ELSE 0 END)
+          AS BIGINT) AS c_tpost,
+        CAST(SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_tpost,
+        CAST(SUM(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END)
+          AS BIGINT) AS c_cpre,
+        CAST(SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_cpre,
+        CAST(SUM(CASE WHEN NOT treat AND post THEN cents ELSE 0 END)
+          AS BIGINT) AS c_cpost,
+        CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_cpost
+      FROM p)
+    SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+      CAST(c_tpre AS DOUBLE) / n_tpre AS mean_treat_pre,
+      CAST(c_tpost AS DOUBLE) / n_tpost AS mean_treat_post,
+      CAST(c_cpre AS DOUBLE) / n_cpre AS mean_ctrl_pre,
+      CAST(c_cpost AS DOUBLE) / n_cpost AS mean_ctrl_post,
+      (CAST(c_tpost AS DOUBLE) / n_tpost
+        - CAST(c_tpre AS DOUBLE) / n_tpre)
+      - (CAST(c_cpost AS DOUBLE) / n_cpost
+        - CAST(c_cpre AS DOUBLE) / n_cpre) AS did_cents
+    FROM a"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227, q229, q237, q238, q239, q247)
+    q227, q229, q237, q238, q239, q247, q250)
 }

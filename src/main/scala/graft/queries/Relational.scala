@@ -935,6 +935,61 @@ object Relational extends Q.Module {
     FROM a JOIN s ON a.m0 = s.m0
     GROUP BY a.m0, a.off ORDER BY m0, off"""))
 
+  // --- q248: COHORT LTV TRIANGLE — q197's retention matrix with money:
+  //     cumulative revenue per acquisition cohort by month age, divided
+  //     by cohort size = the lifetime-value curve every growth model
+  //     calibrates against. Same shape discipline as q197: cohort
+  //     assignment is one per-customer MIN aggregate joined back (no
+  //     window over orders), the cumulative runs per-cohort over the
+  //     ≤7-row (m0, off) aggregate frame ONLY, and cohort sizes
+  //     broadcast. Month arithmetic is the q197 integer year·12+month
+  //     rule (never interval types); cents are exact; LTV-per-user is
+  //     the one presentation division.
+  private val q248 = Q(
+    "q248_cohort_ltv",
+    "✦ growth analytics: cohort LTV triangle — cumulative revenue per cohort by age",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+      val sz = cohort.groupBy(col("m0")).agg(count(lit(1)).as("cohort_n"))
+      val rev = o.join(cohort, Seq("o_custkey"))
+        .select(col("m0"), (col("m") - col("m0")).as("off"), col("cents"))
+        .filter(col("off") <= 6)
+        .groupBy(col("m0"), col("off")).agg(sum(col("cents")).as("rev_cents"))
+      val wCum = Window.partitionBy(col("m0")).orderBy(col("off"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+        .join(broadcast(sz), Seq("m0"))
+        .select(col("m0"), col("off"), col("rev_cents"), col("cum_cents"),
+          (col("cum_cents").cast("double") / col("cohort_n"))
+            .as("ltv_per_user"))
+        .orderBy(col("m0"), col("off"))
+    },
+    Some("""WITH o AS (SELECT o_custkey,
+        YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS m,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    c AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1),
+    s AS (SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM c
+      GROUP BY 1),
+    r AS (SELECT c.m0, o.m - c.m0 AS off,
+        CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM o JOIN c USING (o_custkey) WHERE o.m - c.m0 <= 6
+      GROUP BY 1, 2),
+    cm AS (SELECT m0, off, rev_cents,
+        CAST(SUM(rev_cents) OVER (PARTITION BY m0 ORDER BY off
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_cents
+      FROM r)
+    SELECT cm.m0 AS m0, off, rev_cents, cum_cents,
+      CAST(cum_cents AS DOUBLE) / cohort_n AS ltv_per_user
+    FROM cm JOIN s ON cm.m0 = s.m0
+    ORDER BY m0, off"""))
+
   // --- q209: RATIO-TO-REPORT REVENUE SHARES — the BI staple "each
   //     nation's revenue as a share of its region and of the world".
   //     The share denominators are NOT windows over the data: revenue
@@ -1463,5 +1518,5 @@ object Relational extends Q.Module {
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
     q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225, q231,
-    q232, q234, q243)
+    q232, q234, q243, q248)
 }
