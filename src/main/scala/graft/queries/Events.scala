@@ -2115,8 +2115,127 @@ object Events extends Q.Module {
         - CAST(c_cpre AS DOUBLE) / n_cpre) AS did_cents
     FROM a"""))
 
+  // --- q251: INTERVAL MERGE / COVERAGE — flatten each user's overlapping
+  //     5-minute activity intervals into their union (merged maximal
+  //     intervals) and report total covered time: the interval twin of
+  //     q229's gaps-and-islands (q201 counts concurrent intervals; this
+  //     MERGES them). A new merged interval starts exactly when an
+  //     event's start exceeds the running MAX of all previous ends —
+  //     one window pass for the running max (partitioned by user), a
+  //     cumulative sum of the start flags numbers the islands, then one
+  //     aggregate per island and one per user. All exact integer µs;
+  //     no self-join, no sequence densification.
+  private val q251 = Q(
+    "q251_interval_coverage",
+    "✦ interval algebra: merge overlapping activity intervals, total covered time per user",
+    (s, d) => {
+      val span = 300000000L // 5 min in µs
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), micros.as("st"), col("event_id"))
+        .withColumn("en", col("st") + span)
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val flagged = iv
+        .withColumn("pmax", max(col("en")).over(wPrev))
+        .withColumn("fresh",
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum(col("fresh")).over(wOrd.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      val merged = flagged.groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("mst"), max(col("en")).as("men"),
+          count(lit(1)).as("n_raw"))
+      merged.groupBy(col("user_id"))
+        .agg(sum(col("n_raw")).as("n_events"),
+          count(lit(1)).as("n_merged"),
+          sum(col("men") - col("mst")).as("covered_us"),
+          max(col("men") - col("mst")).as("longest_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS st, event_id,
+        epoch_us(ts) + 300000000 AS en
+      FROM events),
+    f AS (SELECT user_id, st, en,
+        CASE WHEN MAX(en) OVER (PARTITION BY user_id
+            ORDER BY st, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR st > MAX(en) OVER (PARTITION BY user_id
+            ORDER BY st, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS fresh,
+        event_id
+      FROM iv),
+    isl AS (SELECT user_id, st, en,
+        SUM(fresh) OVER (PARTITION BY user_id ORDER BY st, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM f),
+    m AS (SELECT user_id, island, MIN(st) AS mst, MAX(en) AS men,
+        CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(SUM(n_raw) AS BIGINT) AS n_events,
+      CAST(COUNT(*) AS BIGINT) AS n_merged,
+      CAST(SUM(men - mst) AS BIGINT) AS covered_us,
+      CAST(MAX(men - mst) AS BIGINT) AS longest_us
+    FROM m GROUP BY user_id ORDER BY user_id"""))
+
+  // --- q252: SEQUENCE-PATTERN MINING (MATCH_RECOGNIZE emulation) —
+  //     count view→purchase conversion patterns in each user's ordered
+  //     event-type string WITHOUT regex: cross-engine regex semantics
+  //     (Java util.regex vs RE2) are exactly the kind of silent trap the
+  //     determinism ledger exists for, so the pattern automaton runs as
+  //     an INTEGER-STATE FOLD over the ordered event-initial array —
+  //     state = 2·conversions + sawView, one CASE per element, exact in
+  //     both engines (Spark HOF `aggregate`, DuckDB `list_reduce` over
+  //     the same (us, event_id)-ordered list). Also counts ADJACENT
+  //     'vp' bigrams via the length-of-replace trick (pure string
+  //     arithmetic, no regex either). One groupBy with an ordered
+  //     list aggregate — the q213 trigram machinery's single-pass
+  //     sibling.
+  private val q252 = Q(
+    "q252_sequence_pattern",
+    "✦ sequence mining: v→p conversion automaton as integer-state fold (no regex)",
+    (s, d) => {
+      val ch = Tables.events(s, d)
+        .select(col("user_id"), micros.as("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c"))
+      val seqd = ch.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("c")))), x => x.getField("c")), "").as("s"))
+      seqd.select(col("user_id"), col("n_events"),
+          expr("""aggregate(split(s, ''),
+            0L,
+            (acc, x) -> CASE WHEN x = 'v' THEN (acc div 2) * 2 + 1
+              WHEN x = 'p' AND acc % 2 = 1 THEN (acc div 2 + 1) * 2
+              ELSE acc END,
+            acc -> acc div 2)""").as("n_conversions"),
+          expr("CAST((length(s) - length(replace(s, 'vp', ''))) div 2" +
+            " AS BIGINT)").as("n_adjacent_vp"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ch AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        substr(event_type, 1, 1) AS c
+      FROM events),
+    sq AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        string_agg(c, '' ORDER BY us, event_id) AS s
+      FROM ch GROUP BY user_id)
+    SELECT user_id, n_events,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(s, ''), x ->
+            CAST(CASE WHEN x = 'v' THEN 1
+              WHEN x = 'p' THEN 2 ELSE 0 END AS BIGINT))),
+        (acc, x) -> CASE WHEN x = 1 THEN (acc // 2) * 2 + 1
+          WHEN x = 2 AND acc % 2 = 1 THEN (acc // 2 + 1) * 2
+          ELSE acc END) // 2 AS n_conversions,
+      CAST((length(s) - length(replace(s, 'vp', ''))) // 2 AS BIGINT)
+        AS n_adjacent_vp
+    FROM sq ORDER BY user_id"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227, q229, q237, q238, q239, q247, q250)
+    q227, q229, q237, q238, q239, q247, q250, q251, q252)
 }

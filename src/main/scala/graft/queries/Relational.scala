@@ -990,6 +990,90 @@ object Relational extends Q.Module {
     FROM cm JOIN s ON cm.m0 = s.m0
     ORDER BY m0, off"""))
 
+  // --- q253: HIERARCHICAL LARGEST-REMAINDER ALLOCATION — spread a fixed
+  //     budget of 1,000,000 units down region → nation proportional to
+  //     revenue, EXACTLY conserved at every level: per level, each child
+  //     gets floor(parent_units·child_rev / parent_rev) and the integer
+  //     leftover (< #children) goes +1 to the largest remainders
+  //     (remainder desc, name tiebreak) — q198's largest-remainder rule
+  //     lifted to a two-level hierarchy. Σ nation = region units and
+  //     Σ region = budget hold as integer identities, not approximately:
+  //     no per-row float shares are ever summed (the q167/q172 lesson).
+  //     All frames past the first aggregate are region/nation-sized;
+  //     the remainder-rank windows run over those tiny frames only.
+  private val q253 = Q(
+    "q253_hierarchical_allocation",
+    "✦ BI: two-level largest-remainder budget allocation (exact conservation)",
+    (s, d) => {
+      val budget = 1000000L
+      val revN = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("rc"))
+      val revR = revN.groupBy(col("r_name")).agg(sum(col("rc")).as("rr"))
+      val tot = revR.agg(sum(col("rr")).as("tt"))
+      val a1 = revR.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($budget * rr) div tt"))
+        .withColumn("rem", expr(s"($budget * rr) % tt"))
+      val l1 = a1.agg((lit(budget) - sum(col("base"))).as("left1"))
+      val wR = Window.orderBy(col("rem").desc, col("r_name"))
+      val b1 = a1.crossJoin(broadcast(l1))
+        .withColumn("ra", col("base")
+          + when(row_number().over(wR) <= col("left1"), 1L).otherwise(0L))
+        .select(col("r_name"), col("rr"), col("ra"))
+      val a2 = revN.join(broadcast(b1), Seq("r_name"))
+        .withColumn("base", expr("(ra * rc) div rr"))
+        .withColumn("rem", expr("(ra * rc) % rr"))
+      val l2 = a2.groupBy(col("r_name"))
+        .agg((max(col("ra")) - sum(col("base"))).as("left2"))
+      val wN = Window.partitionBy(col("r_name"))
+        .orderBy(col("rem").desc, col("n_name"))
+      a2.join(broadcast(l2), Seq("r_name"))
+        .withColumn("nation_units", col("base")
+          + when(row_number().over(wN) <= col("left2"), 1L).otherwise(0L))
+        .select(col("r_name"), col("n_name"), col("rc").as("rev_cents"),
+          col("ra").as("region_units"), col("nation_units"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""WITH rn AS (SELECT r_name, n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS rc
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2),
+    rr AS (SELECT r_name, CAST(SUM(rc) AS BIGINT) AS rr FROM rn
+      GROUP BY 1),
+    t AS (SELECT CAST(SUM(rr) AS BIGINT) AS tt FROM rr),
+    a1 AS (SELECT r_name, rr, (1000000 * rr) // tt AS base,
+        (1000000 * rr) % tt AS rem
+      FROM rr, t),
+    l1 AS (SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS left1 FROM a1),
+    b1 AS (SELECT r_name, rr, base + CASE
+        WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, r_name) <= left1
+        THEN 1 ELSE 0 END AS ra
+      FROM a1, l1),
+    a2 AS (SELECT rn.r_name, n_name, rc, ra, rr,
+        (ra * rc) // rr AS base, (ra * rc) % rr AS rem
+      FROM rn JOIN b1 USING (r_name)),
+    l2 AS (SELECT r_name,
+        CAST(MAX(ra) AS BIGINT) - CAST(SUM(base) AS BIGINT) AS left2
+      FROM a2 GROUP BY 1)
+    SELECT a2.r_name AS r_name, n_name, rc AS rev_cents,
+      ra AS region_units,
+      base + CASE WHEN ROW_NUMBER() OVER (PARTITION BY a2.r_name
+        ORDER BY rem DESC, n_name) <= left2 THEN 1 ELSE 0 END
+        AS nation_units
+    FROM a2 JOIN l2 ON a2.r_name = l2.r_name
+    ORDER BY r_name, n_name"""))
+
   // --- q209: RATIO-TO-REPORT REVENUE SHARES — the BI staple "each
   //     nation's revenue as a share of its region and of the world".
   //     The share denominators are NOT windows over the data: revenue
@@ -1518,5 +1602,5 @@ object Relational extends Q.Module {
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
     q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225, q231,
-    q232, q234, q243, q248)
+    q232, q234, q243, q248, q253)
 }
