@@ -2234,8 +2234,139 @@ object Events extends Q.Module {
         AS n_adjacent_vp
     FROM sq ORDER BY user_id"""))
 
+  // --- q254: SEASONAL-NAIVE BACKTEST — the honest way to score a
+  //     forecasting baseline: for every day, "predict" revenue as the
+  //     expanding mean of all PRIOR same-weekday days (no lookahead —
+  //     the window ends at 1 PRECEDING), then report the mean absolute
+  //     error per weekday. The determinism subtlety is the MAE sum:
+  //     per-row |actual − forecast| are doubles, and a float SUM over
+  //     them is order-dependent — so each error is fpTrunc'd to 6
+  //     digits FIRST (identical doubles → identical truncations) and
+  //     the truncated values ride the exact decimal dsum, making the
+  //     aggregate associative (the q167/q172 never-sum-floats rule,
+  //     applied to a backtest). One window pass over the day-sized
+  //     frame; all inputs exact integer cents.
+  private val q254 = Q(
+    "q254_seasonal_backtest",
+    "✦ forecasting: seasonal-naive expanding backtest, order-free decimal MAE per weekday",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 86400000000").as("dd"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("dd")).agg(sum(col("cents")).as("rev"))
+        .withColumn("dow", col("dd") % 7)
+      val wExp = Window.partitionBy(col("dow")).orderBy(col("dd"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bt = daily
+        .withColumn("pn", count(lit(1)).over(wExp))
+        .withColumn("ps", sum(col("rev")).over(wExp))
+        .filter(col("pn") >= 1)
+        .withColumn("forecast", col("ps").cast("double") / col("pn"))
+        .withColumn("errt",
+          fpTrunc(abs(col("rev").cast("double") - col("forecast")), 6))
+      bt.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_backtests"),
+          (dsum(col("errt")) / count(lit(1))).as("mae_cents"))
+        .orderBy(col("dow"))
+    },
+    Some(s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bt AS (SELECT dd % 7 AS dow, rev,
+        COUNT(*) OVER w AS pn,
+        CAST(SUM(rev) OVER w AS BIGINT) AS ps
+      FROM daily
+      WINDOW w AS (PARTITION BY dd % 7 ORDER BY dd
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    e AS (SELECT dow,
+        ${fpTruncSql(
+          "ABS(CAST(rev AS DOUBLE) - CAST(ps AS DOUBLE) / pn)", 6)}
+          AS errt
+      FROM bt WHERE pn >= 1)
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_backtests,
+      ${dsumSql("errt")} / COUNT(*) AS mae_cents
+    FROM e GROUP BY dow ORDER BY dow"""))
+
+  // --- q255: KAPLAN-MEIER SURVIVAL — time from signup to first
+  //     purchase with right-censoring at the corpus horizon: the
+  //     survival-analysis primitive under every churn/conversion-delay
+  //     readout. The life table is built without densification: event
+  //     days T are the distinct observed durations (bounded by the
+  //     horizon in days), and the at-risk/event counts come from one
+  //     conditional aggregate over users × T (T is tiny and broadcast).
+  //     The survival curve S(t) = Π (1 − d/n) is q80's cumulative-
+  //     product idiom: Spark folds the collect_list'd factors
+  //     sequentially, DuckDB uses product() OVER, and BOTH round to 6
+  //     digits so the compare is robust to the engines' combine order
+  //     (factors and S are O(1) magnitude on a ~30-row frame — the
+  //     ledger's safe class for rounding).
+  private val q255 = Q(
+    "q255_kaplan_meier",
+    "✦ survival analysis: Kaplan-Meier signup→purchase curve with right-censoring",
+    (s, d) => {
+      val ev0 = Tables.events(s, d)
+        .select(col("user_id"), micros.as("us"), col("event_type"))
+      val s0 = ev0.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+      val p1 = ev0.filter(col("event_type") === "purchase")
+        .join(s0, Seq("user_id"))
+        .filter(col("us") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val mx = ev0.agg(max(col("us")).as("tmax"))
+      val u = s0.join(p1, Seq("user_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          when(col("t1").isNull,
+            expr("(tmax - t0) div 86400000000"))
+            .otherwise(expr("(t1 - t0) div 86400000000")).as("obs"),
+          col("t1").isNotNull.as("ev"))
+      val tt = u.filter(col("ev")).select(col("obs").as("t")).distinct()
+      val lifeTable = u.crossJoin(broadcast(tt))
+        .groupBy(col("t"))
+        .agg(sum(when(col("obs") >= col("t"), 1L).otherwise(0L))
+          .as("at_risk"),
+          sum(when(col("ev") && col("obs") === col("t"), 1L)
+            .otherwise(0L)).as("events"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lifeTable.select(col("t"), col("at_risk"), col("events"),
+          round(aggregate(
+            collect_list((col("at_risk") - col("events")).cast("double")
+              / col("at_risk")).over(wCum),
+            lit(1.0), (acc, v) => acc * v), 6).as("survival"))
+        .orderBy(col("t"))
+    },
+    Some("""WITH s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    p1 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s0.t0
+      GROUP BY 1),
+    mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+    u AS (SELECT s0.user_id,
+        CASE WHEN t1 IS NULL THEN (tmax - t0) // 86400000000
+          ELSE (t1 - t0) // 86400000000 END AS obs,
+        t1 IS NOT NULL AS ev
+      FROM s0 LEFT JOIN p1 USING (user_id), mx),
+    tt AS (SELECT DISTINCT obs AS t FROM u WHERE ev),
+    lt AS (SELECT t,
+        CAST(SUM(CASE WHEN obs >= t THEN 1 ELSE 0 END) AS BIGINT)
+          AS at_risk,
+        CAST(SUM(CASE WHEN ev AND obs = t THEN 1 ELSE 0 END) AS BIGINT)
+          AS events
+      FROM u, tt GROUP BY t)
+    SELECT t, at_risk, events,
+      ROUND(product(CAST(at_risk - events AS DOUBLE) / at_risk)
+        OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        AS survival
+    FROM lt ORDER BY t"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227, q229, q237, q238, q239, q247, q250, q251, q252)
+    q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255)
 }
