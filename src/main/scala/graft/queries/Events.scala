@@ -2186,13 +2186,20 @@ object Events extends Q.Module {
   //     (Java util.regex vs RE2) are exactly the kind of silent trap the
   //     determinism ledger exists for, so the pattern automaton runs as
   //     an INTEGER-STATE FOLD over the ordered event-initial array —
-  //     state = 2·conversions + sawView, one CASE per element, exact in
-  //     both engines (Spark HOF `aggregate`, DuckDB `list_reduce` over
-  //     the same (us, event_id)-ordered list). Also counts ADJACENT
-  //     'vp' bigrams via the length-of-replace trick (pure string
-  //     arithmetic, no regex either). One groupBy with an ordered
-  //     list aggregate — the q213 trigram machinery's single-pass
-  //     sibling.
+  //     state = 2·conversions + sawView, exact in both engines (Spark
+  //     HOF `aggregate`, DuckDB `list_reduce` over the same
+  //     (us, event_id)-ordered list). The step function is BRANCHLESS
+  //     integer arithmetic — acc + [x=v]·(1 − acc%2) + [x=p]·(acc%2) —
+  //     NOT a CASE: DuckDB 1.0.0's list_reduce mis-evaluates lambdas
+  //     containing CASE over multi-row vector chunks (deterministically
+  //     wrong values that differ from the same fold on a single-row
+  //     slice; caught live by the sf0.001/sf0.1 sweep legs, ledger
+  //     trap 9), while pure-arithmetic lambdas vectorize correctly
+  //     (q105/q145's folds are arithmetic and always matched). Also
+  //     counts ADJACENT 'vp' bigrams via the length-of-replace trick
+  //     (pure string arithmetic, no regex either). One groupBy with an
+  //     ordered list aggregate — the q213 trigram machinery's
+  //     single-pass sibling.
   private val q252 = Q(
     "q252_sequence_pattern",
     "✦ sequence mining: v→p conversion automaton as integer-state fold (no regex)",
@@ -2208,9 +2215,9 @@ object Events extends Q.Module {
       seqd.select(col("user_id"), col("n_events"),
           expr("""aggregate(split(s, ''),
             0L,
-            (acc, x) -> CASE WHEN x = 'v' THEN (acc div 2) * 2 + 1
-              WHEN x = 'p' AND acc % 2 = 1 THEN (acc div 2 + 1) * 2
-              ELSE acc END,
+            (acc, x) -> acc
+              + CAST(x = 'v' AS BIGINT) * (1 - acc % 2)
+              + CAST(x = 'p' AS BIGINT) * (acc % 2),
             acc -> acc div 2)""").as("n_conversions"),
           expr("CAST((length(s) - length(replace(s, 'vp', ''))) div 2" +
             " AS BIGINT)").as("n_adjacent_vp"))
@@ -2227,9 +2234,9 @@ object Events extends Q.Module {
           list_transform(string_split(s, ''), x ->
             CAST(CASE WHEN x = 'v' THEN 1
               WHEN x = 'p' THEN 2 ELSE 0 END AS BIGINT))),
-        (acc, x) -> CASE WHEN x = 1 THEN (acc // 2) * 2 + 1
-          WHEN x = 2 AND acc % 2 = 1 THEN (acc // 2 + 1) * 2
-          ELSE acc END) // 2 AS n_conversions,
+        (acc, x) -> acc
+          + CAST(x = 1 AS BIGINT) * (1 - acc % 2)
+          + CAST(x = 2 AS BIGINT) * (acc % 2)) // 2 AS n_conversions,
       CAST((length(s) - length(replace(s, 'vp', ''))) // 2 AS BIGINT)
         AS n_adjacent_vp
     FROM sq ORDER BY user_id"""))
