@@ -927,21 +927,28 @@ object Dedup extends Q.Module {
             concat(col("text"), lit(" prefixprobe")).as("text")))
       // df rides along from the cutoff window — no second shuffle-by-
       // shingle to recompute document frequency for the prefix order.
+      // The ~30-char shingle string is dropped HERE: everything
+      // downstream (rank sort, candidate join, verify join) carries the
+      // 8-byte xxhash64 sid instead (q47's idiom). Losslessness only
+      // needs ONE consistent global total order on set elements —
+      // (df asc, sid asc) is one (the oracle's all-pairs algorithm has
+      // no prefix, so no cross-engine order agreement is required).
       val shDf = shinglesWithDfOf(corpus)
-        .select(col("doc_id"), col("shingle").as("tok"), col("df"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sid"),
+          col("df"))
         .persist()
-      val sh = shDf.select(col("doc_id"), col("tok"))
+      val sh = shDf.select(col("doc_id"), col("sid"))
       // one window pass per doc: global rarest-first rank + set size.
       val wDoc = Window.partitionBy(col("doc_id"))
       val pref = shDf
         .withColumn("rn",
-          row_number().over(wDoc.orderBy(col("df"), col("tok"))))
+          row_number().over(wDoc.orderBy(col("df"), col("sid"))))
         .withColumn("n", count(lit(1)).over(wDoc))
         .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
-        .select(col("doc_id"), col("tok"), col("n"))
+        .select(col("doc_id"), col("sid"), col("n"))
       val cand = pref.as("a")
         .join(pref.as("b").hint("shuffle_hash"),
-          col("a.tok") === col("b.tok")
+          col("a.sid") === col("b.sid")
             && col("a.doc_id") < col("b.doc_id")
             && lit(5) * least(col("a.n"), col("b.n"))
               >= lit(3) * greatest(col("a.n"), col("b.n")))
@@ -949,9 +956,9 @@ object Dedup extends Q.Module {
         .distinct()
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
-        .join(sh.select(col("doc_id").as("da"), col("tok")), Seq("da"))
-        .join(sh.select(col("doc_id").as("db"), col("tok"))
-          .hint("shuffle_hash"), Seq("db", "tok"))
+        .join(sh.select(col("doc_id").as("da"), col("sid")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("sid"))
+          .hint("shuffle_hash"), Seq("db", "sid"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       inter
         .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
@@ -1109,10 +1116,14 @@ object Dedup extends Q.Module {
         .distinct()
       val sh = shinglesOf(corpus).persist()
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // verify joins carry xxhash64(shingle) longs, not the string
+      // (q47's sid idiom).
       val inter = cand
-        .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
-        .join(sh.select(col("doc_id").as("db"), col("shingle"))
-          .hint("shuffle_hash"), Seq("db", "shingle"))
+        .join(sh.select(col("doc_id").as("da"),
+          xxhash64(col("shingle")).as("sid")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"),
+          xxhash64(col("shingle")).as("sid"))
+          .hint("shuffle_hash"), Seq("db", "sid"))
         .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       inter
         .join(sz.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
