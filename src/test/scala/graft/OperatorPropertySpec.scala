@@ -913,6 +913,96 @@ class OperatorPropertySpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("3-round min-plus relaxation == Dijkstra truncated at 3 edges (q243)") {
+    // random weighted graphs: the bounded Bellman-Ford rounds must equal
+    // the true shortest distance over paths of <= 3 edges.
+    import spark.implicits._
+    val rng = new Random(43)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (for {
+        _ <- 0 until 80
+        x = rng.nextInt(n).toLong; y = rng.nextInt(n).toLong if x != y
+      } yield (x, y, 1L + rng.nextInt(7))).distinct
+      val adj = edges.flatMap { case (x, y, w) => Seq((x, y, w), (y, x, w)) }
+      val seeds = (0L until n).filter(_ % 7 == 0)
+      // truth: min-plus matrix powers over the seed vector, 3 rounds
+      var want = seeds.map(_ -> 0L).toMap
+      (1 to 3).foreach { _ =>
+        val relaxed = for ((s2, d0) <- want.toSeq; (x, y, w) <- adj
+          if x == s2) yield (y, d0 + w)
+        want = (want.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      val adjDf = adj.toDF("src", "dst", "w")
+      var dist = seeds.map(x => (x, 0L)).toDF("node", "d")
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val next = dist.join(adjDf, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+        dist = dist.select(col("node"), col("d")).unionByName(next)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      val got = dist.as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+  }
+
+  test("largest-remainder allocation conserves exactly at both levels (q253)") {
+    // random region->nation revenue trees: sum(nation) == region units,
+    // sum(region) == budget, and every unit difference vs exact
+    // proportional share is < 1.
+    import spark.implicits._
+    val rng = new Random(47)
+    (1 to 3).foreach { _ =>
+      val budget = 1000000L
+      val tree = (for {
+        r <- 0 until 4; nn <- 0 until (2 + rng.nextInt(4))
+      } yield (s"r$r", s"r${r}n$nn", 1L + rng.nextInt(100000))).toSeq
+      val revN = tree.toDF("r_name", "n_name", "rc")
+      val revR = revN.groupBy(col("r_name")).agg(sum(col("rc")).as("rr"))
+      val tot = revR.agg(sum(col("rr")).as("tt"))
+      val a1 = revR.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($budget * rr) div tt"))
+        .withColumn("rem", expr(s"($budget * rr) % tt"))
+      val l1 = a1.agg((lit(budget) - sum(col("base"))).as("left1"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("r_name"))
+      val b1 = a1.crossJoin(broadcast(l1))
+        .withColumn("ra", col("base")
+          + when(row_number().over(wR) <= col("left1"), 1L).otherwise(0L))
+        .select(col("r_name"), col("rr"), col("ra"))
+      val a2 = revN.join(broadcast(b1), Seq("r_name"))
+        .withColumn("base", expr("(ra * rc) div rr"))
+        .withColumn("rem", expr("(ra * rc) % rr"))
+      val l2 = a2.groupBy(col("r_name"))
+        .agg((max(col("ra")) - sum(col("base"))).as("left2"))
+      val wN = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r_name")).orderBy(col("rem").desc, col("n_name"))
+      val out = a2.join(broadcast(l2), Seq("r_name"))
+        .withColumn("na", col("base")
+          + when(row_number().over(wN) <= col("left2"), 1L).otherwise(0L))
+        .select(col("r_name"), col("n_name"), col("rc"), col("ra"),
+          col("na"))
+        .as[(String, String, Long, Long, Long)].collect()
+      assert(out.map(_._5).sum == budget, "budget not conserved")
+      out.groupBy(_._1).foreach { case (r, rows) =>
+        assert(rows.map(_._5).sum == rows.head._4,
+          s"region $r units not conserved")
+      }
+      // fairness: each nation's units within 1 of its exact share
+      val byRegion = out.groupBy(_._1)
+      byRegion.foreach { case (_, rows) =>
+        val rr = rows.map(_._3).sum
+        rows.foreach { case (_, _, rc, ra, na) =>
+          val exact = ra.toDouble * rc / rr
+          assert(math.abs(na - exact) < 1.0, s"unfair: $na vs $exact")
+        }
+      }
+    }
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
