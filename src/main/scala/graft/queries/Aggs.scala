@@ -2146,6 +2146,37 @@ object Aggs extends Q.Module {
       CAST(x.n_extreme + 1 AS DOUBLE) / 17.0 AS p_value
     FROM x CROSS JOIN obs o"""))
 
+  // --- q257: ORDER-OF-MAGNITUDE HISTOGRAM — the log-scale distribution
+  //     profile WITHOUT log(): the decade bucket of an exact integer is
+  //     its DIGIT COUNT (length of the decimal rendering), and both
+  //     engines render a BIGINT identically — so the histogram that
+  //     would normally be floor(log10(x)) (ln() is engine-unstable,
+  //     ledger rule) is pure string arithmetic on exact cents. The
+  //     profile that catches unit-confusion bugs (a 100× price error
+  //     shifts two buckets) in one map-combined aggregate pass.
+  private val q257 = Q(
+    "q257_magnitude_histogram",
+    "A7 ✦ order-of-magnitude (digit-count) histogram of order totals — log-free decade buckets",
+    (s, d) => {
+      val c = Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      c.groupBy(length(col("cents").cast("string")).cast("long")
+          .as("digits"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("digits"))
+    },
+    Some("""SELECT CAST(length(CAST(cents AS VARCHAR)) AS BIGINT)
+        AS digits,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        AS BIGINT) AS cents FROM orders)
+    GROUP BY 1 ORDER BY digits"""))
+
   // --- q249: ABC × XYZ INVENTORY MATRIX — q199's revenue Pareto class
   //     crossed with the demand-VARIABILITY class (XYZ): per part, the
   //     coefficient of variation of monthly demand decides X (steady,
@@ -2461,5 +2492,5 @@ object Aggs extends Q.Module {
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245, q249)
+    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245, q249, q257)
 }

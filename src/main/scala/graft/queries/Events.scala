@@ -2372,8 +2372,50 @@ object Events extends Q.Module {
         AS survival
     FROM lt ORDER BY t"""))
 
+  // --- q256: POISSON BURST DETECTION — flag hours whose event volume is
+  //     implausible under a uniform-rate model: z = (c − λ)/√λ with
+  //     λ = T/H estimated from the observed span (H counts EMPTY hours
+  //     too — max−min+1, not COUNT(rows)). Unlike q206's rolling local
+  //     z, this is the global-rate Poisson test. The flag is the
+  //     CROSS-MULTIPLIED integer (c·H − T)² > 9·T·H with c·H > T
+  //     (z > 3, upper tail only) — no division, no sqrt, no float
+  //     boundary; λ and z are computed as presentation doubles only for
+  //     flagged rows (sqrt of an identical double is identical — one
+  //     correctly-rounded IEEE op).
+  private val q256 = Q(
+    "q256_poisson_burst",
+    "✦ anomaly: Poisson burst hours via cross-multiplied integer z² > 9 (upper tail)",
+    (s, d) => {
+      val hc = Tables.events(s, d)
+        .select(expr("(ts div 1000) div 3600000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val tot = hc.agg(sum(col("c")).as("t"),
+        (max(col("h")) - min(col("h")) + 1).as("hh"))
+      hc.crossJoin(broadcast(tot))
+        .filter(col("c") * col("hh") > col("t")
+          && (col("c") * col("hh") - col("t"))
+            * (col("c") * col("hh") - col("t"))
+            > lit(9L) * col("t") * col("hh"))
+        .select(col("h"), col("c"),
+          (col("t").cast("double") / col("hh")).as("lambda"),
+          ((col("c") * col("hh") - col("t")).cast("double")
+            / sqrt((col("t") * col("hh")).cast("double"))).as("z"))
+        .orderBy(col("h"))
+    },
+    Some("""WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+        MAX(h) - MIN(h) + 1 AS hh FROM hc)
+    SELECT h, c, CAST(t.t AS DOUBLE) / hh AS lambda,
+      CAST(c * hh - t.t AS DOUBLE) / SQRT(CAST(t.t * hh AS DOUBLE)) AS z
+    FROM hc, t
+    WHERE c * hh > t.t
+      AND (c * hh - t.t) * (c * hh - t.t) > 9 * t.t * hh
+    ORDER BY h"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255)
+    q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256)
 }

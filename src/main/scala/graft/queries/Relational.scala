@@ -990,6 +990,44 @@ object Relational extends Q.Module {
     FROM cm JOIN s ON cm.m0 = s.m0
     ORDER BY m0, off"""))
 
+  // --- q258: TPC-H Q16 SHAPE — "how many distinct suppliers can serve
+  //     each (brand, size) segment, excluding blacklisted suppliers":
+  //     the NOT IN (subquery) + grouped COUNT(DISTINCT) pattern. The
+  //     blacklist (suppliers with negative account balance — Q16's
+  //     complaints analog) is supplier-sized → the NOT IN plans as a
+  //     broadcast left_anti join, never a per-row subquery; the
+  //     supplier-per-part relation comes from lineitem distinct pairs
+  //     (one shuffle on partkey) and the distinct count is a
+  //     two-level hash aggregate. Ordered by (cnt desc, brand, size)
+  //     → TakeOrderedAndProject. The oracle keeps the literal NOT IN
+  //     form, certifying the anti-join rewrite.
+  private val q258 = Q(
+    "q258_supplier_coverage",
+    "TPC-H Q16 shape: distinct-supplier coverage per (brand, size), NOT IN blacklist",
+    (s, d) => {
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(bad.withColumnRenamed("s_suppkey", "l_suppkey")),
+          Seq("l_suppkey"), "left_anti")
+      ps.join(Tables.part(s, d)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+            col("p_size")), Seq("l_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(20)
+    },
+    Some("""SELECT p_brand, p_size,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20"""))
+
   // --- q253: HIERARCHICAL LARGEST-REMAINDER ALLOCATION — spread a fixed
   //     budget of 1,000,000 units down region → nation proportional to
   //     revenue, EXACTLY conserved at every level: per level, each child
@@ -1602,5 +1640,5 @@ object Relational extends Q.Module {
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
     q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225, q231,
-    q232, q234, q243, q248, q253)
+    q232, q234, q243, q248, q253, q258)
 }
