@@ -1028,6 +1028,148 @@ object Relational extends Q.Module {
     GROUP BY p_brand, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20"""))
 
+  // --- q259: PRICE-VOLUME-MIX DECOMPOSITION — the FP&A bridge "why did
+  //     revenue change year-over-year": per part, Δrev splits into a
+  //     PRICE effect ((p2−p1)·q2) and a VOLUME effect ((q2−q1)·p1),
+  //     with p = realized unit price (rev/qty, a rational). The
+  //     determinism discipline: per-part effects are each a couple of
+  //     divisions/multiplies of exact integers (identical doubles), but
+  //     their TOTALS must not ride a float SUM — each effect is FLOOR-
+  //     quantized to integer hundredths-of-a-cent (floor of an
+  //     identical double is engine-identical; q167's integer-unit
+  //     idiom) and summed as plain BIGINT, with ONE division at the
+  //     end. NOT the fpTrunc-then-decimal-sum form: the effect totals
+  //     (~8e10 cents) exceed dsl's scale-6 decimal→double cast bound
+  //     (sum·10⁶ > 2⁵³ — DuckDB's multiply-based conversion drifts an
+  //     ulp there, caught live by the sf0.1 leg). The identity
+  //     price+volume = Δrev holds per part up to the quantization
+  //     grain and the residual column surfaces it. Parts present in
+  //     only one year fall out of the bridge into the new/discontinued
+  //     rows via a full-outer join with zero-fills.
+  private val q259 = Q(
+    "q259_price_volume_mix",
+    "✦ FP&A: year-over-year price/volume decomposition with order-free decimal totals",
+    (s, d) => {
+      def yr(y: Int) = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === y)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_quantity").cast("decimal(18,2)") * 100)
+          .cast("long")).as(s"q$y"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as(s"r$y"))
+      val j = yr(1996).join(yr(1997), Seq("l_partkey"), "full_outer")
+        .na.fill(0L, Seq("q1996", "r1996", "q1997", "r1997"))
+      val both = j.filter(col("q1996") > 0 && col("q1997") > 0)
+        .withColumn("p1",
+          col("r1996").cast("double") / col("q1996"))
+        .withColumn("p2",
+          col("r1997").cast("double") / col("q1997"))
+        .withColumn("price_u", floor(
+          (col("p2") - col("p1")) * col("q1997").cast("double") * 100)
+          .cast("long"))
+        .withColumn("vol_u", floor(
+          (col("q1997") - col("q1996")).cast("double") * col("p1") * 100)
+          .cast("long"))
+      val bridge = both.agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("r1997") - col("r1996")).as("delta_rev_cents"),
+        (sum(col("price_u")).cast("double") / 100).as("price_effect"),
+        (sum(col("vol_u")).cast("double") / 100).as("volume_effect"))
+      val churn = j.agg(
+        sum(when(col("q1996") === 0, col("r1997")).otherwise(0L))
+          .as("new_parts_rev"),
+        sum(when(col("q1997") === 0, col("r1996")).otherwise(0L))
+          .as("discontinued_rev"))
+      bridge.crossJoin(broadcast(churn))
+        .select(col("n_parts"), col("delta_rev_cents"),
+          col("price_effect"), col("volume_effect"),
+          (col("delta_rev_cents").cast("double") - col("price_effect")
+            - col("volume_effect")).as("residual"),
+          col("new_parts_rev"), col("discontinued_rev"))
+    },
+    Some(s"""WITH y1 AS (SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS q1,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS r1
+      FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+    y2 AS (SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS q2,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS r2
+      FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+    j AS (SELECT COALESCE(y1.l_partkey, y2.l_partkey) AS k,
+        COALESCE(q1, 0) AS q1, COALESCE(r1, 0) AS r1,
+        COALESCE(q2, 0) AS q2, COALESCE(r2, 0) AS r2
+      FROM y1 FULL OUTER JOIN y2 ON y1.l_partkey = y2.l_partkey),
+    eff AS (SELECT k, q1, r1, q2, r2,
+        CAST(FLOOR((CAST(r2 AS DOUBLE) / q2 - CAST(r1 AS DOUBLE) / q1)
+          * CAST(q2 AS DOUBLE) * 100) AS BIGINT) AS price_u,
+        CAST(FLOOR(CAST(q2 - q1 AS DOUBLE)
+          * (CAST(r1 AS DOUBLE) / q1) * 100) AS BIGINT) AS vol_u
+      FROM j WHERE q1 > 0 AND q2 > 0),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+        CAST(SUM(r2 - r1) AS BIGINT) AS delta_rev_cents,
+        CAST(SUM(price_u) AS DOUBLE) / 100 AS price_effect,
+        CAST(SUM(vol_u) AS DOUBLE) / 100 AS volume_effect
+      FROM eff),
+    c AS (SELECT
+        CAST(SUM(CASE WHEN q1 = 0 THEN r2 ELSE 0 END) AS BIGINT)
+          AS new_parts_rev,
+        CAST(SUM(CASE WHEN q2 = 0 THEN r1 ELSE 0 END) AS BIGINT)
+          AS discontinued_rev
+      FROM j)
+    SELECT n_parts, delta_rev_cents, price_effect, volume_effect,
+      CAST(delta_rev_cents AS DOUBLE) - price_effect - volume_effect
+        AS residual,
+      new_parts_rev, discontinued_rev
+    FROM b, c"""))
+
+  // --- q260: SEQUENCE GAP AUDIT — "which invoice numbers are missing":
+  //     find the gap ranges in the orderkey sequence WITHOUT a global
+  //     single-partition window. Blocks of 4096 keys localize the LAG
+  //     (in-block gaps partition by block), and block-BOUNDARY gaps
+  //     come from joining each block's max to the next non-empty
+  //     block's min over the tiny per-block frame — so the scan never
+  //     funnels through one task. Totals (expected span vs present
+  //     count) are plain global aggregates. Top-15 widest gaps with
+  //     deterministic tiebreaks.
+  private val q260 = Q(
+    "q260_sequence_gap_audit",
+    "✦ data quality: missing-key gap ranges via blocked lag + boundary join",
+    (s, d) => {
+      val k = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        .distinct().withColumn("blk", expr("k div 4096"))
+      val wB = Window.partitionBy(col("blk")).orderBy(col("k"))
+      val inBlk = k.withColumn("prev", lag(col("k"), 1).over(wB))
+        .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+        .select((col("prev") + 1).as("gap_start"),
+          (col("k") - 1).as("gap_end"))
+      val blkAgg = k.groupBy(col("blk"))
+        .agg(min(col("k")).as("bmin"), max(col("k")).as("bmax"))
+      val wOrd = Window.orderBy(col("blk"))
+      val boundary = blkAgg
+        .withColumn("nextMin", lead(col("bmin"), 1).over(wOrd))
+        .filter(col("nextMin").isNotNull
+          && col("nextMin") - col("bmax") > 1)
+        .select((col("bmax") + 1).as("gap_start"),
+          (col("nextMin") - 1).as("gap_end"))
+      inBlk.unionByName(boundary)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("missing_n"))
+        .orderBy(col("missing_n").desc, col("gap_start"))
+        .limit(15)
+    },
+    Some("""WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    g AS (SELECT LAG(k) OVER (ORDER BY k) + 1 AS gap_start,
+        k - 1 AS gap_end
+      FROM k QUALIFY k - LAG(k) OVER (ORDER BY k) > 1)
+    SELECT gap_start, gap_end,
+      gap_end - gap_start + 1 AS missing_n
+    FROM g
+    ORDER BY missing_n DESC, gap_start LIMIT 15"""))
+
   // --- q253: HIERARCHICAL LARGEST-REMAINDER ALLOCATION — spread a fixed
   //     budget of 1,000,000 units down region → nation proportional to
   //     revenue, EXACTLY conserved at every level: per level, each child
@@ -1640,5 +1782,5 @@ object Relational extends Q.Module {
   def defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q118, q119, q123, q124, q137, q144,
     q167, q169, q182, q194, q197, q209, q212, q218, q220, q221, q225, q231,
-    q232, q234, q243, q248, q253, q258)
+    q232, q234, q243, q248, q253, q258, q259, q260)
 }
