@@ -2414,8 +2414,104 @@ object Events extends Q.Module {
       AND (c * hh - t.t) * (c * hh - t.t) > 9 * t.t * hh
     ORDER BY h"""))
 
+  // --- q261: THEIL-SEN ROBUST SLOPE — the outlier-resistant trend
+  //     estimate q168's OLS is not: the MEDIAN of all pairwise slopes
+  //     (y_j−y_i)/(x_j−x_i) of the daily-revenue series. The pair
+  //     enumeration is a self-join of the DAY-sized aggregate frame
+  //     (≤ ~31 rows → ≤ ~465 pairs — bounded by the horizon, never
+  //     data-sized), so the O(n²) is a non-issue by construction; at a
+  //     longer horizon the same query runs over a coarser (weekly)
+  //     frame. Each slope is ONE division of exact integers (identical
+  //     doubles in both engines); the median picks the middle element
+  //     of the (slope, i, j)-ordered pair list via ROW_NUMBER — exact
+  //     element selection, no averaging of the even-n middle pair
+  //     (lower median, deterministic by the (i, j) tiebreak).
+  private val q261 = Q(
+    "q261_theil_sen_slope",
+    "✦ robust regression: Theil-Sen median pairwise slope of daily revenue",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 86400000000").as("dd"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("dd")).agg(sum(col("cents")).as("rev"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"), col("a.dd") < col("b.dd"))
+        .select(col("a.dd").as("x1"), col("b.dd").as("x2"),
+          ((col("b.rev") - col("a.rev")).cast("double")
+            / (col("b.dd") - col("a.dd"))).as("slope"))
+      val wOrd = Window.orderBy(col("slope"), col("x1"), col("x2"))
+      val ranked = pairs
+        .withColumn("rn", row_number().over(wOrd))
+      val n = pairs.agg(count(lit(1)).as("n_pairs"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_pairs"), col("slope").as("theil_sen_slope"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    p AS (SELECT a.dd AS x1, b.dd AS x2,
+        CAST(b.rev - a.rev AS DOUBLE) / (b.dd - a.dd) AS slope
+      FROM daily a JOIN daily b ON a.dd < b.dd),
+    r AS (SELECT slope,
+        ROW_NUMBER() OVER (ORDER BY slope, x1, x2) AS rn,
+        COUNT(*) OVER () AS n_pairs
+      FROM p)
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      slope AS theil_sen_slope
+    FROM r WHERE rn = (n_pairs + 1) // 2"""))
+
+  // --- q262: FANO FACTOR / BURSTINESS INDEX — variance-to-mean ratio
+  //     of hourly event counts per event type: 1 for a Poisson process,
+  //     > 1 for bursty arrivals — the dispersion companion of q256's
+  //     per-hour burst flags. Empty hours count via the global span H
+  //     (the q249 zero-month trick: Σc and Σc² are unchanged by zero
+  //     terms, so no densification). Fano = (H·Σc² − (Σc)²) / (H·Σc)
+  //     — numerator and denominator are exact BIGINT cross-products,
+  //     ONE division at the end; the bursty flag is the integer
+  //     comparison H·Σc² > 2·(Σc)²·... presented as fano > 2 via the
+  //     same cross-multiplied form, no float boundary.
+  private val q262 = Q(
+    "q262_fano_burstiness",
+    "✦ anomaly: Fano factor (variance/mean dispersion) of hourly counts per event type",
+    (s, d) => {
+      val hc = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val span = hc.agg((max(col("h")) - min(col("h")) + 1).as("hh"))
+      hc.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"),
+          count(lit(1)).as("active_hours"))
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), col("active_hours"), col("sc")
+            .as("n_events"),
+          ((col("hh") * col("sc2") - col("sc") * col("sc")).cast("double")
+            / (col("hh") * col("sc")).cast("double")).as("fano"),
+          (col("hh") * col("sc2") > col("sc") * col("sc")
+            + lit(2L) * col("hh") * col("sc")).as("bursty"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hc AS (SELECT event_type,
+        epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    sp AS (SELECT MAX(h) - MIN(h) + 1 AS hh FROM hc)
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS active_hours,
+      CAST(SUM(c) AS BIGINT) AS n_events,
+      CAST(hh * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+        / CAST(hh * SUM(c) AS DOUBLE) AS fano,
+      hh * SUM(c * c) > SUM(c) * SUM(c) + 2 * hh * SUM(c) AS bursty
+    FROM hc, sp
+    GROUP BY event_type, hh ORDER BY event_type"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
-    q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256)
+    q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
+    q261, q262)
 }
