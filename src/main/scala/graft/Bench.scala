@@ -58,35 +58,40 @@ object Bench {
       // that failed once but succeeded once still reports its valid time).
       name -> (if (times.isEmpty) -1.0 else times.min)
     }.toMap
-    // Output stays a single SHORT line: the driver keeps only a 2000-byte
-    // tail of stdout, and round 1's full-name 9-decimal line (~2.4 KB) got
-    // truncated past parseability. At 153 queries the 2-decimal line hit
-    // 1,866 bytes — ~9 queries from the cliff — so per-query times carry
-    // 1 decimal (100 ms granularity; round-over-round plan regressions of
-    // interest are ≥2×, and PLANS.md carries the isolated 3-decimal
-    // record), the total keeps 3, the sf dir collapses to its basename,
-    // and the line prints AFTER spark.stop() so no shutdown logging can
-    // land behind it and eat the tail budget. qNN prefixes are unique per
-    // query (full names in SparkEntry/COVERAGE.md).
+    // The driver keeps only a 2000-byte TAIL of stdout. The shrinking
+    // arms race against that cliff (full names r1 → 2-decimal → 1-decimal
+    // → bare numbers) finally lost at 262 queries: BENCH_r10 recorded
+    // parsed:null because the head of the single line — the part with
+    // "metric":"total" — fell off the tail. So stdout now carries ONLY a
+    // short total line (~200 bytes, safe to ~any registry size) and the
+    // per-query map moves out-of-band: a 3-decimal JSON file (cwd
+    // bench_queries.json, override via SPARK_GRAFT_BENCH_QFILE — also the
+    // isolated-profiling record PLANS.md cites) plus a stderr copy for
+    // eyeballing. qNN keys are the bare query number; full names live in
+    // SparkEntry/COVERAGE.md.
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def r1(v: Double): String = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-    // Keys are the bare query NUMBER ("164" = q164): at 168 queries the
-    // "q"-prefixed 1-decimal line was ~1,885 bytes — inside one round of
-    // the 2,000-byte cliff — and the prefix carries no information the
-    // number doesn't (full names in SparkEntry/COVERAGE.md).
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + r1(v)
+      "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // failed count is explicit: total sums only successful queries, so
     // without it the headline would silently IMPROVE when a query breaks.
     val failed = results.values.count(_ < 0)
     val sfName = new java.io.File(sfDir).getName
+    val qFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_QFILE", "bench_queries.json")
+    val qLine = s"""{"sf":"$sfName","runs":$runs,"n":${results.size},"queries":$qs}"""
+    try {
+      val w = new java.io.PrintWriter(qFile, "UTF-8")
+      try w.println(qLine) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per-query file write failed: ${e.getClass.getSimpleName}")
+    }
+    System.err.println(qLine)
     // The record line is built BEFORE stop() and printed in a finally:
     // printing after stop keeps shutdown logging from eating the driver's
     // 2000-byte stdout tail, and the finally guarantees the whole run's
     // output survives even if sink/stream cleanup makes stop() throw.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"mode":"min-of-runs;sink-once","queries":$qs,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"n":${results.size},"mode":"min-of-runs;sink-once","queries":{},"queries_file":"$qFile","sf":"$sfName"}"""
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getClass.getSimpleName}")
