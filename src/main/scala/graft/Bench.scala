@@ -54,6 +54,14 @@ object Bench {
       // still benefits from run-1's cache, which is intended: min-of-runs
       // then reports the warm plan, not tmp-write throughput.
       spark.catalog.clearCache()
+      // …and nudge the JVM so ContextCleaner actually releases the dead
+      // queries' broadcasts and shuffle files: they are freed only when
+      // GC collects their driver-side handles, and without this the
+      // r10-diagnosed contamination cluster appears — queries that bench
+      // 0.7 s in a fresh JVM read 2.7 s when run after the substring-
+      // dedup heavies (isolated span evidence in PLANS.md r11). ~tens of
+      // ms per call at this heap, repaid many times over in stability.
+      System.gc()
       // min over SUCCESSFUL runs only; -1 means every run failed (a query
       // that failed once but succeeded once still reports its valid time).
       name -> (if (times.isEmpty) -1.0 else times.min)

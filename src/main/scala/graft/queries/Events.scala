@@ -2381,21 +2381,25 @@ object Events extends Q.Module {
   //     (z > 3, upper tail only) — no division, no sqrt, no float
   //     boundary; λ and z are computed as presentation doubles only for
   //     flagged rows (sqrt of an identical double is identical — one
-  //     correctly-rounded IEEE op).
+  //     correctly-rounded IEEE op). The squared term runs in
+  //     DECIMAL(38,0)/HUGEINT (the q249 idiom): plain LONG would WRAP
+  //     silently in Spark while the DuckDB twin errors — an asymmetric
+  //     failure at larger spans, even though values fit at fixture scale.
   private val q256 = Q(
     "q256_poisson_burst",
     "✦ anomaly: Poisson burst hours via cross-multiplied integer z² > 9 (upper tail)",
     (s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val hc = Tables.events(s, d)
         .select(expr("(ts div 1000) div 3600000000").as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("c"))
       val tot = hc.agg(sum(col("c")).as("t"),
         (max(col("h")) - min(col("h")) + 1).as("hh"))
       hc.crossJoin(broadcast(tot))
-        .filter(col("c") * col("hh") > col("t")
-          && (col("c") * col("hh") - col("t"))
-            * (col("c") * col("hh") - col("t"))
-            > lit(9L) * col("t") * col("hh"))
+        .filter(dec(col("c")) * col("hh") > col("t")
+          && (dec(col("c")) * col("hh") - col("t"))
+            * (dec(col("c")) * col("hh") - col("t"))
+            > dec(lit(9L)) * col("t") * col("hh"))
         .select(col("h"), col("c"),
           (col("t").cast("double") / col("hh")).as("lambda"),
           ((col("c") * col("hh") - col("t")).cast("double")
@@ -2423,12 +2427,23 @@ object Events extends Q.Module {
   //     longer horizon the same query runs over a coarser (weekly)
   //     frame. Each slope is ONE division of exact integers (identical
   //     doubles in both engines); the median picks the middle element
-  //     of the (slope, i, j)-ordered pair list via ROW_NUMBER — exact
-  //     element selection, no averaging of the even-n middle pair
-  //     (lower median, deterministic by the (i, j) tiebreak).
+  //     of the (slope, i, j)-ordered pair list — exact element
+  //     selection, no averaging of the even-n middle pair (lower
+  //     median, deterministic by the (i, j) tiebreak). The pick is the
+  //     BLOCKED two-phase rank (the q260/q164 idiom), not a global
+  //     ROW_NUMBER: slopes bin monotonically into ≤4096 value-range
+  //     blocks (floor of (s−lo)/w is order-preserving, same-slope ties
+  //     land in the same block), cumulative block counts over the
+  //     ≤4096-row block frame give each block's starting global rank,
+  //     and only the ONE block containing the median rank is sorted —
+  //     so even a multi-year horizon's millions of pairs never funnel
+  //     through a single sorter. The oracle keeps the plain global
+  //     ROW_NUMBER (DuckDB, exactness twin); equivalence holds because
+  //     monotone binning + within-block (slope, x1, x2) order + block
+  //     offset IS the global (slope, x1, x2) rank.
   private val q261 = Q(
     "q261_theil_sen_slope",
-    "✦ robust regression: Theil-Sen median pairwise slope of daily revenue",
+    "✦ robust regression: Theil-Sen median pairwise slope via blocked two-phase rank",
     (s, d) => {
       val daily = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
@@ -2441,12 +2456,27 @@ object Events extends Q.Module {
         .select(col("a.dd").as("x1"), col("b.dd").as("x2"),
           ((col("b.rev") - col("a.rev")).cast("double")
             / (col("b.dd") - col("a.dd"))).as("slope"))
-      val wOrd = Window.orderBy(col("slope"), col("x1"), col("x2"))
-      val ranked = pairs
-        .withColumn("rn", row_number().over(wOrd))
-      val n = pairs.agg(count(lit(1)).as("n_pairs"))
-      ranked.crossJoin(broadcast(n))
-        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      val st = pairs.agg(count(lit(1)).as("n_pairs"),
+        min(col("slope")).as("lo"), max(col("slope")).as("hi"))
+      // lo == hi (all slopes equal) degenerates to one block; the
+      // division guard keeps the bin expression NaN-free in that case.
+      val binned = pairs.crossJoin(broadcast(st))
+        .withColumn("blk", when(col("hi") > col("lo"),
+          least(floor((col("slope") - col("lo"))
+            / ((col("hi") - col("lo")) / 4096d)), lit(4095L)))
+          .otherwise(lit(0L)))
+      val blkCnt = binned.groupBy(col("blk")).agg(count(lit(1)).as("bc"))
+      val wOff = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = blkCnt
+        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      val wIn = Window.partitionBy(col("blk"))
+        .orderBy(col("slope"), col("x1"), col("x2"))
+      binned.join(broadcast(offs), Seq("blk"))
+        .withColumn("m", expr("(n_pairs + 1) div 2"))
+        .filter(col("off") < col("m") && col("m") <= col("off") + col("bc"))
+        .withColumn("rn", row_number().over(wIn))
+        .filter(col("off") + col("rn") === col("m"))
         .select(col("n_pairs"), col("slope").as("theil_sen_slope"))
     },
     Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
