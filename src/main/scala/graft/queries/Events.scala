@@ -2414,8 +2414,9 @@ object Events extends Q.Module {
     SELECT h, c, CAST(t.t AS DOUBLE) / hh AS lambda,
       CAST(c * hh - t.t AS DOUBLE) / SQRT(CAST(t.t * hh AS DOUBLE)) AS z
     FROM hc, t
-    WHERE c * hh > t.t
-      AND (c * hh - t.t) * (c * hh - t.t) > 9 * t.t * hh
+    WHERE CAST(c AS HUGEINT) * hh > t.t
+      AND (CAST(c AS HUGEINT) * hh - t.t) * (CAST(c AS HUGEINT) * hh - t.t)
+        > 9 * CAST(t.t AS HUGEINT) * hh
     ORDER BY h"""))
 
   // --- q261: THEIL-SEN ROBUST SLOPE — the outlier-resistant trend
@@ -2500,14 +2501,17 @@ object Events extends Q.Module {
   //     per-hour burst flags. Empty hours count via the global span H
   //     (the q249 zero-month trick: Σc and Σc² are unchanged by zero
   //     terms, so no densification). Fano = (H·Σc² − (Σc)²) / (H·Σc)
-  //     — numerator and denominator are exact BIGINT cross-products,
-  //     ONE division at the end; the bursty flag is the integer
-  //     comparison H·Σc² > 2·(Σc)²·... presented as fano > 2 via the
-  //     same cross-multiplied form, no float boundary.
+  //     — numerator and denominator are exact cross-products in
+  //     DECIMAL(38,0)/HUGEINT (the q249 idiom — plain LONG would wrap
+  //     silently in Spark on Σc² at larger volumes while the DuckDB
+  //     twin errors), ONE division at the end; the bursty flag is the
+  //     integer comparison via the same cross-multiplied form, no
+  //     float boundary.
   private val q262 = Q(
     "q262_fano_burstiness",
     "✦ anomaly: Fano factor (variance/mean dispersion) of hourly counts per event type",
     (s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val hc = Tables.events(s, d)
         .select(col("event_type"),
           expr("(ts div 1000) div 3600000000").as("h"))
@@ -2515,15 +2519,16 @@ object Events extends Q.Module {
         .agg(count(lit(1)).as("c"))
       val span = hc.agg((max(col("h")) - min(col("h")) + 1).as("hh"))
       hc.groupBy(col("event_type"))
-        .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"),
+        .agg(sum(col("c")).as("sc"), sum(dec(col("c")) * col("c")).as("sc2"),
           count(lit(1)).as("active_hours"))
         .crossJoin(broadcast(span))
         .select(col("event_type"), col("active_hours"), col("sc")
             .as("n_events"),
-          ((col("hh") * col("sc2") - col("sc") * col("sc")).cast("double")
-            / (col("hh") * col("sc")).cast("double")).as("fano"),
-          (col("hh") * col("sc2") > col("sc") * col("sc")
-            + lit(2L) * col("hh") * col("sc")).as("bursty"))
+          ((dec(col("hh")) * col("sc2") - dec(col("sc")) * col("sc"))
+            .cast("double")
+            / (dec(col("hh")) * col("sc")).cast("double")).as("fano"),
+          (dec(col("hh")) * col("sc2") > dec(col("sc")) * col("sc")
+            + dec(lit(2L)) * col("hh") * col("sc")).as("bursty"))
         .orderBy(col("event_type"))
     },
     Some("""WITH hc AS (SELECT event_type,
@@ -2533,9 +2538,12 @@ object Events extends Q.Module {
     SELECT event_type,
       CAST(COUNT(*) AS BIGINT) AS active_hours,
       CAST(SUM(c) AS BIGINT) AS n_events,
-      CAST(hh * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
-        / CAST(hh * SUM(c) AS DOUBLE) AS fano,
-      hh * SUM(c * c) > SUM(c) * SUM(c) + 2 * hh * SUM(c) AS bursty
+      CAST(CAST(hh AS HUGEINT) * SUM(CAST(c AS HUGEINT) * c)
+          - CAST(SUM(c) AS HUGEINT) * SUM(c) AS DOUBLE)
+        / CAST(CAST(hh AS HUGEINT) * SUM(c) AS DOUBLE) AS fano,
+      CAST(hh AS HUGEINT) * SUM(CAST(c AS HUGEINT) * c)
+        > CAST(SUM(c) AS HUGEINT) * SUM(c)
+          + 2 * CAST(hh AS HUGEINT) * SUM(c) AS bursty
     FROM hc, sp
     GROUP BY event_type, hh ORDER BY event_type"""))
 

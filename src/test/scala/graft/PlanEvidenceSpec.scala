@@ -227,6 +227,50 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(scans <= 2, s"q232: lineitem scanned $scans times:\n$plan")
   }
 
+  test("q261 Theil-Sen: every window references the blk key (blocked rank)") {
+    // The blocked two-phase median claim: the O(days²) pair frame is
+    // never ranked by a corpus-global ROW_NUMBER — slopes bin into
+    // ≤4096 monotone blocks, the only unpartitioned window runs over
+    // the ≤4096-row block-count frame (ordered by blk), and the final
+    // row_number is partitioned by blk on just the median block.
+    val plan = planOf("q261_theil_sen_slope")
+    val windows = plan.split("\n").filter(_.contains("Window "))
+    assert(windows.nonEmpty, s"no Window in plan:\n$plan")
+    val global = windows.filterNot(_.contains("blk"))
+    assert(global.isEmpty,
+      s"pair-frame-global window found (one-task global sort):\n$plan")
+  }
+
+  test("q256/q258/q259/q262 newcomers: no pair-frame windows, no cartesian") {
+    // The round-10 session-3 queries get the same regression armor as
+    // the q212/q216/q220 generation: these four are pure aggregate
+    // pipelines whose only joins are 1-row/broadcast-sized — any
+    // Window over a data-sized frame or a CartesianProduct appearing
+    // here means a refactor broke the shape.
+    for (q <- Seq("q256_poisson_burst", "q258_supplier_coverage",
+        "q259_price_volume_mix", "q262_fano_burstiness")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: cartesian in plan:\n$plan")
+      val windows = plan.split("\n").filter(_.contains("Window "))
+      // q259's mix bridge windows ride month-sized frames keyed by m/
+      // mm; the others have no window at all.
+      if (q != "q259_price_volume_mix")
+        assert(windows.isEmpty, s"$q: unexpected Window:\n$plan")
+    }
+  }
+
+  test("q257/q260 blocked families: every window references its block key") {
+    for ((q, key) <- Seq("q257_magnitude_histogram" -> Seq("mag", "blk"),
+        "q260_sequence_gap_audit" -> Seq("blk"))) {
+      val plan = planOf(q)
+      val windows = plan.split("\n").filter(_.contains("Window "))
+      val global = windows.filterNot(w => key.exists(w.contains))
+      assert(global.isEmpty,
+        s"$q: window without ${key.mkString("/")} key (global sort):\n$plan")
+    }
+  }
+
   test("q235 clamped balance: windows are user-partitioned, one agg pass") {
     val plan = planOf("q235_clamped_running_balance")
     val windows = plan.split("\n").filter(_.contains("Window "))
