@@ -1005,8 +1005,10 @@ object Dedup extends Q.Module {
   //     the sample, and the audit's joins stay on the q47/q48 machinery
   //     (posting lists + band buckets), never an all-pairs product.
   //     The audited corpus injects GRADED near-duplicates (every 3rd doc
-  //     re-enters with doc-unique filler words scaling with doc_id % 6 —
-  //     Jaccard ≈ 1/(1 + k/8), k = 0..5, spanning ~0.61..0.97): the raw
+  //     re-enters with doc-unique filler words scaling with
+  //     k = (doc_id div 3) % 6 — doc_id is a multiple of 3 here, so a
+  //     plain doc_id % 6 would collapse to {0, 3} and skip four of the
+  //     six grades — Jaccard ≈ 1/(1 + k/8), k = 0..5, ~0.61..0.97): the raw
   //     fixture's only true pairs are J ≈ 1 copies that every banding
   //     catches (recall 1.0 — a vacuous audit); the graded pairs sit in
   //     the band geometry's miss zone (P(candidate) = 1−(1−J⁴)² ≈ 0.26
@@ -1021,7 +1023,7 @@ object Dedup extends Q.Module {
         .select((col("doc_id") + 20000).as("doc_id"),
           concat(col("text"), lit(" "), expr(
             "array_join(transform(sequence(1, 1 + " +
-              "(size(split(text, ' ')) * (doc_id % 6)) div 8), " +
+              "(size(split(text, ' ')) * ((doc_id div 3) % 6)) div 8), " +
               "i -> concat('fz', doc_id, 'x', i)), ' ')")).as("text"))
       val sh = shinglesOf(base.unionByName(mut)).persist()
       val truth = jaccardPairs(sh).filter(col("jacc") >= 0.5)
@@ -1041,7 +1043,7 @@ object Dedup extends Q.Module {
     Some(s"""WITH mut AS (SELECT doc_id + 20000 AS doc_id,
       text || ' ' || array_to_string(list_transform(
         generate_series(1, 1 + (len(string_split(text, ' '))
-          * (doc_id % 6)) // 8),
+          * ((doc_id // 3) % 6)) // 8),
         i -> 'fz' || doc_id || 'x' || i), ' ') AS text
       FROM documents WHERE doc_id % 3 = 0),
     corpus AS (SELECT doc_id, text FROM documents

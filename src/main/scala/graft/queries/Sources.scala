@@ -453,18 +453,20 @@ object Sources extends Q.Module {
           expr("year(o_orderdate) * 100 + month(o_orderdate)"))
       Sinks.once(path) {
         base.write.mode("overwrite").partitionBy("ym").parquet(path)
-        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-        try base.filter(col("ym") === 199506)
+        // The DYNAMIC overwrite mode is set on an ISOLATED session clone
+        // (shared SparkContext, cloned SQL conf): flipping it on the
+        // caller's session — even inside try/finally — would let any
+        // concurrently-executing query on that session observe DYNAMIC
+        // mid-flight and silently change its own overwrite semantics.
+        val bf = s.newSession()
+        bf.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        Tables.orders(bf, d)
+          .withColumn("ym",
+            expr("year(o_orderdate) * 100 + month(o_orderdate)"))
+          .filter(col("ym") === 199506)
           .withColumn("o_orderpriority",
             concat(lit("BF-"), col("o_orderpriority")))
           .write.mode("overwrite").partitionBy("ym").parquet(path)
-        finally prev match {
-          case Some(v) =>
-            s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None =>
-            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
       }
       s.read.parquet(path)
         .filter(col("ym") >= 199504 && col("ym") <= 199508)
