@@ -344,6 +344,133 @@ object Sources extends Q.Module {
     SELECT a.i, b.j, CAST(SUM(a.a * b.b) AS BIGINT) AS v
     FROM a JOIN b USING(k) GROUP BY 1, 2 ORDER BY i, j"""))
 
+  // --- q263: MAP-OVERLAP STENCIL — the dask.array ghost-cell idiom
+  //     (da.overlap.map_overlap(f, depth=r)): apply a radius-2 sliding
+  //     kernel to a blocked 1-d array so that CHUNK-BOUNDARY outputs see
+  //     their neighbors in adjacent chunks. Spark-first shape: a global
+  //     ordered window would funnel the whole array through one sorter,
+  //     so instead each element within r of a block edge REPLICATES into
+  //     the neighbor block (the ghost/halo exchange — an explode over
+  //     its ≤2 memberships, ~0.4% row inflation at B = 1024), the kernel
+  //     runs as an ordinary window PARTITIONED by block with its halo
+  //     complete, and only home-block outputs are kept. The array's true
+  //     ends (id 0/1 and N−2/N−1) have no halo to fetch, so their c5 < 5
+  //     — boundary semantics, not a bug. The oracle runs the SAME kernel
+  //     as ONE global window in DuckDB and aggregates per block:
+  //     matching block sums certify halo exchange == the global stencil
+  //     (a broken halo shifts every block-edge s5). Integer x(id) keeps
+  //     every kernel sum exact.
+  private val q263 = Q(
+    "q263_map_overlap_stencil",
+    "S5/da.overlap ✦: radius-2 stencil over a blocked array via ghost-cell replication",
+    (s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val base = s.range(32768).select(col("id"),
+        ((col("id") * 31 + 7) % 101).as("x"))
+      val ghosted = base
+        .withColumn("blk", explode(expr(
+          """filter(array(id div 1024,
+               IF(id % 1024 < 2 AND id div 1024 > 0, id div 1024 - 1, NULL),
+               IF(id % 1024 >= 1022 AND id div 1024 < 31, id div 1024 + 1,
+                  NULL)),
+             b -> b IS NOT NULL)""")))
+      val win = w.partitionBy(col("blk")).orderBy(col("id"))
+        .rowsBetween(-2, 2)
+      ghosted
+        .withColumn("s5", sum(col("x")).over(win))
+        .withColumn("c5", count(lit(1)).over(win))
+        .filter(expr("id div 1024") === col("blk"))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n"), sum(col("s5")).as("sum_s5"),
+          sum(col("c5")).as("sum_c5"), min(col("s5")).as("min_s5"),
+          max(col("s5")).as("max_s5"))
+        .orderBy(col("blk"))
+    },
+    Some("""WITH t AS (SELECT id, (id * 31 + 7) % 101 AS x
+      FROM range(32768) r(id)),
+    w AS (SELECT id,
+        CAST(SUM(x) OVER (ORDER BY id
+          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS s5,
+        CAST(COUNT(*) OVER (ORDER BY id
+          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS c5
+      FROM t)
+    SELECT id // 1024 AS blk, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(s5) AS BIGINT) AS sum_s5,
+      CAST(SUM(c5) AS BIGINT) AS sum_c5,
+      MIN(s5) AS min_s5, MAX(s5) AS max_s5
+    FROM w GROUP BY 1 ORDER BY blk"""))
+
+  // --- q264: DETERMINISTIC BOOTSTRAP (sample WITH replacement) — the
+  //     resampling primitive q63/q87/q152 deliberately left out: those
+  //     draw WITHOUT replacement, and engine RNG forbids a hash-parity
+  //     oracle for rand()-based bootstrap. Here each order's replicate
+  //     COUNT is an inverse-CDF Poisson(1) draw from the portable
+  //     hashMod2L uniform (the standard bootstrap approximation of
+  //     multinomial resampling — dask's df.sample(frac=1, replace=True)
+  //     shape): u ∈ [0, 1e6) integer, k = F⁻¹(u) with MILLIONTH
+  //     thresholds as integer literals (367879, 735759, 919699, 981012,
+  //     996340 — hardcoded so no exp()/libm call enters the comparison;
+  //     draws capped at 5, P(k>5) ≈ 6e-4 folds into k=5). Replication
+  //     is explode(filter(sequence(1,5), i -> i ≤ k)) — codegen'd, no
+  //     shuffle, k=0 rows drop (that ~36.8% of orders is the out-of-bag
+  //     set). The readout compares original vs bootstrap per-priority
+  //     order counts and mean cents — everything integer until the one
+  //     presentation division. Fully oracle-checkable, unlike engine-RNG
+  //     sampling; at 100 TB this is a zero-shuffle projection. The
+  //     oracle verifies through the algebraic identity Σ_replicates f =
+  //     Σ_rows k·f (DuckDB cannot bind an outer column inside a
+  //     FROM-clause UNNEST lambda) — same result, and the Spark side
+  //     still exercises the real explode machinery.
+  private val q264 = Q(
+    "q264_bootstrap_resample",
+    "P9 ✦ bootstrap: sample-with-replacement via deterministic inverse-CDF Poisson(1) draws",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val drawn = o.withColumn("u6", hashMod2L(col("o_orderkey"), lit(1000000L)))
+        .withColumn("k",
+          when(col("u6") < 367879L, 0L).when(col("u6") < 735759L, 1L)
+            .when(col("u6") < 919699L, 2L).when(col("u6") < 981012L, 3L)
+            .when(col("u6") < 996340L, 4L).otherwise(5L))
+      val boot = drawn
+        .select(col("priority"), col("cents"),
+          explode(filter(sequence(lit(1L), lit(5L)),
+            i => i <= col("k"))).as("rep"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_boot"), sum(col("cents")).as("sum_boot"))
+      val orig = o.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_orig"), sum(col("cents")).as("sum_orig"))
+      orig.join(boot, Seq("priority"))
+        .select(col("priority"), col("n_orig"), col("n_boot"),
+          fpTrunc(col("sum_orig").cast("double") / col("n_orig") / 100, 4)
+            .as("mean_orig"),
+          fpTrunc(col("sum_boot").cast("double") / col("n_boot") / 100, 4)
+            .as("mean_boot"))
+        .orderBy(col("priority"))
+    },
+    Some(s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS priority,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    d AS (SELECT priority, cents,
+        CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735759 THEN 1
+          WHEN u6 < 919699 THEN 2 WHEN u6 < 981012 THEN 3
+          WHEN u6 < 996340 THEN 4 ELSE 5 END AS k
+      FROM (SELECT *, ${hashMod2LSql("o_orderkey", "1000000")} AS u6 FROM o)),
+    boot AS (SELECT priority, CAST(SUM(k) AS BIGINT) AS n_boot,
+        CAST(SUM(cents * k) AS BIGINT) AS sum_boot
+      FROM d GROUP BY priority HAVING SUM(k) > 0),
+    orig AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orig,
+        CAST(SUM(cents) AS BIGINT) AS sum_orig
+      FROM o GROUP BY priority)
+    SELECT priority, n_orig, n_boot,
+      FLOOR(CAST(sum_orig AS DOUBLE) / n_orig / 100 * 1e4) / 1e4
+        AS mean_orig,
+      FLOOR(CAST(sum_boot AS DOUBLE) / n_boot / 100 * 1e4) / 1e4
+        AS mean_boot
+    FROM orig JOIN boot USING (priority) ORDER BY priority"""))
+
   // --- q99: SCHEMA EVOLUTION — a column added to a live dataset's later
   //     files (the most common lake migration). Two generations written
   //     under partition dirs v=1 (without n_regionkey) and v=2 (with);
@@ -486,5 +613,5 @@ object Sources extends Q.Module {
     GROUP BY ym ORDER BY ym"""))
 
   def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q152, q88,
-    q96, q99, q143, q246)
+    q96, q99, q143, q246, q263, q264)
 }

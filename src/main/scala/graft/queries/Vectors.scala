@@ -606,6 +606,153 @@ object Vectors extends Q.Module {
       FLOOR((nrm * 1e-9) * 1e6) / 1e6 AS lam1
     FROM proj ORDER BY proj DESC, vec_id LIMIT 20"""))
 
+  // q180's quantized power iteration as a CTE builder — 16 steps here
+  // (vs q180's 8: the fixture spectrum is near-flat, so deflation with
+  // an under-converged vector would leave enough residual that the
+  // extracted lambdas come out non-descending) — so q265 can run it
+  // three times (once per component) without hand-unrolling 48 step
+  // blocks: reads list column `m` from `mCte`, starts at the shared
+  // v0 = 0.125 constant, emits y/n/v CTE triples suffixed `$tag$i`;
+  // v$tag16 carries the converged vector AND its norm.
+  private def powerIterSql(tag: String, mCte: String): String =
+    (1 to 16).map { i =>
+      val vin = if (i == 1) "v0" else s"v$tag${i - 1}"
+      s"""y$tag$i AS (SELECT list_transform(generate_series(0, 63), j -> list_sum(
+        list_transform(generate_series(0, 63), k -> m[j * 64 + k + 1] * v[k + 1]))) AS y
+      FROM $mCte, $vin),
+    n$tag$i AS (SELECT y, sqrt(list_sum(list_transform(y, t -> t * t))) AS nrm FROM y$tag$i),
+    v$tag$i AS (SELECT list_transform(y, t -> floor(t / nrm * 1e12) / 1e12) AS v, nrm FROM n$tag$i)"""
+    }.mkString(",\n    ")
+
+  // --- q265: TOP-3 PRINCIPAL COMPONENTS VIA DEFLATION — closes
+  //     da.linalg.svd in spirit where q180 stops at PC1: after each
+  //     component converges, the Gram matrix is DEFLATED
+  //     (M ← M − λ·v·vᵀ — Hotelling's deflation) and the same 16-step
+  //     quantized power iteration runs on the residual, so components
+  //     2 and 3 emerge orthogonal to the extracted ones (up to the
+  //     finite convergence error, which both engines share exactly).
+  //     Everything q180 proved carries over verbatim: the Gram stays
+  //     the dims²-bounded distributed integer-unit aggregate (the ONE
+  //     deliberate collect, 2,080 longs regardless of corpus height);
+  //     iteration arithmetic is sequential left folds + IEEE √÷ +
+  //     floor-quantized renorm, bit-identical across engines (long→
+  //     double Gram entries are exact below 2⁵³ units — q180's
+  //     documented limit); deflation is the same three-factor product
+  //     λ·vⱼ·vₖ left-assoc in both. Readout: per component, λ and the
+  //     top-5 documents by projection — the oracle rebuilds all 48
+  //     iteration steps from the CTE builder above, with the reused
+  //     matrix CTEs MATERIALIZED (plain CTEs re-inline per reference
+  //     in DuckDB 1.0 and the nested chains go exponential).
+  private val q265 = Q(
+    "q265_pca_top3_deflation",
+    "da.linalg ✦: top-3 PCA — Gram power iteration with Hotelling deflation per component",
+    (s, d) => {
+      val dims = 64
+      val gramRows = Tables.embeddings(s, d)
+        .select(col("embedding"), explode(sequence(lit(0), lit(dims - 1))).as("j"))
+        .select(col("embedding"), col("j"),
+          explode(sequence(col("j"), lit(dims - 1))).as("k"))
+        .select(col("j"), col("k"),
+          floor(element_at(col("embedding"), col("j") + 1).cast("double")
+            * element_at(col("embedding"), col("k") + 1).cast("double")
+            * lit(1e9)).as("u"))
+        .groupBy(col("j"), col("k")).agg(sum(col("u")).as("g"))
+        .collect()
+      val m = Array.ofDim[Double](dims, dims)
+      gramRows.foreach { r =>
+        val (j, k, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        m(j)(k) = v.toDouble; m(k)(j) = v.toDouble
+      }
+      val comps = (1 to 3).map { _ =>
+        var v = Array.fill(dims)(0.125)
+        var lamUnits = 0.0
+        for (_ <- 1 to 16) {
+          val y = Array.tabulate(dims) { j =>
+            var acc = 0.0; var k = 0
+            while (k < dims) { acc += m(j)(k) * v(k); k += 1 }
+            acc
+          }
+          var n2 = 0.0; var j = 0
+          while (j < dims) { n2 += y(j) * y(j); j += 1 }
+          lamUnits = math.sqrt(n2)
+          v = y.map(t => math.floor(t / lamUnits * 1e12) / 1e12)
+        }
+        var j = 0
+        while (j < dims) {
+          var k = 0
+          while (k < dims) {
+            m(j)(k) = m(j)(k) - lamUnits * v(j) * v(k); k += 1
+          }
+          j += 1
+        }
+        (v, lamUnits)
+      }
+      val e = Tables.embeddings(s, d)
+      def proj(v: Array[Double]) =
+        aggregate(zip_with(col("embedding"), array(v.toSeq.map(lit): _*),
+          (x, w) => x.cast("double") * w), lit(0.0), (acc, t) => acc + t)
+      val scored = e.select(col("vec_id"), col("label"),
+        proj(comps(0)._1).as("p1"), proj(comps(1)._1).as("p2"),
+        proj(comps(2)._1).as("p3"))
+      (1 to 3).map { c =>
+        scored.orderBy(col(s"p$c").desc, col("vec_id")).limit(5)
+          .select(lit(c).as("component"), col("vec_id"), col("label"),
+            graft.dsl.fpTrunc(col(s"p$c"), 9).as("score"),
+            graft.dsl.fpTrunc(lit(comps(c - 1)._2 * 1e-9), 6).as("lam"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("component"), col("score").desc, col("vec_id"))
+    },
+    Some(s"""WITH pr AS (
+      SELECT jj.j AS j, kk.k AS k
+      FROM generate_series(0, 63) jj(j), generate_series(0, 63) kk(k)
+      WHERE jj.j <= kk.k),
+    gram AS (
+      SELECT j, k,
+        CAST(SUM(CAST(FLOOR(CAST(e.embedding[j + 1] AS DOUBLE)
+          * CAST(e.embedding[k + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS g
+      FROM embeddings e, pr GROUP BY j, k),
+    full_m AS (
+      SELECT j * 64 + k AS idx, g FROM gram
+      UNION ALL
+      SELECT k * 64 + j AS idx, g FROM gram WHERE j < k),
+    gm AS MATERIALIZED (SELECT list(g ORDER BY idx) AS m FROM full_m),
+    v0 AS (SELECT list_transform(generate_series(0, 63), x -> 0.125) AS v),
+    ${powerIterSql("a", "gm")},
+    gm2 AS MATERIALIZED (SELECT list_transform(generate_series(0, 4095),
+        i -> m[i + 1] - nrm * v[(i // 64) + 1] * v[(i % 64) + 1]) AS m
+      FROM gm, va16),
+    ${powerIterSql("b", "gm2")},
+    gm3 AS MATERIALIZED (SELECT list_transform(generate_series(0, 4095),
+        i -> m[i + 1] - nrm * v[(i // 64) + 1] * v[(i % 64) + 1]) AS m
+      FROM gm2, vb16),
+    ${powerIterSql("c", "gm3")},
+    proj AS MATERIALIZED (
+      SELECT e.vec_id, e.label,
+        list_sum(list_transform(list_zip(e.embedding, va16.v),
+          p -> CAST(p[1] AS DOUBLE) * p[2])) AS p1,
+        list_sum(list_transform(list_zip(e.embedding, vb16.v),
+          p -> CAST(p[1] AS DOUBLE) * p[2])) AS p2,
+        list_sum(list_transform(list_zip(e.embedding, vc16.v),
+          p -> CAST(p[1] AS DOUBLE) * p[2])) AS p3
+      FROM embeddings e, va16, vb16, vc16),
+    sel AS (
+      (SELECT 1 AS component, vec_id, label,
+        FLOOR(p1 * 1e9) / 1e9 AS score,
+        FLOOR((va16.nrm * 1e-9) * 1e6) / 1e6 AS lam
+      FROM proj, va16 ORDER BY p1 DESC, vec_id LIMIT 5)
+      UNION ALL
+      (SELECT 2 AS component, vec_id, label,
+        FLOOR(p2 * 1e9) / 1e9 AS score,
+        FLOOR((vb16.nrm * 1e-9) * 1e6) / 1e6 AS lam
+      FROM proj, vb16 ORDER BY p2 DESC, vec_id LIMIT 5)
+      UNION ALL
+      (SELECT 3 AS component, vec_id, label,
+        FLOOR(p3 * 1e9) / 1e9 AS score,
+        FLOOR((vc16.nrm * 1e-9) * 1e6) / 1e6 AS lam
+      FROM proj, vc16 ORDER BY p3 DESC, vec_id LIMIT 5))
+    SELECT component, vec_id, label, score, lam
+    FROM sel ORDER BY component, score DESC, vec_id"""))
+
   // --- q188: CLASS-CENTROID SIMILARITY MATRIX — the embedding-space
   //     quality audit (are label clusters separable? which classes
   //     collide?) run before trusting labels for contrastive training:
@@ -871,5 +1018,5 @@ object Vectors extends Q.Module {
 
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214, q215, q236)
+      q214, q215, q236, q265)
 }

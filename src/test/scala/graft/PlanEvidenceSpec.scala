@@ -271,6 +271,30 @@ class PlanEvidenceSpec extends SparkSuite {
     }
   }
 
+  test("q263 stencil: kernel windows are block-partitioned (ghost cells)") {
+    // The map_overlap claim: the radius-2 kernel never runs as a global
+    // ordered window over the array — halo rows replicate into neighbor
+    // blocks and every Window carries blk as its partition key.
+    val plan = planOf("q263_map_overlap_stencil")
+    val windows = plan.split("\n").filter(_.contains("Window "))
+    assert(windows.nonEmpty, s"no Window in plan:\n$plan")
+    val global = windows.filterNot(_.contains("blk"))
+    assert(global.isEmpty,
+      s"array-global window found (one-task global sort):\n$plan")
+  }
+
+  test("q264 bootstrap: replication is a generator, no window, no cartesian") {
+    // The sample-with-replacement claim: replicate counts come from a
+    // per-row hash draw and explode — a zero-shuffle projection until
+    // the final aggregate. A Window or cartesian appearing here means
+    // the resample degenerated into a sort or pair product.
+    val plan = planOf("q264_bootstrap_resample")
+    assert(plan.contains("Generate"), s"explode missing:\n$plan")
+    assert(!plan.split("\n").exists(_.contains("Window ")),
+      s"unexpected Window in resample plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("q235 clamped balance: windows are user-partitioned, one agg pass") {
     val plan = planOf("q235_clamped_running_balance")
     val windows = plan.split("\n").filter(_.contains("Window "))
