@@ -1003,6 +1003,93 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  test("q265 deflation PCA recovers all three components of a rank-3 matrix") {
+    // Three orthogonal directions on DISJOINT dim supports with
+    // well-separated energies: rows of group g are x_i = c_i·w_g, so
+    // Gram = Σ_g s_g·w_g·w_gᵀ (s_g = Σ c_i² within g) — an exactly
+    // rank-3 matrix whose eigenvectors are the w_g in energy order.
+    // The query must extract the components in that order (λ strictly
+    // descending) and each component's top-5 must be the 5 largest c_i
+    // of the matching group — an end-to-end check that deflation
+    // actually removes each component (without it, components 2 and 3
+    // would re-converge to w of group 0).
+    import spark.implicits._
+    val rng = new Random(31)
+    val supports = Seq(0 until 22, 22 until 43, 43 until 64)
+    val scales = Seq(10.0, 5.0, 2.0) // energy ratio ≥4× → 16 steps converge
+    val ws = supports.map { sup =>
+      Array.tabulate(64)(k =>
+        if (sup.contains(k)) 0.2 + 0.7 * ((k * 29 % 17) / 17.0) else 0.0)
+    }
+    val cs = (0L until 300L).map { i =>
+      val g = (i % 3).toInt
+      (i, g, 0.5 + rng.nextDouble() * scales(g))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pca3").toString
+    try {
+      cs.map { case (id, g, c) =>
+        (id, ws(g).map(x => (x * c).toFloat).toSeq, g)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = SparkEntry.queries("q265_pca_top3_deflation")(spark, dir)
+        .select("component", "vec_id", "lam")
+        .as[(Int, Long, Double)].collect().toSeq
+      val lams = got.map(r => r._1 -> r._3).distinct.sortBy(_._1).map(_._2)
+      assert(lams.size == 3 && lams(0) > lams(1) && lams(1) > lams(2),
+        s"eigenvalues not strictly descending: $lams")
+      // energy order: s_g·|w_g|² — compute which group owns each rank
+      val energy = (0 to 2).map { g =>
+        val s = cs.filter(_._2 == g).map(t => t._3 * t._3).sum
+        val n2 = ws(g).map(x => x * x).sum
+        g -> s * n2
+      }.sortBy(-_._2).map(_._1)
+      for (comp <- 1 to 3) {
+        val g = energy(comp - 1)
+        val want = cs.filter(_._2 == g).sortBy { case (id, _, c) => (-c, id) }
+          .take(5).map(_._1)
+        val gotIds = got.filter(_._1 == comp).map(_._2)
+        assert(gotIds == want,
+          s"component $comp (group $g): top-5 $gotIds != expected $want")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("q264 bootstrap conserves expected mass (Poisson-1 draws sum to ~n)") {
+    // E[k] = 1, so Σ n_boot must track Σ n_orig (law of large numbers on
+    // 20k deterministic draws: ±3% is ~6 sigma), and the resampled mean
+    // must stay near the original mean — the invariant a biased hash or
+    // a broken threshold table would break immediately.
+    import spark.implicits._
+    val rng = new Random(17)
+    val dir = java.nio.file.Files.createTempDirectory("boot").toString
+    try {
+      (1L to 20000L).map { k =>
+        (k, s"${(k % 5) + 1}-P", 100.0 + math.floor(rng.nextDouble() * 90000) / 100)
+      }.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val r = SparkEntry.queries("q264_bootstrap_resample")(spark, dir)
+        .select("n_orig", "n_boot", "mean_orig", "mean_boot")
+        .as[(Long, Long, Double, Double)].collect()
+      val (no, nb) = (r.map(_._1).sum, r.map(_._2).sum)
+      assert(math.abs(nb - no) <= 0.03 * no,
+        s"bootstrap mass drifted: $nb resamples from $no rows")
+      r.foreach { case (_, _, mo, mb) =>
+        assert(math.abs(mb - mo) <= 0.05 * mo,
+          s"resampled mean $mb far from original $mo")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   private def summaryOf(df: org.apache.spark.sql.DataFrame): (Seq[String], Set[String]) =
     (df.columns.toSeq, df.select("summary").collect().map(_.getString(0)).toSet)
 }
