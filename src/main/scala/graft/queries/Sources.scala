@@ -471,6 +471,97 @@ object Sources extends Q.Module {
         AS mean_boot
     FROM orig JOIN boot USING (priority) ORDER BY priority"""))
 
+  // --- q266: BOOTSTRAP CONFIDENCE INTERVAL — what q264's single
+  //     resample exists FOR: B = 32 independent deterministic replicates
+  //     of the per-priority mean, read off as an empirical percentile
+  //     interval (2nd smallest / 2nd largest replicate mean ≈ a 94% CI
+  //     by the order-statistics rule (B+1−2·2)/(B+1)). Replicate b's
+  //     draw for order o is Poisson(1) via the same integer-millionth
+  //     inverse CDF as q264, keyed hashMod2L(o_orderkey·32 + b) so
+  //     draws are independent across replicates but bit-reproducible.
+  //     Scale shape: the corpus is read ONCE and exploded ×32 inside a
+  //     codegen'd projection (no shuffle — this 32× pass IS the
+  //     bootstrap's intrinsic cost), map-side combines into the
+  //     (priority × 32)-row replicate frame, and all percentile
+  //     machinery (row_number over 32-row groups) runs on that tiny
+  //     frame. Each replicate mean is ONE exact-integer division;
+  //     selection by (mean, b) needs no float tolerance.
+  private val q266 = Q(
+    "q266_bootstrap_ci",
+    "P9 ✦ bootstrap CI: 32 deterministic Poisson replicates → empirical percentile interval",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val reps = o
+        .select(col("priority"), col("cents"),
+          explode(sequence(lit(0L), lit(31L))).as("b"),
+          col("o_orderkey"))
+        .withColumn("u6",
+          hashMod2L(col("o_orderkey") * 32 + col("b"), lit(1000000L)))
+        .withColumn("k",
+          when(col("u6") < 367879L, 0L).when(col("u6") < 735759L, 1L)
+            .when(col("u6") < 919699L, 2L).when(col("u6") < 981012L, 3L)
+            .when(col("u6") < 996340L, 4L).otherwise(5L))
+        .groupBy(col("priority"), col("b"))
+        .agg(sum(col("k")).as("nb"), sum(col("cents") * col("k")).as("sb"))
+        .withColumn("mean_b", col("sb").cast("double") / col("nb") / 100)
+      val wLo = w.partitionBy(col("priority"))
+        .orderBy(col("mean_b"), col("b"))
+      val wHi = w.partitionBy(col("priority"))
+        .orderBy(col("mean_b").desc, col("b").desc)
+      val picked = reps
+        .withColumn("rlo", row_number().over(wLo))
+        .withColumn("rhi", row_number().over(wHi))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_reps"),
+          min(when(col("rlo") === 2, col("mean_b"))).as("ci_lo"),
+          min(when(col("rhi") === 2, col("mean_b"))).as("ci_hi"))
+      val orig = o.groupBy(col("priority"))
+        .agg((sum(col("cents")).cast("double") / count(lit(1)) / 100)
+          .as("mean_orig"))
+      orig.join(picked, Seq("priority"))
+        .select(col("priority"), col("n_reps"),
+          fpTrunc(col("mean_orig"), 4).as("mean_orig"),
+          fpTrunc(col("ci_lo"), 4).as("ci_lo"),
+          fpTrunc(col("ci_hi"), 4).as("ci_hi"))
+        .orderBy(col("priority"))
+    },
+    Some(s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS priority,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    reps AS (SELECT priority, b,
+        CAST(SUM(k) AS BIGINT) AS nb,
+        CAST(SUM(cents * k) AS BIGINT) AS sb
+      FROM (SELECT priority, cents, b,
+          CASE WHEN u6 < 367879 THEN 0 WHEN u6 < 735759 THEN 1
+            WHEN u6 < 919699 THEN 2 WHEN u6 < 981012 THEN 3
+            WHEN u6 < 996340 THEN 4 ELSE 5 END AS k
+        FROM (SELECT o.*, r.b,
+            ${hashMod2LSql("o.o_orderkey * 32 + r.b", "1000000")} AS u6
+          FROM o, generate_series(0, 31) r(b)))
+      GROUP BY priority, b),
+    m AS (SELECT priority, b, CAST(sb AS DOUBLE) / nb / 100 AS mean_b,
+        ROW_NUMBER() OVER (PARTITION BY priority
+          ORDER BY CAST(sb AS DOUBLE) / nb / 100, b) AS rlo,
+        ROW_NUMBER() OVER (PARTITION BY priority
+          ORDER BY CAST(sb AS DOUBLE) / nb / 100 DESC, b DESC) AS rhi
+      FROM reps),
+    picked AS (SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_reps,
+        MIN(CASE WHEN rlo = 2 THEN mean_b END) AS ci_lo,
+        MIN(CASE WHEN rhi = 2 THEN mean_b END) AS ci_hi
+      FROM m GROUP BY priority),
+    orig AS (SELECT priority,
+        CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS mean_orig
+      FROM o GROUP BY priority)
+    SELECT priority, n_reps,
+      ${fpTruncSql("mean_orig", 4)} AS mean_orig,
+      ${fpTruncSql("ci_lo", 4)} AS ci_lo,
+      ${fpTruncSql("ci_hi", 4)} AS ci_hi
+    FROM orig JOIN picked USING (priority) ORDER BY priority"""))
+
   // --- q99: SCHEMA EVOLUTION — a column added to a live dataset's later
   //     files (the most common lake migration). Two generations written
   //     under partition dirs v=1 (without n_regionkey) and v=2 (with);
@@ -613,5 +704,5 @@ object Sources extends Q.Module {
     GROUP BY ym ORDER BY ym"""))
 
   def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q152, q88,
-    q96, q99, q143, q246, q263, q264)
+    q96, q99, q143, q246, q263, q264, q266)
 }
