@@ -471,6 +471,56 @@ object Sources extends Q.Module {
         AS mean_boot
     FROM orig JOIN boot USING (priority) ORDER BY priority"""))
 
+  // --- q267: 2-D SEPARABLE STENCIL — da.overlap in two dimensions
+  //     (image-style blocked arrays). A 2-d ghost exchange needs corner
+  //     halos and ×9 scatter inflation; a SEPARABLE kernel (3×3 box =
+  //     horizontal 1-d sum ∘ vertical 1-d sum) needs neither: pass 1
+  //     windows each ROW (partition ri, order cj, ±1) for the
+  //     horizontal sums, pass 2 windows each COLUMN over those
+  //     (partition cj, order ri, ±1) — two shuffles total, both
+  //     perfectly keyed, no replication, no data-sized sort anywhere
+  //     (partitions are single image rows/columns). Grid edges see
+  //     fewer neighbors and c9 < 9 records it — boundary semantics as
+  //     in q263. The oracle computes the SAME kernel non-separably (a
+  //     9-offset neighbor join + groupBy cell), certifying the
+  //     separable decomposition; integer x keeps every sum exact. The
+  //     readout aggregates per 64×64 block so the result frame stays
+  //     16 rows at any grid size.
+  private val q267 = Q(
+    "q267_stencil_2d_separable",
+    "S5/da.overlap ✦: 3×3 box filter on a 2-d grid via separable row/column window passes",
+    (s, _) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val g = s.range(65536).select(
+        expr("id div 256").as("ri"), (col("id") % 256).as("cj"),
+        expr("((id div 256) * 31 + (id % 256) * 17 + 7) % 101").as("x"))
+      val wh = w.partitionBy(col("ri")).orderBy(col("cj")).rowsBetween(-1, 1)
+      val h = g.withColumn("hs", sum(col("x")).over(wh))
+        .withColumn("hc", count(lit(1)).over(wh))
+      val wv = w.partitionBy(col("cj")).orderBy(col("ri")).rowsBetween(-1, 1)
+      h.withColumn("s9", sum(col("hs")).over(wv))
+        .withColumn("c9", sum(col("hc")).over(wv))
+        .groupBy(expr("ri div 64").as("bi"), expr("cj div 64").as("bj"))
+        .agg(count(lit(1)).as("n"), sum(col("s9")).as("sum_s9"),
+          sum(col("c9")).as("sum_c9"), min(col("s9")).as("min_s9"),
+          max(col("s9")).as("max_s9"))
+        .orderBy(col("bi"), col("bj"))
+    },
+    Some("""WITH t AS (SELECT id // 256 AS ri, id % 256 AS cj,
+        (id // 256 * 31 + id % 256 * 17 + 7) % 101 AS x
+      FROM range(65536) r(id)),
+    o AS (SELECT u.u, v.v
+      FROM generate_series(-1, 1) u(u), generate_series(-1, 1) v(v)),
+    n AS (SELECT a.ri, a.cj, CAST(SUM(b.x) AS BIGINT) AS s9,
+        CAST(COUNT(*) AS BIGINT) AS c9
+      FROM t a JOIN o ON TRUE
+        JOIN t b ON b.ri = a.ri + o.u AND b.cj = a.cj + o.v
+      GROUP BY a.ri, a.cj)
+    SELECT ri // 64 AS bi, cj // 64 AS bj, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(s9) AS BIGINT) AS sum_s9, CAST(SUM(c9) AS BIGINT) AS sum_c9,
+      MIN(s9) AS min_s9, MAX(s9) AS max_s9
+    FROM n GROUP BY 1, 2 ORDER BY bi, bj"""))
+
   // --- q266: BOOTSTRAP CONFIDENCE INTERVAL — what q264's single
   //     resample exists FOR: B = 32 independent deterministic replicates
   //     of the per-priority mean, read off as an empirical percentile
@@ -704,5 +754,5 @@ object Sources extends Q.Module {
     GROUP BY ym ORDER BY ym"""))
 
   def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q152, q88,
-    q96, q99, q143, q246, q263, q264, q266)
+    q96, q99, q143, q246, q263, q264, q266, q267)
 }

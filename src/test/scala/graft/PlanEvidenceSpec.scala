@@ -295,6 +295,17 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("q267 separable stencil: windows keyed by row then column, no global") {
+    // The separability claim: each pass partitions by one grid axis —
+    // an unpartitioned Window would mean the 2-d kernel collapsed onto
+    // a single-task sort of the whole grid.
+    val plan = planOf("q267_stencil_2d_separable")
+    val windows = plan.split("\n").filter(_.contains("Window "))
+    assert(windows.nonEmpty, s"no Window in plan:\n$plan")
+    val global = windows.filterNot(w => w.contains("ri") || w.contains("cj"))
+    assert(global.isEmpty, s"grid-global window found:\n$plan")
+  }
+
   test("q235 clamped balance: windows are user-partitioned, one agg pass") {
     val plan = planOf("q235_clamped_running_balance")
     val windows = plan.split("\n").filter(_.contains("Window "))
