@@ -471,6 +471,57 @@ object Sources extends Q.Module {
         AS mean_boot
     FROM orig JOIN boot USING (priority) ORDER BY priority"""))
 
+  // --- q268: WEIGHTED SAMPLING WITHOUT REPLACEMENT (πps) — "sample
+  //     5000 documents, long ones proportionally more often": Ohlsson's
+  //     SEQUENTIAL POISSON SAMPLING, the survey-statistics standard for
+  //     probability-proportional-to-size draws. Each row gets key
+  //     u_i/w_i (u_i the portable-hash uniform, w_i = order cents) and
+  //     the sample is the k smallest keys — inclusion probability
+  //     ≈ k·w_i/Σw. Unlike the Efraimidis–Spirakis u^(1/w) key (whose
+  //     ln/pow is NOT bit-identical across engines — the q161 lesson),
+  //     this key is ONE IEEE division of exact integers, so ordering is
+  //     engine-identical with a (u6, key) tiebreak and the whole draw
+  //     is reproducible. Scale shape: key is a codegen'd projection and
+  //     the k-smallest select compiles to TakeOrderedAndProject (map-
+  //     side per-partition top-k, k-row driver merge — no global sort);
+  //     the in-result corpus mean (broadcast 1-row aggregate) shows the
+  //     weighting bites: sampled mean cents ≫ corpus mean.
+  private val q268 = Q(
+    "q268_weighted_sample_pps",
+    "P9 ✦ weighted sampling w/o replacement: sequential Poisson πps, exact top-k by u/w key",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val keyed = o
+        .withColumn("u6", hashMod2L(col("o_orderkey"), lit(1000000L)) + 1)
+        .withColumn("skey", col("u6").cast("double") / col("cents"))
+      val corpus = o.agg(
+        (sum(col("cents")).cast("double") / count(lit(1)) / 100)
+          .as("corpus_mean"))
+      keyed.orderBy(col("skey"), col("u6"), col("o_orderkey")).limit(50)
+        .crossJoin(broadcast(corpus))
+        .select(col("o_orderkey"), col("priority"),
+          fpTrunc(col("cents").cast("double") / 100, 2).as("price"),
+          col("skey"), fpTrunc(col("corpus_mean"), 4).as("corpus_mean"))
+        .orderBy(col("skey"), col("u6"), col("o_orderkey"))
+    },
+    Some(s"""WITH o AS (SELECT o_orderkey, o_orderpriority AS priority,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    keyed AS (SELECT *, ${hashMod2LSql("o_orderkey", "1000000")} + 1 AS u6,
+        CAST(${hashMod2LSql("o_orderkey", "1000000")} + 1 AS DOUBLE) / cents
+          AS skey
+      FROM o),
+    corpus AS (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100
+        AS corpus_mean FROM o)
+    SELECT o_orderkey, priority,
+      ${fpTruncSql("CAST(cents AS DOUBLE) / 100", 2)} AS price,
+      skey, ${fpTruncSql("corpus_mean", 4)} AS corpus_mean
+    FROM keyed, corpus
+    ORDER BY skey, u6, o_orderkey LIMIT 50"""))
+
   // --- q267: 2-D SEPARABLE STENCIL — da.overlap in two dimensions
   //     (image-style blocked arrays). A 2-d ghost exchange needs corner
   //     halos and ×9 scatter inflation; a SEPARABLE kernel (3×3 box =
@@ -754,5 +805,5 @@ object Sources extends Q.Module {
     GROUP BY ym ORDER BY ym"""))
 
   def defs: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q72, q85, q87, q152, q88,
-    q96, q99, q143, q246, q263, q264, q266, q267)
+    q96, q99, q143, q246, q263, q264, q266, q267, q268)
 }

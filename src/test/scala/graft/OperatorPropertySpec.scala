@@ -623,8 +623,14 @@ class OperatorPropertySpec extends SparkSuite {
     // 17 (stand-ins for 32 local cores vs 10k cluster cores). Exercises
     // the decimal-sum determinism rule (q01), both two-phase prefix
     // decompositions (q104/q135), and the moment-sum t-test (q131).
+    // Round 11 widened the set to the blocked two-phase rank family and
+    // the new deterministic-sampling queries — the operators whose
+    // decompositions are MOST exposed to partition-count changes.
     val names = Seq("q01_flagship_agg", "q104_sequence_pack",
-      "q135_global_row_index", "q131_ab_test")
+      "q135_global_row_index", "q131_ab_test", "q191_mad",
+      "q202_gini", "q245_rfm_segmentation", "q260_sequence_gap_audit",
+      "q261_theil_sen_slope", "q264_bootstrap_resample",
+      "q266_bootstrap_ci", "q268_weighted_sample_pps")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val Seq(a, b) = Seq("3", "17").map { n =>

@@ -306,6 +306,13 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(global.isEmpty, s"grid-global window found:\n$plan")
   }
 
+  test("q268 pps sample compiles to TakeOrderedAndProject") {
+    val plan = planOf("q268_weighted_sample_pps")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted top-k fell back to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("q235 clamped balance: windows are user-partitioned, one agg pass") {
     val plan = planOf("q235_clamped_running_balance")
     val windows = plan.split("\n").filter(_.contains("Window "))
