@@ -1016,7 +1016,114 @@ object Vectors extends Q.Module {
       <= 0.02 * 0.02
     ORDER BY va, vb"""))
 
+  // --- q269: DBSCAN — density-based clustering as a COMPOSITION of the
+  //     engine's existing pieces: q236's grid-blocked ε-neighbor join
+  //     generates candidate pairs (never an all-pairs product), the
+  //     core test is one integer count (|N_ε(v)| + 1 ≥ minPts), cluster
+  //     labels come from operators.ConnectedComponents (pointer-
+  //     doubling, O(log diameter)) over the core-core edge subgraph,
+  //     and border points take the MIN core-neighbor's label — the
+  //     deterministic resolution of DBSCAN's only order-dependent
+  //     choice (textbook DBSCAN assigns borders to whichever cluster
+  //     reaches them first; min-label is scan-order-free, so both
+  //     engines and any partitioning agree). Output is the long-format
+  //     (cluster, role, n) census with noise as cluster −1 — Σn = |P|.
+  //     The oracle recomputes everything naively: brute-force pair
+  //     join + a WITH RECURSIVE min-label reachability closure (its
+  //     Σ|comp|² row count is fixture-bounded; the Spark side's CC is
+  //     the scale path). eps = 0.01, minPts = 4 give a non-degenerate
+  //     census at every fixture SF (11–63 clusters, real noise).
+  private val q269 = Q(
+    "q269_dbscan",
+    "✦ clustering: DBSCAN via grid ε-join + core test + CC labels + min-label borders",
+    (s, d) => {
+      val eps = 0.01
+      val minPts = 4
+      val p = Tables.embeddings(s, d).select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      val cells = p.withColumn("cx", floor(col("x") / eps))
+        .withColumn("cy", floor(col("y") / eps))
+      val probe = cells.select(col("vec_id").as("vb"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy"))
+      val build = cells
+        .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("vec_id").as("va"), col("x").as("xa"),
+          col("y").as("ya"),
+          (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
+      val pairs = build.join(probe, Seq("cx", "cy"))
+        .filter(col("va") =!= col("vb"))
+        .filter((col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb"))
+          <= lit(eps * eps))
+        .select(col("va"), col("vb")).persist()
+      val core = pairs.groupBy(col("va")).agg(count(lit(1)).as("n"))
+        .filter(col("n") + 1 >= minPts).select(col("va").as("v")).persist()
+      val ce = pairs
+        .join(core.select(col("v").as("va")), Seq("va"), "semi")
+        .join(core.select(col("v").as("vb")), Seq("vb"), "semi")
+        .select(col("va"), col("vb"))
+      val cc = graft.operators.ConnectedComponents.run(ce)
+      // cores whose ε-neighbors are all non-core never enter the edge
+      // set — they are their own singleton cluster (coalesce to self).
+      val coreComp = core.join(cc, core("v") === cc("id"), "left")
+        .select(col("v"), coalesce(col("cluster"), col("v")).as("comp"))
+        .persist()
+      val borders = pairs
+        .join(core.select(col("v").as("va")), Seq("va"), "left_anti")
+        .join(coreComp.select(col("v").as("vb"), col("comp")), Seq("vb"))
+        .groupBy(col("va")).agg(min(col("comp")).as("comp"))
+      val counts = p.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(coreComp.agg(count(lit(1)).as("nc"))))
+        .crossJoin(broadcast(borders.agg(count(lit(1)).as("nb"))))
+      coreComp.groupBy(col("comp")).agg(count(lit(1)).as("n"))
+        .select(col("comp").as("cluster"), lit("core").as("role"), col("n"))
+        .unionByName(borders.groupBy(col("comp"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("comp").as("cluster"), lit("border").as("role"),
+            col("n")))
+        .unionByName(counts.select(lit(-1L).as("cluster"),
+          lit("noise").as("role"),
+          (col("n_total") - col("nc") - col("nb")).as("n")))
+        .orderBy(col("cluster"), col("role"))
+    },
+    Some("""WITH p AS (SELECT vec_id,
+        CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    pairs AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM p a JOIN p b ON a.vec_id != b.vec_id
+        AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 0.01 * 0.01),
+    core AS MATERIALIZED (SELECT va AS v
+      FROM (SELECT va, COUNT(*) AS n FROM pairs GROUP BY va)
+      WHERE n + 1 >= 4),
+    ce AS MATERIALIZED (SELECT va, vb FROM pairs
+      WHERE va IN (SELECT v FROM core) AND vb IN (SELECT v FROM core)),
+    reach AS MATERIALIZED (
+      WITH RECURSIVE rr(v, lab) AS (
+        SELECT v, v FROM core
+        UNION
+        SELECT e.vb, r.lab FROM rr r JOIN ce e ON e.va = r.v)
+      SELECT v, lab FROM rr),
+    comp AS MATERIALIZED (SELECT v, CAST(MIN(lab) AS BIGINT) AS comp
+      FROM reach GROUP BY v),
+    borders AS MATERIALIZED (SELECT pr.va, MIN(c.comp) AS comp
+      FROM pairs pr JOIN comp c ON pr.vb = c.v
+      WHERE pr.va NOT IN (SELECT v FROM core)
+      GROUP BY pr.va)
+    SELECT comp AS cluster, 'core' AS role, CAST(COUNT(*) AS BIGINT) AS n
+    FROM comp GROUP BY comp
+    UNION ALL
+    SELECT comp AS cluster, 'border' AS role, CAST(COUNT(*) AS BIGINT) AS n
+    FROM borders GROUP BY comp
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS cluster, 'noise' AS role,
+      CAST((SELECT COUNT(*) FROM p) - (SELECT COUNT(*) FROM comp)
+        - (SELECT COUNT(*) FROM borders) AS BIGINT) AS n
+    ORDER BY cluster, role"""))
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214, q215, q236, q265)
+      q214, q215, q236, q265, q269)
 }

@@ -313,6 +313,20 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("q269 DBSCAN: candidates come from the grid equi-join, no cartesian") {
+    // The ε-pair join must be an EQUI-join on the grid cell (cx, cy) —
+    // never a cartesian. (The plan legitimately contains two
+    // BroadcastNestedLoopJoins: the 1-row census-count frames crossed
+    // into the noise row — aggregate-sized by construction, so only
+    // CartesianProduct and a missing cell-keyed join are failures.)
+    val plan = planOf("q269_dbscan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    val cellJoin = plan.split("\n").exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin"))
+        && l.contains("cx") && l.contains("cy"))
+    assert(cellJoin, s"no (cx, cy) equi-join for the pair candidates:\n$plan")
+  }
+
   test("q235 clamped balance: windows are user-partitioned, one agg pass") {
     val plan = planOf("q235_clamped_running_balance")
     val windows = plan.split("\n").filter(_.contains("Window "))
