@@ -756,6 +756,96 @@ object Scale extends Q.Module {
     SELECT source, rk, doc_id, n_chars, u FROM rk
     WHERE rk <= 5 ORDER BY source, rk"""))
 
+  // --- q270: Z-ORDER DATA LAYOUT AUDIT — the file-skipping economics
+  //     behind Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`: interleave the
+  //     bits of two clamped 12-bit dimensions (order day, price bucket)
+  //     into a Morton key, tile files by z-prefix (zkey >> 16), and
+  //     measure how many files a 2-D probe rectangle must read vs the
+  //     naive date-sorted layout. Every min/max file "footer" is an
+  //     exact integer bbox, the hit test is pure integer overlap, and
+  //     rows_matching (the probe's true selectivity, identical for both
+  //     layouts) quantifies read amplification. The bit interleave is a
+  //     12-term HOF fold — codegen'd projection, zero shuffle; each
+  //     layout is ONE map-combined groupBy over its file key; nothing
+  //     here scales past the file-count frame. (Z-order files overlap
+  //     the probe far less than date files for a combined day×price
+  //     predicate — the number this audit exists to show.)
+  private val q270 = Q(
+    "q270_zorder_layout",
+    "✦ data layout: Morton/Z-order file tiling vs date-sorted — exact file-skipping audit",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderdate"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .withColumn("dd", expr(
+          "least(greatest(datediff(o_orderdate, date'1995-01-01'), 0), 4095)"))
+        .withColumn("pb", expr("least(cents div 16384, 4095)"))
+        .withColumn("zkey", expr(
+          "aggregate(sequence(0, 11), 0L, (acc, i) -> acc" +
+            " + shiftleft((shiftright(dd, i) & 1), 2*i)" +
+            " + shiftleft((shiftright(pb, i) & 1), 2*i + 1))"))
+        .persist()
+      // Probe rectangle: calendar 1997 × $100k–$200k orders.
+      val hit = col("dhi") >= 730 && col("dlo") <= 1094 &&
+        col("phi") >= 610 && col("plo") <= 1220
+      def layout(name: String, fileKey: org.apache.spark.sql.Column) =
+        base.groupBy(fileKey.as("f"))
+          .agg(count(lit(1)).as("rows"), min(col("dd")).as("dlo"),
+            max(col("dd")).as("dhi"), min(col("pb")).as("plo"),
+            max(col("pb")).as("phi"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+            coalesce(sum(when(hit, col("rows"))), lit(0L)).as("rows_in_hit"))
+          .select(lit(name).as("layout"), col("n_files"),
+            col("files_hit"), col("rows_in_hit"))
+      val matching = base.filter(col("dd").between(730, 1094)
+        && col("pb").between(610, 1220))
+        .agg(count(lit(1)).as("rows_matching"))
+      layout("bydate", expr("dd div 16"))
+        .unionByName(layout("zorder", expr("zkey div 65536")))
+        .crossJoin(broadcast(matching))
+        .orderBy(col("layout"))
+    },
+    Some("""WITH base AS (SELECT
+        least(greatest(date_diff('day', DATE '1995-01-01',
+          CAST(o_orderdate AS DATE)), 0), 4095) AS dd,
+        least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          // 16384, 4095) AS pb
+      FROM orders),
+    z AS (SELECT dd, pb,
+        list_sum(list_transform(generate_series(0, 11),
+          i -> (((dd >> i) & 1) << (2*i)) + (((pb >> i) & 1) << (2*i + 1))))
+          AS zkey
+      FROM base),
+    fd AS (SELECT dd // 16 AS f, COUNT(*) AS rows_n,
+        MIN(dd) AS dlo, MAX(dd) AS dhi, MIN(pb) AS plo, MAX(pb) AS phi
+      FROM z GROUP BY 1),
+    fz AS (SELECT zkey // 65536 AS f, COUNT(*) AS rows_n,
+        MIN(dd) AS dlo, MAX(dd) AS dhi, MIN(pb) AS plo, MAX(pb) AS phi
+      FROM z GROUP BY 1),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_matching FROM z
+      WHERE dd BETWEEN 730 AND 1094 AND pb BETWEEN 610 AND 1220),
+    s1 AS (SELECT 'bydate' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        CAST(SUM(CASE WHEN dhi >= 730 AND dlo <= 1094
+          AND phi >= 610 AND plo <= 1220 THEN 1 ELSE 0 END) AS BIGINT)
+          AS files_hit,
+        CAST(COALESCE(SUM(CASE WHEN dhi >= 730 AND dlo <= 1094
+          AND phi >= 610 AND plo <= 1220 THEN rows_n END), 0) AS BIGINT)
+          AS rows_in_hit
+      FROM fd),
+    s2 AS (SELECT 'zorder' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        CAST(SUM(CASE WHEN dhi >= 730 AND dlo <= 1094
+          AND phi >= 610 AND plo <= 1220 THEN 1 ELSE 0 END) AS BIGINT)
+          AS files_hit,
+        CAST(COALESCE(SUM(CASE WHEN dhi >= 730 AND dlo <= 1094
+          AND phi >= 610 AND plo <= 1220 THEN rows_n END), 0) AS BIGINT)
+          AS rows_in_hit
+      FROM fz)
+    SELECT u.layout, u.n_files, u.files_hit, u.rows_in_hit, m.rows_matching
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u, m
+    ORDER BY layout"""))
+
   def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165,
-    q185, q219, q233)
+    q185, q219, q233, q270)
 }
