@@ -1162,6 +1162,88 @@ object Dedup extends Q.Module {
     WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)
     ORDER BY pr.da, pr.db"""))
 
+  // --- q271: FELLEGI–SUNTER RECORD-LINKAGE SCORING — the probabilistic
+  //     SCORING stage of entity resolution, complementing the engine's
+  //     three candidate-GENERATION families (LSH banding q48, prefix
+  //     filtering q228, sorted neighborhood q244): each blocked
+  //     candidate pair gets a log-odds score Σᵢ wᵢ over field-level
+  //     agreements (first-3-words, length bucket, source), with the
+  //     classic match/possible/non-match decision bands. The ln(m/u)
+  //     weights are PRECOMPUTED integer milli-units in the query text
+  //     (m = .95/.90/.85, u = .01/.10/.30 → +4554/+2197/+1041 agree,
+  //     −2986/−2197/−1540 disagree) — no runtime ln, so the score is
+  //     exact integer arithmetic in both engines. The audited corpus
+  //     injects a known twin set (every 7th doc, one appended token,
+  //     half with a changed source), so the readout carries
+  //     n_true_pairs per class — the separation evidence (true twins
+  //     concentrate in 'match', cross-doc block collisions in
+  //     'non_match'). Blocking is the first-2-words equi-join (pair
+  //     volume bounded by block df², the q244/q228 discipline);
+  //     everything after is a codegen'd projection + one aggregate.
+  private val q271 = Q(
+    "q271_record_linkage",
+    "✦ ER scoring: Fellegi–Sunter integer log-odds over blocked candidates, 3-band decision",
+    (s, d) => {
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), col("source"))
+      val twin = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("doc_id")).as("text"),
+          when(col("doc_id") % 14 === 0, lit("altsrc"))
+            .otherwise(col("source")).as("source"))
+      def fields(df: DataFrame, tag: String) = df.select(
+        col("doc_id").as(s"id$tag"),
+        expr("array_join(slice(split(text, ' '), 1, 2), ' ')").as(s"bk$tag"),
+        expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as(s"f1$tag"),
+        (length(col("text")) / 64).cast("long").as(s"f2$tag"),
+        col("source").as(s"f3$tag"))
+      val a = fields(base, "a")
+      val b = fields(twin, "b")
+      val scored = a.join(b, col("bka") === col("bkb"))
+        .withColumn("score",
+          when(col("f1a") === col("f1b"), 4554L).otherwise(-2986L)
+            + when(col("f2a") === col("f2b"), 2197L).otherwise(-2197L)
+            + when(col("f3a") === col("f3b"), 1041L).otherwise(-1540L))
+        .withColumn("cls",
+          when(col("score") >= 4000L, "match")
+            .when(col("score") >= 0L, "possible")
+            .otherwise("non_match"))
+        .withColumn("is_true",
+          (col("idb") === col("ida") + 30000).cast("long"))
+      scored.groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("is_true")).as("n_true"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy(col("cls"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text, source FROM documents),
+    twin AS (SELECT doc_id + 30000 AS doc_id,
+        text || ' zz' || doc_id AS text,
+        CASE WHEN doc_id % 14 = 0 THEN 'altsrc' ELSE source END AS source
+      FROM base WHERE doc_id % 7 = 0),
+    fa AS (SELECT doc_id AS ida,
+        array_to_string(string_split(text, ' ')[1:2], ' ') AS bka,
+        array_to_string(string_split(text, ' ')[1:3], ' ') AS f1a,
+        CAST(length(text) // 64 AS BIGINT) AS f2a, source AS f3a
+      FROM base),
+    fb AS (SELECT doc_id AS idb,
+        array_to_string(string_split(text, ' ')[1:2], ' ') AS bkb,
+        array_to_string(string_split(text, ' ')[1:3], ' ') AS f1b,
+        CAST(length(text) // 64 AS BIGINT) AS f2b, source AS f3b
+      FROM twin),
+    sc AS (SELECT ida, idb,
+        (CASE WHEN f1a = f1b THEN 4554 ELSE -2986 END
+          + CASE WHEN f2a = f2b THEN 2197 ELSE -2197 END
+          + CASE WHEN f3a = f3b THEN 1041 ELSE -1540 END) AS score
+      FROM fa JOIN fb ON bka = bkb)
+    SELECT CASE WHEN score >= 4000 THEN 'match'
+        WHEN score >= 0 THEN 'possible' ELSE 'non_match' END AS cls,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(CASE WHEN idb = ida + 30000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_true,
+      CAST(MIN(score) AS BIGINT) AS min_score,
+      CAST(MAX(score) AS BIGINT) AS max_score
+    FROM sc GROUP BY 1 ORDER BY cls"""))
+
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148, q156, q228, q242, q244)
+    q148, q156, q228, q242, q244, q271)
 }
