@@ -2489,8 +2489,120 @@ object Aggs extends Q.Module {
         AS cum_capture
     FROM dec ORDER BY decile"""))
 
+  // --- q272: POPULATION STABILITY INDEX — the model-monitoring drift
+  //     metric beside q195's KS: bucket the CURRENT period's price
+  //     distribution by the REFERENCE period's decile edges and score
+  //     PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ). Reference decile edges are EXACT
+  //     lower-quantile integers off the blocked two-phase histogram
+  //     rank (the q150 construction — no global window); bucket
+  //     assignment is a broadcast 9-element sorted-edge array probed by
+  //     a HOF count (cents > e fold) — a codegen'd projection, no ×9
+  //     row blowup. Shares are Laplace-(+1)-smoothed so an empty
+  //     current bucket cannot produce ±∞ — counts stay exact integers
+  //     until the two share divisions. ln() is not bit-identical across
+  //     engines (the q161 ulp note), so per-bucket contributions AND
+  //     the bin-ordered sequential-fold total are presented through
+  //     fpTrunc(·, 9) — same discipline as q189's MI.
+  private val q272 = Q(
+    "q272_psi_drift",
+    "✦ drift: population stability index — reference-decile buckets, smoothed shares, exact-integer machinery",
+    (s, d) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val o = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("yy"), cents.as("cents"))
+      val ref = o.filter(col("yy").between(1995, 1996))
+      val cur = o.filter(col("yy").between(1997, 1998))
+      val vc = ref.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+        .withColumn("block", expr("cents div 1048576"))
+      val wB = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val off = vc.groupBy(col("block")).agg(sum(col("cnt")).as("bn"))
+        .withColumn("boff", sum(col("bn")).over(wB) - col("bn"))
+        .select(col("block"), col("boff"))
+      val wIn = Window.partitionBy(col("block")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.join(broadcast(off), Seq("block"))
+        .withColumn("cumend", col("boff") + sum(col("cnt")).over(wIn))
+        .select(col("cents"), col("cumend"))
+      val nF = vc.agg(sum(col("cnt")).as("n"))
+      val edges = cum.crossJoin(broadcast(nF))
+        .select(col("cents"), col("cumend"),
+          explode(sequence(lit(1L), lit(9L))).as("k"), col("n"))
+        .groupBy(col("k"))
+        .agg(min(when(col("cumend") * 10 >= col("k") * col("n"),
+          col("cents"))).as("e"))
+        .agg(array_sort(collect_list(col("e"))).as("es"))
+      def bucketed(df: DataFrame, name: String) =
+        df.crossJoin(broadcast(edges))
+          .select((lit(1L) + aggregate(col("es"), lit(0L),
+            (acc, e) => acc + when(col("cents") > e, 1L).otherwise(0L)))
+            .as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as(name))
+      val bins = ref.sparkSession.range(1, 11)
+        .select(col("id").as("bin"))
+      val counts = bins
+        .join(bucketed(ref, "ref_n"), Seq("bin"), "left")
+        .join(bucketed(cur, "cur_n"), Seq("bin"), "left")
+        .na.fill(0L, Seq("ref_n", "cur_n"))
+        .crossJoin(broadcast(ref.agg(count(lit(1)).as("nr"))))
+        .crossJoin(broadcast(cur.agg(count(lit(1)).as("nc"))))
+        .withColumn("pr", (col("ref_n") + 1).cast("double")
+          / (col("nr") + 10))
+        .withColumn("pc", (col("cur_n") + 1).cast("double")
+          / (col("nc") + 10))
+        .withColumn("part", (col("pr") - col("pc"))
+          * log(col("pr") / col("pc")))
+      val tot = counts
+        .agg(aggregate(array_sort(collect_list(struct(col("bin"),
+          col("part")))), lit(0.0),
+          (acc, x) => acc + x.getField("part")).as("psi"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("bin"), col("ref_n"), col("cur_n"),
+          fpTrunc(col("part"), 9).as("psi_part"),
+          fpTrunc(col("psi"), 9).as("psi_total"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH o AS (SELECT year(o_orderdate) AS yy,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    ref AS (SELECT cents FROM o WHERE yy BETWEEN 1995 AND 1996),
+    cur AS (SELECT cents FROM o WHERE yy BETWEEN 1997 AND 1998),
+    vc AS (SELECT cents, COUNT(*) AS cnt FROM ref GROUP BY cents),
+    cum AS (SELECT cents, CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT)
+        AS cumend FROM vc),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vc),
+    ed AS (SELECT k, MIN(CASE WHEN cumend * 10 >= k * n THEN cents END)
+        AS e
+      FROM cum, nn, generate_series(1, 9) g(k) GROUP BY k),
+    es AS (SELECT list(e ORDER BY e) AS es FROM ed),
+    rb AS (SELECT 1 + list_sum(list_transform(es,
+          e -> CASE WHEN cents > e THEN 1 ELSE 0 END)) AS bin
+      FROM ref, es),
+    cb AS (SELECT 1 + list_sum(list_transform(es,
+          e -> CASE WHEN cents > e THEN 1 ELSE 0 END)) AS bin
+      FROM cur, es),
+    rc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ref_n FROM rb GROUP BY bin),
+    cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cur_n FROM cb GROUP BY bin),
+    base AS (SELECT g.bin, COALESCE(rc.ref_n, 0) AS ref_n,
+        COALESCE(cc.cur_n, 0) AS cur_n,
+        CAST(COALESCE(rc.ref_n, 0) + 1 AS DOUBLE)
+          / ((SELECT COUNT(*) FROM ref) + 10) AS pr,
+        CAST(COALESCE(cc.cur_n, 0) + 1 AS DOUBLE)
+          / ((SELECT COUNT(*) FROM cur) + 10) AS pc
+      FROM generate_series(1, 10) g(bin)
+        LEFT JOIN rc ON rc.bin = g.bin LEFT JOIN cc ON cc.bin = g.bin),
+    parts AS (SELECT bin, ref_n, cur_n,
+        (pr - pc) * ln(pr / pc) AS part FROM base),
+    tot AS (SELECT list_sum(list(part ORDER BY bin)) AS psi FROM parts)
+    SELECT CAST(bin AS BIGINT) AS bin, ref_n, cur_n,
+      FLOOR(part * 1e9) / 1e9 AS psi_part,
+      FLOOR(psi * 1e9) / 1e9 AS psi_total
+    FROM parts, tot ORDER BY bin"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
-    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245, q249, q257)
+    q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
+    q249, q257, q272)
 }
