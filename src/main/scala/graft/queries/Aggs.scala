@@ -2600,9 +2600,102 @@ object Aggs extends Q.Module {
       FLOOR(psi * 1e9) / 1e9 AS psi_total
     FROM parts, tot ORDER BY bin"""))
 
+  // --- q273: EXPECTATION SUITE — the deequ/great-expectations gate a
+  //     pipeline runs before trusting a new drop: seven declarative
+  //     constraints evaluated as ONE map-combined aggregate pass over
+  //     orders (completeness, uniqueness-by-count, value range,
+  //     accepted set, freshness, minimum volume) plus ONE anti-join
+  //     count for referential integrity against customer — then pivoted
+  //     to the long-format (check, observed, threshold, pass) report a
+  //     CI gate consumes. Everything is exact integer counting; `pass`
+  //     is an integer comparison, so the report cannot split engines.
+  //     The uniqueness check counts DISTINCT keys against rows (exact —
+  //     the HLL variant is q24's sketch family); at 100 TB that's the
+  //     one expensive constraint and the place a production suite would
+  //     swap in the sketch.
+  private val q273 = Q(
+    "q273_expectation_suite",
+    "✦ data quality: 7-constraint declarative expectation report (one agg pass + one anti-join)",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val agg = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_cust"),
+        countDistinct(col("o_orderkey")).as("n_distinct_key"),
+        sum(when(col("o_totalprice") <= 0
+          || col("o_totalprice") > 1000000, 1L).otherwise(0L))
+          .as("n_price_oob"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH",
+          "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 0L).otherwise(1L))
+          .as("n_bad_priority"),
+        max(expr("datediff(o_orderdate, date'1992-01-01')")).cast("long")
+          .as("max_day"))
+      val orphans = o.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val r = agg.crossJoin(broadcast(orphans))
+      def check(name: String, observed: org.apache.spark.sql.Column,
+          threshold: Long,
+          passIf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+            => org.apache.spark.sql.Column) =
+        r.select(lit(name).as("check"), observed.as("observed"),
+          lit(threshold).as("threshold"),
+          passIf(observed, lit(threshold)).as("pass"))
+      check("completeness_custkey", col("n_null_cust"), 0L, _ <= _)
+        .unionByName(check("uniqueness_orderkey",
+          col("n_rows") - col("n_distinct_key"), 0L, _ <= _))
+        .unionByName(check("range_totalprice", col("n_price_oob"), 0L, _ <= _))
+        .unionByName(check("accepted_priority", col("n_bad_priority"), 0L,
+          _ <= _))
+        .unionByName(check("referential_custkey", col("n_orphans"), 0L,
+          _ <= _))
+        .unionByName(check("freshness_orderdate", col("max_day"), 3200L,
+          _ >= _))
+        .unionByName(check("min_volume", col("n_rows"), 100L, _ >= _))
+        .orderBy(col("check"))
+    },
+    Some("""WITH a AS (SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null_cust,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+        CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_price_oob,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+          '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 0 ELSE 1 END)
+          AS BIGINT) AS n_bad_priority,
+        CAST(MAX(date_diff('day', DATE '1992-01-01',
+          CAST(o_orderdate AS DATE))) AS BIGINT) AS max_day
+      FROM orders),
+    orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+    r AS (SELECT * FROM a, orph)
+    SELECT * FROM (
+      SELECT 'completeness_custkey' AS "check", n_null_cust AS observed,
+        CAST(0 AS BIGINT) AS threshold, n_null_cust <= 0 AS pass FROM r
+      UNION ALL
+      SELECT 'uniqueness_orderkey', n_rows - n_distinct_key,
+        CAST(0 AS BIGINT), n_rows - n_distinct_key <= 0 FROM r
+      UNION ALL
+      SELECT 'range_totalprice', n_price_oob, CAST(0 AS BIGINT),
+        n_price_oob <= 0 FROM r
+      UNION ALL
+      SELECT 'accepted_priority', n_bad_priority, CAST(0 AS BIGINT),
+        n_bad_priority <= 0 FROM r
+      UNION ALL
+      SELECT 'referential_custkey', n_orphans, CAST(0 AS BIGINT),
+        n_orphans <= 0 FROM r
+      UNION ALL
+      SELECT 'freshness_orderdate', max_day, CAST(3200 AS BIGINT),
+        max_day >= 3200 FROM r
+      UNION ALL
+      SELECT 'min_volume', n_rows, CAST(100 AS BIGINT),
+        n_rows >= 100 FROM r)
+    ORDER BY "check""""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
     q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
-    q249, q257, q272)
+    q249, q257, q272, q273)
 }
