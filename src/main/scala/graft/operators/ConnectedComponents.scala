@@ -73,11 +73,19 @@ object ConnectedComponents {
       // on the first iteration (labels are still identity), so start at
       // iter 1. The invariant cluster <= id makes the left join total in
       // practice; coalesce covers nodes whose label is already a root.
+      // l1 is referenced TWICE by the shortcut self-join, and exchange
+      // reuse does not reliably kick in across the aliased sides under
+      // AQE — without its own checkpoint the propagate join (the
+      // edge-sized pass) executed twice per iteration (profiled at ~40%
+      // of q269's CC wall before the fix).
       val l2 = (if (iter == 0) l1
-        else l1.as("x").join(l1.as("y"), col("x.cluster") === col("y.id"), "left")
-          .select(col("x.id").as("id"),
-            least(col("x.cluster"),
-              coalesce(col("y.cluster"), col("x.cluster"))).as("cluster")))
+        else {
+          val l1c = l1.localCheckpoint(true)
+          l1c.as("x").join(l1c.as("y"), col("x.cluster") === col("y.id"), "left")
+            .select(col("x.id").as("id"),
+              least(col("x.cluster"),
+                coalesce(col("y.cluster"), col("x.cluster"))).as("cluster"))
+        })
         .localCheckpoint(true)
       val row = l2.agg(sum(col("cluster"))).first()
       val s0 = if (row.isNullAt(0)) 0L else row.getLong(0)
