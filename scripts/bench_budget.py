@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Bench-budget gate: fail if any registry query exceeds its time budget.
+
+The r11 lesson: q269 landed in the final hour without a full-registry
+re-bench, its CC loop cost ~11-14 min/run at sf0.1, and the driver's
+bench gate died on timeout for the round — a class of regression this
+script turns into a red check instead of a driver timeout.
+
+Usage:
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench"
+  python3 scripts/bench_budget.py [bench_queries.json]
+
+Reads the per-query min-of-runs map Bench writes (qNN bare-number keys),
+applies DEFAULT_BUDGET_S to every query, and the explicit allowlist below
+to deliberately heavy queries (each with its recorded expected band, so a
+regression WITHIN the allowlist is still visible). Exits non-zero listing
+offenders and any query whose every run failed (-1).
+
+Process rule this script enforces (PLANS.md r12): any NEW registry query
+must be benched at sf0.1 and pass this gate BEFORE the end-of-round
+snapshot; the final commit of a round touches no queries/*.scala.
+"""
+import json
+import sys
+
+DEFAULT_BUDGET_S = 30.0
+
+# Deliberately heavy queries: iteration count or verify-join IS the
+# algorithm. Budgets are ~3x their measured sf0.1 min-of-3 band so host
+# noise doesn't flap the gate, but a q269-class blowup still trips it.
+ALLOWLIST = {
+    "167": (20.0, "PageRank: 10 fixed iterations, 7.3 s band (r11)"),
+    "228": (15.0, "PPJoin: verify join is the algorithm, 5.1 s band (r11)"),
+    "76": (12.0, "near-dup CC clustering, 3.1 s band (r11)"),
+    "244": (10.0, "sorted-neighborhood two-phase rank, 2.5 s band (r11)"),
+    "269": (12.0, "DBSCAN: grid eps-join + CC, ~2-4 s band (r12 fix)"),
+}
+
+
+def main(path):
+    with open(path) as f:
+        rec = json.load(f)
+    qs = rec["queries"]
+    bad = []
+    for q, sec in sorted(qs.items(), key=lambda kv: int(kv[0])):
+        budget, why = ALLOWLIST.get(q, (DEFAULT_BUDGET_S, "default"))
+        if sec < 0:
+            bad.append(f"q{q}: every run FAILED")
+        elif sec > budget:
+            bad.append(f"q{q}: {sec:.3f} s > budget {budget:.1f} s ({why})")
+    total = sum(v for v in qs.values() if v >= 0)
+    print(f"bench_budget: {len(qs)} queries, total {total:.1f} s "
+          f"(sf={rec.get('sf')}, runs={rec.get('runs')})")
+    if bad:
+        print("\n".join("OVER " + b for b in bad))
+        return 1
+    print("all queries within budget")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "bench_queries.json"))

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.storage.StorageLevel
+
+/** Generation management for iterative DataFrame operators (CC, KCore,
+  * PageRank): explicit cache-and-cut.
+  *
+  * `cut` materializes a frame into a cache the CALLER holds and returns
+  * a frame whose plan is a scan of that cache — lineage truncated, like
+  * `localCheckpoint`, but with the persisted RDD handle surfaced so the
+  * superseded generation can be released deterministically inside the
+  * loop. `localCheckpoint` hides its RDD: its blocks are reclaimed only
+  * by GC + ContextCleaner, which never runs inside a tight driver loop —
+  * the r11 q269 postmortem measured that accumulation as geometric
+  * per-iteration cost growth across 25 generations. MEMORY_AND_DISK:
+  * eviction spills instead of dropping, so a released ancestor is never
+  * recomputed through.
+  *
+  * The caller's contract: hold the handle, `unpersist(blocking = false)`
+  * it the moment the NEXT generation is materialized, and leave the
+  * final generation's cache live (the returned result scans it; the
+  * session harness or the caller's action-then-release owns that one).
+  * In a fault-tolerant production run, swap for reliable `checkpoint()`
+  * against a checkpoint dir — same shape, survives executor loss.
+  */
+private[operators] object Gen {
+  def cut(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+}

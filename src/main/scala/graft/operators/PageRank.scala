@@ -37,15 +37,18 @@ import org.apache.spark.sql.types.DoubleType
   * with-degree / node frames all derive from that cache; every
   * iteration is ONE broadcast-joined pass over the cached edges + ONE
   * aggregate shuffle whose map-side combine reduces it to node-sized.
-  * Every generation is cut with eager `localCheckpoint` — NOT for plan
+  * Every generation is cut eagerly with `Gen.cut` — NOT for plan
   * size (a step references `ranks` once, so the chain only grows
-  * linearly, unlike ConnectedComponents' twice-referencing shortcut
-  * join) but because the node-sized rank frame is the BROADCAST side of
+  * linearly, unlike ConnectedComponents' thrice-referencing star
+  * rewrites) but because the node-sized rank frame is the BROADCAST side of
   * the next iteration's join, and a broadcast exchange executes its
   * subtree as its own job: left lazy, iteration k's broadcast re-runs
   * iterations 1..k−1 from scratch — a quadratic recompute the r9
-  * profile measured as 2× wall on a 5-deep lazy chain. Checkpointing
-  * makes each broadcast a scan of ~|V| cached rows. It also means the
+  * profile measured as 2× wall on a 5-deep lazy chain. Cutting
+  * makes each broadcast a scan of ~|V| cached rows, and the explicit
+  * handle lets each superseded generation be RELEASED inside the loop
+  * (the r12 hygiene rule — ContextCleaner frees nothing in a tight
+  * driver loop; see Gen). It also means the
   * returned frame no longer references the persisted edges (production
   * swaps reliable `checkpoint()`; at a scale where ranks outgrow
   * broadcast, pre-`repartition` the edge frame by src so the per-
@@ -83,6 +86,7 @@ object PageRank {
     // probe), used only to split the dangling units evenly.
     val nNodes = if (redistributeDangling) nodes.count() else 0L
     var ranks = nodes.withColumn("rank", lit(1.0))
+    var gen: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     (1 to iterations).foreach { _ =>
       // Zero-mass baseline rows ride the SAME aggregate instead of a
       // per-iteration left join: an integer zero is additive identity,
@@ -115,12 +119,18 @@ object PageRank {
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) *
             (col("msum").cast(DoubleType) / lit(1e9))).as("rank"))
-      ranks = next.localCheckpoint(true)
+      val (nC, nGen) = Gen.cut(next)
+      nGen.count() // eager: the next iteration broadcasts this frame
+      gen.foreach(_.unpersist(blocking = false)) // superseded, dead now
+      gen = Some(nGen)
+      ranks = nC
     }
     e.unpersist(blocking = false)
     withDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     if (sinks != null) sinks.unpersist(blocking = false)
+    // The final generation's cache stays live — `ranks` scans it
+    // (Gen's caller contract).
     ranks
   }
 }

@@ -2605,7 +2605,9 @@ object Aggs extends Q.Module {
   //     constraints evaluated as ONE map-combined aggregate pass over
   //     orders (completeness, uniqueness-by-count, value range,
   //     accepted set, freshness, minimum volume) plus ONE anti-join
-  //     count for referential integrity against customer — then pivoted
+  //     count for referential integrity against customer (the oracle
+  //     uses NOT EXISTS, not NOT IN, so both engines share anti-join
+  //     NULL semantics: a NULL key is an orphan in both) — then pivoted
   //     to the long-format (check, observed, threshold, pass) report a
   //     CI gate consumes. Everything is exact integer counting; `pass`
   //     is an integer comparison, so the report cannot split engines.
@@ -2667,8 +2669,9 @@ object Aggs extends Q.Module {
         CAST(MAX(date_diff('day', DATE '1992-01-01',
           CAST(o_orderdate AS DATE))) AS BIGINT) AS max_day
       FROM orders),
-    orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM orders
-      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+    orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey)),
     r AS (SELECT * FROM a, orph)
     SELECT * FROM (
       SELECT 'completeness_custkey' AS "check", n_null_cust AS observed,

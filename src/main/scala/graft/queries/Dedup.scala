@@ -419,8 +419,8 @@ object Dedup extends Q.Module {
   // --- q76: near-dup CLUSTERING + canonical selection — the step after
   //     pair generation in every production dedup pipeline: connected
   //     components over the near-dup graph (graft.operators
-  //     .ConnectedComponents: min-label propagation + pointer doubling,
-  //     O(log diameter) iterations), keep min doc_id per component. The
+  //     .ConnectedComponents: alternating large-star/small-star,
+  //     O(log² n) rounds), keep min doc_id per component. The
   //     DuckDB oracle computes the true transitive closure with a
   //     recursive CTE, so the distributed fixpoint is cross-checked, not
   //     assumed; the operator's property test covers long-chain graphs
@@ -433,7 +433,7 @@ object Dedup extends Q.Module {
       val pairs = jaccardPairs(sh)
         .filter(col("jacc") >= 0.5)
         .select(col("da"), col("db")).persist()
-      // run() iterates eagerly (localCheckpoint per generation), so by the
+      // run() iterates eagerly (explicitly cached generations), so by the
       // time it returns, the result references neither pairs nor sh —
       // release both here instead of leaking them to the session cache.
       // strict = true: a non-converged clustering must fail the query, not

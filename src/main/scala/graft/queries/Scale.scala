@@ -785,6 +785,9 @@ object Scale extends Q.Module {
           "aggregate(sequence(0, 11), 0L, (acc, i) -> acc" +
             " + shiftleft((shiftright(dd, i) & 1), 2*i)" +
             " + shiftleft((shiftright(pb, i) & 1), 2*i + 1))"))
+        // harness-owned cache (q47's rule — Verify/Bench clearCache
+        // after each query releases it); both layout aggregates below
+        // scan base, so recompute would double the Morton projection.
         .persist()
       // Probe rectangle: calendar 1997 × $100k–$200k orders.
       val hit = col("dhi") >= 730 && col("dlo") <= 1094 &&

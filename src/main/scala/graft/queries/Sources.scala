@@ -471,12 +471,12 @@ object Sources extends Q.Module {
         AS mean_boot
     FROM orig JOIN boot USING (priority) ORDER BY priority"""))
 
-  // --- q268: WEIGHTED SAMPLING WITHOUT REPLACEMENT (πps) — "sample
-  //     5000 documents, long ones proportionally more often": Ohlsson's
-  //     SEQUENTIAL POISSON SAMPLING, the survey-statistics standard for
-  //     probability-proportional-to-size draws. Each row gets key
-  //     u_i/w_i (u_i the portable-hash uniform, w_i = order cents) and
-  //     the sample is the k smallest keys — inclusion probability
+  // --- q268: WEIGHTED SAMPLING WITHOUT REPLACEMENT (πps) — "draw
+  //     k = 50 orders, big-ticket ones proportionally more often":
+  //     Ohlsson's SEQUENTIAL POISSON SAMPLING, the survey-statistics
+  //     standard for probability-proportional-to-size draws. Each row
+  //     gets key u_i/w_i (u_i the portable-hash uniform, w_i = order
+  //     cents) and the sample is the k smallest keys — inclusion prob.
   //     ≈ k·w_i/Σw. Unlike the Efraimidis–Spirakis u^(1/w) key (whose
   //     ln/pow is NOT bit-identical across engines — the q161 lesson),
   //     this key is ONE IEEE division of exact integers, so ordering is
@@ -772,11 +772,14 @@ object Sources extends Q.Module {
           expr("year(o_orderdate) * 100 + month(o_orderdate)"))
       Sinks.once(path) {
         base.write.mode("overwrite").partitionBy("ym").parquet(path)
-        // The DYNAMIC overwrite mode is set on an ISOLATED session clone
-        // (shared SparkContext, cloned SQL conf): flipping it on the
-        // caller's session — even inside try/finally — would let any
-        // concurrently-executing query on that session observe DYNAMIC
-        // mid-flight and silently change its own overwrite semantics.
+        // The DYNAMIC overwrite mode is set on an ISOLATED session
+        // (shared SparkContext, FRESH SQL conf from the shared initial/
+        // builder conf — newSession does NOT copy runtime s.conf.set
+        // changes, so any conf this write depends on must be builder-
+        // level or re-set here): flipping it on the caller's session —
+        // even inside try/finally — would let any concurrently-executing
+        // query on that session observe DYNAMIC mid-flight and silently
+        // change its own overwrite semantics.
         val bf = s.newSession()
         bf.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
         Tables.orders(bf, d)

@@ -1020,8 +1020,10 @@ object Vectors extends Q.Module {
   //     engine's existing pieces: q236's grid-blocked ε-neighbor join
   //     generates candidate pairs (never an all-pairs product), the
   //     core test is one integer count (|N_ε(v)| + 1 ≥ minPts), cluster
-  //     labels come from operators.ConnectedComponents (pointer-
-  //     doubling, O(log diameter)) over the core-core edge subgraph,
+  //     labels come from operators.ConnectedComponents (alternating
+  //     large-star/small-star, O(log² n) rounds, strict fixpoint — an
+  //     under-merged labeling throws instead of shipping a silently
+  //     wrong census) over the core-core edge subgraph,
   //     and border points take the MIN core-neighbor's label — the
   //     deterministic resolution of DBSCAN's only order-dependent
   //     choice (textbook DBSCAN assigns borders to whichever cluster
@@ -1058,13 +1060,21 @@ object Vectors extends Q.Module {
           + (col("ya") - col("yb")) * (col("ya") - col("yb"))
           <= lit(eps * eps))
         .select(col("va"), col("vb")).persist()
+      // pairs/core/coreComp persists: harness-owned cache (q47's rule —
+      // Verify/Bench clearCache after each query releases them); each is
+      // consumed by ≥2 downstream legs, so recompute would double the
+      // ε-join.
       val core = pairs.groupBy(col("va")).agg(count(lit(1)).as("n"))
         .filter(col("n") + 1 >= minPts).select(col("va").as("v")).persist()
       val ce = pairs
         .join(core.select(col("v").as("va")), Seq("va"), "semi")
         .join(core.select(col("v").as("vb")), Seq("vb"), "semi")
         .select(col("va"), col("vb"))
-      val cc = graft.operators.ConnectedComponents.run(ce)
+      // strict: an under-merged labeling must throw, not ship a silently
+      // wrong census (q76's discipline — the r11 verdict caught q269
+      // passing only because the round cap landed exactly on the
+      // fixpoint).
+      val cc = graft.operators.ConnectedComponents.run(ce, strict = true)
       // cores whose ε-neighbors are all non-core never enter the edge
       // set — they are their own singleton cluster (coalesce to self).
       val coreComp = core.join(cc, core("v") === cc("id"), "left")

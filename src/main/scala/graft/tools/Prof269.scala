@@ -3,8 +3,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiler for q269's CC leg at sf0.1 (not part of the product
-  * surface; kept because PLANS.md cites its numbers). Replicates the
-  * ConnectedComponents loop inline with per-iteration stderr timing.
+  * surface; PLANS.md r12 records its before/after traces). Unlike the
+  * r11 version this calls the REAL operators.ConnectedComponents with
+  * verbose per-round timing instead of an inline replica — a replica
+  * can silently drift from the code it claims to measure.
   */
 object Prof269 {
   def main(args: Array[String]): Unit = {
@@ -45,44 +47,12 @@ object Prof269 {
       .join(core.select(col("v").as("vb")), Seq("vb"), "semi")
       .select(col("va"), col("vb"))
     t("ce count")(System.err.println("ce=" + ce.count()))
-
-    // Inline CC replica with per-iteration timing.
-    t("CC inline") {
-      val e0 = ce.select(col("va").as("src"), col("vb").as("dst"))
-      val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val nodes = sym.select(col("src")).distinct()
-      val edges = sym.unionByName(
-        nodes.select(col("src"), col("src").as("dst"))).persist()
-      var labels = nodes.select(col("src").as("id"))
-        .withColumn("cluster", col("id")).localCheckpoint(true)
-      var prevSum = Option.empty[Long]
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 25) {
-        val t0 = System.nanoTime()
-        val l1 = labels.as("l").join(edges.as("e"), col("l.id") === col("e.src"))
-          .select(col("e.dst").as("id"), col("l.cluster").as("cluster"))
-          .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        val l2 = (if (iter == 0) l1
-          else {
-            val l1c = l1.localCheckpoint(true)
-            l1c.as("x").join(l1c.as("y"), col("x.cluster") === col("y.id"), "left")
-              .select(col("x.id").as("id"),
-                least(col("x.cluster"),
-                  coalesce(col("y.cluster"), col("x.cluster"))).as("cluster"))
-          })
-          .localCheckpoint(true)
-        val row = l2.agg(sum(col("cluster"))).first()
-        val s0 = if (row.isNullAt(0)) 0L else row.getLong(0)
-        converged = prevSum.contains(s0)
-        prevSum = Some(s0)
-        labels = l2
-        System.err.println(f"[prof] iter $iter sum=$s0 " +
-          f"${(System.nanoTime()-t0)/1e9}%.2f s parts=${l2.rdd.getNumPartitions}")
-        iter += 1
-      }
-      edges.unpersist(blocking = false)
-      System.err.println("[prof] converged=" + converged + " iters=" + iter)
+    t("CC run (strict, verbose)") {
+      val cc = graft.operators.ConnectedComponents
+        .run(ce, strict = true, verbose = true)
+      System.err.println("[prof] components=" +
+        cc.agg(countDistinct(col("cluster"))).head().getLong(0) +
+        " nodes=" + cc.count())
     }
     s.stop()
   }
