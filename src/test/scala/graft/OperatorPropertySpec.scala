@@ -124,6 +124,46 @@ class OperatorPropertySpec extends SparkSuite {
     }
   }
 
+  // r12 hygiene regression pin: the r11 q269 blowup was 25 generations
+  // of dead cached blocks accumulating inside the CC loop (ContextCleaner
+  // frees nothing without GC). After a run + materialization, the only
+  // persisted RDDs left beyond the caller's own must be the FINAL
+  // generation (the result scans it) plus at most one in-flight async
+  // unpersist. A 200-node path forces several star rounds, so a
+  // reintroduced leak shows up as one extra persisted RDD per round.
+  test("CC and KCore release superseded generations") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def extraAfter[A](f: => A): Int = {
+      val before = sc.getPersistentRDDs.keySet
+      f
+      val deadline = System.nanoTime() + 5000000000L
+      var extra = sc.getPersistentRDDs.keySet.diff(before).size
+      while (extra > 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        extra = sc.getPersistentRDDs.keySet.diff(before).size
+      }
+      extra
+    }
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val ccExtra = extraAfter {
+      val r = graft.operators.ConnectedComponents.run(path, strict = true)
+      assert(r.count() == 200)
+      assert(r.agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("cluster"))).head().getLong(0) == 1)
+    }
+    assert(ccExtra <= 2,
+      s"CC left $ccExtra persisted RDDs (final generation + <=1 in-flight allowed)")
+    val kcExtra = extraAfter {
+      val edges = (0L until 60L).flatMap(i =>
+        (i + 1 until math.min(i + 4, 60L)).map(j => (i, j))).toDF("x", "y")
+      val (deg, _) = graft.operators.KCore.run(edges, k = 3, rounds = 20)
+      assert(deg.count() > 0)
+    }
+    assert(kcExtra <= 2,
+      s"KCore left $kcExtra persisted RDDs (final generation + <=1 in-flight allowed)")
+  }
+
   test("dot product HOF == local fold") {
     import spark.implicits._
     val rng = new Random(11)

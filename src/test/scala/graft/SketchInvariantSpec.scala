@@ -91,4 +91,23 @@ class SketchInvariantSpec extends SparkSuite {
     val recall = gotPairs.size.toDouble / truth.size
     assert(recall >= 0.5, s"recall $recall < 0.5 (${gotPairs.size}/${truth.size})")
   }
+
+  // q273's scaladoc names the production swap for its uniqueness
+  // constraint at 100 TB: replace COUNT(DISTINCT key) with the HLL
+  // sketch. The swap is only safe if the sketch's estimate stays inside
+  // a band tight enough that |n_rows − approx_distinct| over a unique
+  // key column cannot cross the constraint threshold spuriously — pin
+  // that band here (orderkey IS unique in the fixture, so exact
+  // distinct = row count and the sketch must land within 10%).
+  test("q273 uniqueness HLL swap: approx distinct within 10% of exact") {
+    val o = Tables.orders(spark, sfDir)
+    val r = o.agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(col("o_orderkey"), 0.02).as("ad"),
+      countDistinct(col("o_orderkey")).as("d")).head()
+    val (n, ad, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n == d, "fixture contract: o_orderkey unique")
+    assert(math.abs(ad - d) <= 0.10 * d,
+      s"HLL estimate $ad vs exact $d exceeds 10% band")
+  }
 }
