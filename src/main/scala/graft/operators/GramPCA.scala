@@ -31,11 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object GramPCA {
 
-  /** Distributed integer-unit Gram of `embCol` (array column, length
-    * `dims`): upper triangle as FLOOR(xⱼ·xₖ·1e9) unit sums, mirrored
-    * into a dense driver-side dims×dims matrix (unit domain). */
-  def gramUnits(emb: DataFrame, embCol: String, dims: Int): Array[Array[Double]] = {
-    val gramRows = emb
+  /** The distributed leg as a frame — exposed so PlanEvidenceSpec can
+    * pin its shape (partial aggregation: the wire carries at most
+    * dims²/2 partials per task, never corpus-sized rows). */
+  def gramFrame(emb: DataFrame, embCol: String, dims: Int): DataFrame =
+    emb
       .select(col(embCol), explode(sequence(lit(0), lit(dims - 1))).as("j"))
       .select(col(embCol), col("j"),
         explode(sequence(col("j"), lit(dims - 1))).as("k"))
@@ -44,6 +44,12 @@ object GramPCA {
           * element_at(col(embCol), col("k") + 1).cast("double")
           * lit(1e9)).as("u"))
       .groupBy(col("j"), col("k")).agg(sum(col("u")).as("g"))
+
+  /** Distributed integer-unit Gram of `embCol` (array column, length
+    * `dims`): upper triangle as FLOOR(xⱼ·xₖ·1e9) unit sums, mirrored
+    * into a dense driver-side dims×dims matrix (unit domain). */
+  def gramUnits(emb: DataFrame, embCol: String, dims: Int): Array[Array[Double]] = {
+    val gramRows = gramFrame(emb, embCol, dims)
       .collect() // dims²-bounded by construction — the ONE deliberate collect
     val m = Array.ofDim[Double](dims, dims)
     gramRows.foreach { r =>

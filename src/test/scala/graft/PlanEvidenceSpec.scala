@@ -327,6 +327,24 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(cellJoin, s"no (cx, cy) equi-join for the pair candidates:\n$plan")
   }
 
+  test("q274 general PCA: Gram is map-side combined, readout is top-k") {
+    // The one corpus-sized pass: the exploded upper-triangle Gram must
+    // partial-aggregate before its exchange (wire carries ≤ dims²/2
+    // partials per task, never corpus-height rows)…
+    val gram = graft.operators.GramPCA.gramFrame(
+      Tables.embeddings(spark, sfDir), "embedding", 64)
+    gram.collect()
+    val gplan = gram.queryExecution.executedPlan.toString
+    val aggs = gplan.split("\n").count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"no partial/final aggregate pair:\n$gplan")
+    // …and the per-component readout is TakeOrderedAndProject (map-side
+    // top-3 per partition, 3-row driver merge), with no cartesian.
+    val plan = planOf("q274_pca_topk_general")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"component readout fell back to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("q235 clamped balance: windows are user-partitioned, one agg pass") {
     val plan = planOf("q235_clamped_running_balance")
     val windows = plan.split("\n").filter(_.contains("Window "))
