@@ -107,7 +107,7 @@ class OperatorPropertySpec extends SparkSuite {
     val rng = new Random(13)
     val graphs = Seq(
       // the doubling trap: a 30-node path — plain propagation needs 29
-      // iterations, pointer-doubling ~5
+      // iterations, large-star/small-star ~5 rounds
       (0L until 29L).map(i => (i, i + 1)),
       // two cliques bridged by one edge
       (for (a <- 0 to 4; b <- a + 1 to 4) yield (a.toLong, b.toLong)) ++
