@@ -1244,6 +1244,126 @@ object Dedup extends Q.Module {
       CAST(MAX(score) AS BIGINT) AS max_score
     FROM sc GROUP BY 1 ORDER BY cls"""))
 
+  // --- q275: CONTENT-DEFINED CHUNKING dedup (FastCDC/rsync shape) —
+  //     the dedup granularity between q46's whole-document hash and
+  //     q140's ALIGNED paragraph windows: cut points are chosen by the
+  //     CONTENT (a rolling window hash hitting a target residue), so an
+  //     insertion near the top of a document shifts only the one chunk
+  //     it lands in — every later cut re-synchronizes — where aligned
+  //     8-word blocks shift ALL downstream blocks and miss every shared
+  //     region (the boundary-shift problem CDC exists to solve; used at
+  //     scale for code/web corpus dedup and delta storage). Pipeline:
+  //     per-word portable hash (q54's md5-prefix idiom) → window hash
+  //     over 4 consecutive words (weights 1..4, mod 1e9+7) → cut before
+  //     word s when the window hash ≡ 0 (mod 16), expected chunk ≈ 16
+  //     words → chunk strings by slicing between cuts → 48-bit chunk
+  //     hash → corpus-wide first-occurrence stats (q140's composite-key
+  //     MIN: doc_id·2^20 + chunk_idx, a map-combined hash aggregate —
+  //     never a sort window over the chunk partition).
+  //     Scale shape: chunking is ONE codegen'd projection pass (array
+  //     HOFs, no per-word explode, no shuffle); the only shuffles are
+  //     the chunk-hash aggregate and the doc_id rollup. A chunk repeated
+  //     10⁸ times costs one combiner cell per task, and the df-style
+  //     skew of hot boilerplate chunks is bounded the same way q140's
+  //     paragraphs are. Production widens the 48-bit md5 prefix to
+  //     xxhash64/128 — the plan is hash-agnostic; md5 is chosen so the
+  //     DuckDB oracle recomputes the identical value.
+  private val q275 = Q(
+    "q275_cdc_chunk_dedup",
+    "✦ dedup: content-defined chunking — rolling-hash cuts, shared-chunk census",
+    (s, d) => {
+      import graft.dsl.fpTrunc
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("hs", transform(col("ws"),
+          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long")))
+        // Cut positions: 1-based word index s (2 <= s <= n-3) where the
+        // weighted window hash over words s..s+3 lands on residue 0
+        // mod 16. The n >= 5 guard is the house sequence() rule:
+        // sequence(2, n-3) counts DOWN when n-3 < 2 (q47's trap).
+        .withColumn("cuts",
+          when(col("n") >= 5,
+            filter(sequence(lit(2), col("n") - 3), p =>
+              pmod(element_at(col("hs"), p)
+                + element_at(col("hs"), p + 1) * lit(2L)
+                + element_at(col("hs"), p + 2) * lit(3L)
+                + element_at(col("hs"), p + 3) * lit(4L),
+                lit(1000000007L)) % lit(16L) === lit(0L)))
+            .otherwise(array().cast("array<int>")))
+        .withColumn("starts", concat(array(lit(1)), col("cuts")))
+      val chunks = base
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(sequence(lit(1), size(col("starts"))), j =>
+            // try_element_at: the j+1 lookup runs past the end on the
+            // LAST chunk by design (→ null → n+1 sentinel); plain
+            // element_at throws under ANSI (default-on in Spark 4).
+            array_join(slice(col("ws"), element_at(col("starts"), j),
+              coalesce(try_element_at(col("starts"), j + 1), col("n") + 1)
+                - element_at(col("starts"), j)), " "))))
+        .select(col("doc_id"), col("pos").cast("long").as("ci"),
+          col("col").as("chunk"))
+        .withColumn("ctoks", size(split(col("chunk"), " ")).cast("long"))
+        .withColumn("chash",
+          conv(substring(md5(col("chunk")), 1, 12), 16, 10).cast("long"))
+        .withColumn("k", col("doc_id") * lit(1048576L) + col("ci"))
+      val firsts = chunks.groupBy(col("chash"))
+        .agg(min(col("k")).as("first_k"))
+      chunks.join(firsts, Seq("chash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("ctoks")).as("n_tokens"),
+          count(when(col("k") =!= col("first_k"), lit(1)))
+            .as("n_dup_chunks"),
+          coalesce(sum(when(col("k") =!= col("first_k"), col("ctoks"))),
+            lit(0L)).as("n_dup_tokens"))
+        .withColumn("dup_frac", fpTrunc(col("n_dup_tokens").cast("double")
+          / col("n_tokens").cast("double"), 9))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH b AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+        len(string_split(text, ' ')) AS n
+      FROM documents),
+    h AS (SELECT doc_id, ws, n,
+        list_transform(ws, w -> CAST(list_sum(list_transform(
+          generate_series(1, 8),
+          k -> (strpos('0123456789abcdef', substr(md5(w), k, 1)) - 1)
+            * CAST(power(16, 8 - k) AS BIGINT))) AS BIGINT)) AS hs
+      FROM b),
+    c AS (SELECT doc_id, ws, n,
+        list_prepend(CAST(1 AS BIGINT), list_filter(generate_series(2, n - 3),
+          p -> ((hs[p] + hs[p + 1] * 2 + hs[p + 2] * 3 + hs[p + 3] * 4)
+            % 1000000007) % 16 = 0)) AS starts
+      FROM h),
+    e AS (SELECT doc_id, ws, n, starts,
+        unnest(generate_series(1, len(starts))) AS j FROM c),
+    ch AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS ci,
+        array_to_string(ws[starts[j] :
+          coalesce(starts[j + 1], n + 1) - 1], ' ') AS chunk
+      FROM e),
+    kd AS (SELECT doc_id, ci,
+        CAST(len(string_split(chunk, ' ')) AS BIGINT) AS ctoks,
+        CAST(list_sum(list_transform(generate_series(1, 12),
+          k -> (strpos('0123456789abcdef', substr(md5(chunk), k, 1)) - 1)
+            * CAST(power(16, 12 - k) AS BIGINT))) AS BIGINT) AS chash,
+        doc_id * 1048576 + ci AS k
+      FROM ch),
+    f AS (SELECT chash, MIN(k) AS first_k FROM kd GROUP BY chash)
+    SELECT kd.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(ctoks) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN kd.k <> f.first_k THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_chunks,
+      CAST(COALESCE(SUM(CASE WHEN kd.k <> f.first_k THEN ctoks END), 0)
+        AS BIGINT) AS n_dup_tokens,
+      ${graft.dsl.fpTruncSql(
+        "CAST(COALESCE(SUM(CASE WHEN kd.k <> f.first_k THEN ctoks END), 0)" +
+          " AS DOUBLE) / CAST(SUM(ctoks) AS DOUBLE)", 9)}
+        AS dup_frac
+    FROM kd JOIN f USING (chash)
+    GROUP BY kd.doc_id ORDER BY kd.doc_id"""))
+
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148, q156, q228, q242, q244, q271)
+    q148, q156, q228, q242, q244, q271, q275)
 }

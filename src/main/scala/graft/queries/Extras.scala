@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining surface: spark.ml LSH integration, TF-IDF, pivot, map ops.
@@ -362,11 +364,14 @@ object Extras extends Q.Module {
   //     word-sorted list sequentially (q141's idiom). The top-k itself
   //     is orderBy+limit → TakeOrderedAndProject (per-partition heaps,
   //     never a global sort).
-  private val q166 = Q(
-    "q166_bm25_topk",
-    "✦ retrieval: Okapi BM25 top-10 docs for a 3-term query (posting-list-pruned)",
-    (s, d) => {
-      val qTerms = Seq("filter", "merge", "vector")
+  /** Okapi BM25 (k1=1.2, b=0.75) per-doc scores for a fixed term set —
+    * (doc_id, dl, n_terms, bm25) for every doc containing >= 1 query
+    * term. Shared verbatim by q166 (top-10 readout) and q276 (the
+    * lexical leg of RRF fusion): one body, one arithmetic, so the two
+    * queries cannot drift. See q166's comment for the plan shape and
+    * the ln()-rounding determinism rule. */
+  private def bm25Frame(s: SparkSession, d: String,
+      qTerms: Seq[String]): DataFrame = {
       val (k1, b) = (1.2, 0.75)
       val docs = Tables.fanOut(Tables.documents(s, d))
       // dl is a PROJECTION (size of the split array), not a token-stream
@@ -400,8 +405,13 @@ object Extras extends Q.Module {
             lit(0.0), (a, x) => a + x).as("s"))
         .select(col("doc_id"), col("dl"), col("n_terms"),
           round(col("s"), 9).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
-    },
+  }
+
+  private val q166 = Q(
+    "q166_bm25_topk",
+    "✦ retrieval: Okapi BM25 top-10 docs for a 3-term query (posting-list-pruned)",
+    (s, d) => bm25Frame(s, d, Seq("filter", "merge", "vector"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10),
     Some("""WITH dl AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       FROM documents),
@@ -670,7 +680,95 @@ object Extras extends Q.Module {
     WHERE 2 * s2 >= fa.s1
     ORDER BY lift DESC, ante, cons LIMIT 25"""))
 
+  // --- q276: RECIPROCAL-RANK-FUSION hybrid retrieval — the standard
+  //     way production search stacks (and RAG data pipelines) combine a
+  //     LEXICAL ranker with a SEMANTIC one without score calibration:
+  //     each leg contributes 1/(60 + rank) for the docs on its top-100
+  //     list (Cormack/Clarke/Büttcher's k = 60), and docs found by BOTH
+  //     legs float to the top. Legs: q166's BM25 (shared bm25Frame —
+  //     byte-identical arithmetic) and exact cosine against a fixed
+  //     query vector (vec_id 7; doc_id = vec_id is the corpus linkage,
+  //     q81's contract). Scale shape: each leg ends in orderBy+limit →
+  //     TakeOrderedAndProject (per-partition heaps, never a global
+  //     sort); the row_number that turns the 100-row lists into ranks
+  //     and the full-outer fusion join run on ≤ 100-row frames — the
+  //     house block-totals exemption for single-partition windows. At
+  //     100 TB the semantic leg swaps brute-force cosine for q74's IVF
+  //     probe; the fusion math is list-size-bounded either way.
+  //     Determinism: ranks are integers over (rounded score, id) total
+  //     orders; the 1/(60+r) contribution is FLOOR of one IEEE division
+  //     of exact small integers — engine-identical by construction.
+  private val q276 = Q(
+    "q276_rrf_hybrid_retrieval",
+    "✦ retrieval: reciprocal-rank fusion of BM25 and embedding-cosine top-100",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val lexTop = bm25Frame(s, d, Seq("filter", "merge", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+      val lex = lexTop.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("r_lex"))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qe"))
+      val semTop = e.filter(col("vec_id") =!= 7)
+        .crossJoin(broadcast(qv))
+        .withColumn("cos_t",
+          fpTrunc(graft.functions.CosineSimilarity
+            .cosineSim(col("embedding"), col("qe")), 9))
+        .orderBy(col("cos_t").desc, col("vec_id")).limit(100)
+      val sem = semTop.select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cos_t").desc, col("vec_id")))
+          .cast("long").as("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          (coalesce(floor(lit(1.0e9)
+              / (lit(60.0) + col("r_lex").cast("double"))), lit(0L))
+            + coalesce(floor(lit(1.0e9)
+              / (lit(60.0) + col("r_sem").cast("double"))), lit(0L)))
+            .cast("long"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(15)
+    },
+    Some(s"""WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS totdl FROM dl),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks
+      WHERE word IN ('filter', 'merge', 'vector') GROUP BY 1, 2),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+    sc AS (
+      SELECT tf.doc_id, tf.word,
+        ln((CAST(s.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+            / (CAST(df.df AS DOUBLE) + 0.5) + 1.0) *
+          ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+            (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+              (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                (CAST(dl.dl AS DOUBLE)
+                  / (CAST(s.totdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS sc
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s),
+    bm AS (SELECT doc_id, ROUND(list_sum(list(sc ORDER BY word)), 9) AS bm25
+      FROM sc GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+          AS r_lex
+      FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100)),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    cs AS (SELECT vec_id,
+        ${fpTruncSql(cosineSql("embedding", "qe"), 9)} AS cos_t
+      FROM embeddings, qv WHERE vec_id <> 7),
+    sem AS (SELECT vec_id AS doc_id,
+        CAST(ROW_NUMBER() OVER (ORDER BY cos_t DESC, vec_id) AS BIGINT)
+          AS r_sem
+      FROM (SELECT * FROM cs ORDER BY cos_t DESC, vec_id LIMIT 100))
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+      CAST(COALESCE(CAST(FLOOR(1e9 / (60 + r_lex)) AS BIGINT), 0)
+        + COALESCE(CAST(FLOOR(1e9 / (60 + r_sem)) AS BIGINT), 0) AS BIGINT)
+        AS rrf
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 15"""))
+
   def defs: Seq[Q] =
     Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166, q190,
-      q224, q226, q230)
+      q224, q226, q230, q276)
 }

@@ -132,6 +132,37 @@ class PlanEvidenceSpec extends SparkSuite {
       s"top-k fell back to a global sort:\n$plan")
   }
 
+  test("q275 CDC chunking: array-HOF cut pass, no cartesian, partial-agg census") {
+    val plan = planOf("q275_cdc_chunk_dedup")
+    assert(!plan.contains("CartesianProduct"),
+      s"chunk census degenerated into a cross join:\n$plan")
+    // The chunker must stay a projection (Generate explodes CHUNKS, never
+    // per-word rows): exactly the two chunk-explode Generates (census
+    // build + probe branch), no posexplode-over-words blowup. Count in
+    // the FINAL adaptive plan only — toString appends the initial plan,
+    // which would double every node.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val generates = "Generate".r.findAllMatchIn(finalPlan).size
+    assert(generates <= 2,
+      s"expected <=2 chunk Generates, got $generates:\n$finalPlan")
+    // First-occurrence census is a map-combined hash aggregate (q140's
+    // shape), not a sort window over the chunk partition.
+    assert(!plan.contains("WindowExec") && plan.contains("HashAggregate"),
+      s"census is not a partial hash aggregate:\n$plan")
+  }
+
+  test("q276 RRF: both legs end in TakeOrderedAndProject before fusion") {
+    val plan = planOf("q276_rrf_hybrid_retrieval")
+    val topk = "TakeOrderedAndProject".r.findAllMatchIn(plan).size
+    // lex top-100, sem top-100, fused top-15.
+    assert(topk >= 3, s"expected 3 TakeOrderedAndProject, got $topk:\n$plan")
+    // The one cross join in the plan is the BROADCAST of the single-row
+    // query vector; a non-broadcast cartesian against the embeddings
+    // scan would be the 100-TB failure mode.
+    assert(!plan.contains("CartesianProduct"),
+      s"query-vector join fell back to a cartesian product:\n$plan")
+  }
+
   test("q199/q202 prefix sums: every window references the block key") {
     // The two-phase claim for the round-10 rank/cumsum family: no
     // corpus-global ROW_NUMBER/SUM window — the only unpartitioned
