@@ -1187,7 +1187,146 @@ object Vectors extends Q.Module {
         - (SELECT COUNT(*) FROM borders) AS BIGINT) AS n
     ORDER BY cluster, role"""))
 
+  // --- q277: PRODUCT QUANTIZATION (PQ) — the standard way embedding
+  //     search scales past what raw vectors can afford: split the
+  //     64-dim space into m=8 independent 8-dim subspaces, train a
+  //     tiny k=16 codebook per subspace (Lloyd, q214's integer-exact
+  //     arithmetic), encode every vector as 8 small codes (64 floats →
+  //     8 4-bit codes — 64× compression — that makes a 100 TB corpus's
+  //     vectors RAM-resident), then answer a query with ASYMMETRIC
+  //     DISTANCE COMPUTATION: one m×k lookup table of exact
+  //     query-to-centroid sub-distances, and each candidate's distance
+  //     is just m table lookups summed — no original vector touched.
+  //     ADC then SHORTLISTS top-60 and exact d² re-ranks only those 60
+  //     to a top-15 (the two-stage retrieve-then-rerank every PQ
+  //     deployment runs; shortlist recall@15 = 0.93 on the fixture,
+  //     pinned in PqSpec).
+  //     Every step is engine-exact: coordinates quantize ONCE to 1e-6
+  //     integer units, sub-distances are exact integer Σ(x−c)², argmin
+  //     is min of one composite d²·8+cid BIGINT (lower cid wins ties),
+  //     centroid update is FLOOR(sum/count) — so codes, LUT, and ADC
+  //     sums are all integers and cannot drift between engines.
+  //     Scale shape: training is q214's loop per subspace run as ONE
+  //     joint plan (centroid id = (sub, cid); the codebook frame is
+  //     m·k·(dims/m) = 1,024 rows — always broadcast); encoding is one
+  //     broadcast join + map-combined aggregate over the long-format
+  //     corpus; ADC is a broadcast of the 128-row LUT against the code
+  //     frame — per-vector work is O(m), never O(dims). At 100 TB the
+  //     codes frame (4 bytes/vector) replaces the 256-byte vectors in
+  //     every downstream candidate sweep; the exact-d² leg here is the
+  //     audit, not the scale path (production re-ranks only the ADC
+  //     top-k against originals).
+  private val q277 = Q(
+    "q277_product_quantization",
+    "✦ ANN: product quantization — 8×(k=16) codebooks, integer Lloyd, ADC shortlist-60 + exact re-rank top-15",
+    (s, d) => {
+      val ve = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1e6).as("xu"))
+        .withColumn("sub", floor(col("dim") / lit(8L)))
+        .persist()
+      // ve persist: harness-owned cache (q47's rule — Verify/Bench
+      // clearCache after each query); consumed by every Lloyd round,
+      // the encode pass, the LUT, and the exact-d² audit leg.
+      def assign(cent: org.apache.spark.sql.DataFrame) =
+        ve.join(broadcast(cent), Seq("sub", "dim"))
+          .withColumn("dd",
+            (col("xu") - col("cu")) * (col("xu") - col("cu")))
+          .groupBy(col("vec_id"), col("sub"), col("cid"))
+          .agg(sum(col("dd")).as("d2"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min(col("d2") * 16 + col("cid")).as("key"))
+          .select(col("vec_id"), col("sub"),
+            pmod(col("key"), lit(16L)).as("cid"))
+      def update(asg: org.apache.spark.sql.DataFrame) =
+        ve.join(asg, Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("cid"), col("dim"))
+          .agg(sum(col("xu")).as("ss"), count(lit(1)).as("n"))
+          .select(col("sub"), col("cid"), col("dim"),
+            floor(col("ss").cast("double") / col("n").cast("double"))
+              .as("cu"))
+      // Init is data-deterministic: vec 0..15's subvectors seed each
+      // subspace's 4 centroids (cid = vec_id).
+      var cent = ve.filter(col("vec_id") < 16)
+        .select(col("sub"), col("vec_id").as("cid"), col("dim"),
+          col("xu").as("cu"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val asg = assign(cent).localCheckpoint(true)
+        cent = update(asg).localCheckpoint(true)
+      }
+      // Encode the corpus against the TRAINED codebook (iteration 3's),
+      // the same pass a production encoder ships.
+      val codes = assign(cent)
+      val q = ve.filter(col("vec_id") === 7)
+        .select(col("sub"), col("dim"), col("xu").as("qu"))
+      val lut = cent.join(broadcast(q), Seq("sub", "dim"))
+        .withColumn("dd", (col("qu") - col("cu")) * (col("qu") - col("cu")))
+        .groupBy(col("sub"), col("cid")).agg(sum(col("dd")).as("qd2"))
+      val adc = codes.filter(col("vec_id") =!= 7)
+        .join(broadcast(lut), Seq("sub", "cid"))
+        .groupBy(col("vec_id")).agg(sum(col("qd2")).as("adc_d2"))
+      // Production pattern: ADC is the SHORTLIST mechanism (top-60 via
+      // a per-partition-heap TakeOrderedAndProject), exact distance
+      // re-ranks only those 60 — the original vectors are touched for
+      // 60 rows, not the corpus.
+      val short = adc.orderBy(col("adc_d2"), col("vec_id")).limit(60)
+      val exact = ve.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(q.select(col("dim"), col("qu"))), Seq("dim"))
+        .withColumn("dd", (col("xu") - col("qu")) * (col("xu") - col("qu")))
+        .groupBy(col("vec_id"), col("adc_d2"))
+        .agg(sum(col("dd")).as("exact_d2"))
+      exact.select(col("vec_id"), col("adc_d2"), col("exact_d2"))
+        .orderBy(col("exact_d2"), col("vec_id")).limit(15)
+    },
+    Some {
+      def a(i: Int, c: String) = s"""a$i AS (
+        SELECT vec_id, sub, CAST(MIN(d2 * 16 + cid) % 16 AS BIGINT) AS cid
+        FROM (
+          SELECT ve.vec_id, ve.sub, c.cid,
+            CAST(SUM((ve.xu - c.cu) * (ve.xu - c.cu)) AS BIGINT) AS d2
+          FROM ve JOIN $c c ON ve.sub = c.sub AND ve.dim = c.dim
+          GROUP BY 1, 2, 3)
+        GROUP BY 1, 2)"""
+      def u(i: Int) = s"""c$i AS (
+        SELECT a.sub, a.cid, ve.dim,
+          CAST(FLOOR(CAST(SUM(ve.xu) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+        FROM ve JOIN a$i a ON ve.vec_id = a.vec_id AND ve.sub = a.sub
+        GROUP BY 1, 2, 3)"""
+      s"""WITH ve AS (
+        SELECT vec_id, g.i AS dim, g.i // 8 AS sub,
+          CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+            AS xu
+        FROM embeddings,
+          (SELECT unnest(generate_series(0, 63)) AS i) g),
+      c0 AS (SELECT sub, vec_id AS cid, dim, xu AS cu FROM ve
+        WHERE vec_id < 16),
+      ${a(1, "c0")}, ${u(1)},
+      ${a(2, "c1")}, ${u(2)},
+      ${a(3, "c2")}, ${u(3)},
+      ${a(4, "c3")},
+      q AS (SELECT sub, dim, xu AS qu FROM ve WHERE vec_id = 7),
+      lut AS (SELECT c.sub, c.cid,
+          CAST(SUM((q.qu - c.cu) * (q.qu - c.cu)) AS BIGINT) AS qd2
+        FROM c3 c JOIN q ON c.sub = q.sub AND c.dim = q.dim
+        GROUP BY 1, 2),
+      adc AS (SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+        FROM a4 a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+        WHERE a.vec_id <> 7 GROUP BY 1),
+      short AS (SELECT vec_id, adc_d2 FROM adc
+        ORDER BY adc_d2, vec_id LIMIT 60),
+      ex AS (SELECT ve.vec_id, sh.adc_d2,
+          CAST(SUM((ve.xu - q.qu) * (ve.xu - q.qu)) AS BIGINT) AS exact_d2
+        FROM ve JOIN short sh ON ve.vec_id = sh.vec_id
+        JOIN q ON ve.sub = q.sub AND ve.dim = q.dim
+        GROUP BY 1, 2)
+      SELECT vec_id, adc_d2, exact_d2 FROM ex
+      ORDER BY exact_d2, vec_id LIMIT 15"""
+    })
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214, q215, q236, q265, q269, q274)
+      q214, q215, q236, q265, q269, q274, q277)
 }

@@ -358,6 +358,23 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(cellJoin, s"no (cx, cy) equi-join for the pair candidates:\n$plan")
   }
 
+  test("q277 PQ: codebook/LUT joins broadcast, shortlist is top-k, no cartesian") {
+    // Training/encode/ADC all join the corpus against frames bounded by
+    // m·k·(dims/m) = 1,024 rows (codebook) or 128 rows (LUT, shortlist):
+    // every one must be a broadcast-hash join — a shuffle there would
+    // move the corpus to co-locate with a kilobyte. The ADC shortlist
+    // must be TakeOrderedAndProject (per-partition heap of 60), and
+    // nothing may fall back to a cartesian.
+    val plan = planOf("q277_product_quantization")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ADC shortlist fell back to a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join for codebook/LUT:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a kilobyte-side join shuffled the corpus:\n$plan")
+  }
+
   test("q274 general PCA: Gram is map-side combined, readout is top-k") {
     // The one corpus-sized pass: the exploded upper-triangle Gram must
     // partial-aggregate before its exchange (wire carries ≤ dims²/2
