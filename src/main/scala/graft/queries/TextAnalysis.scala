@@ -1516,8 +1516,148 @@ object TextAnalysis extends Q.Module {
       CAST(SUM(h) AS BIGINT) AS checksum
     FROM t GROUP BY source ORDER BY source"""))
 
+  // --- q278: BPE MERGE TRAINING (Sennrich et al.) — the tokenizer-
+  //     training inner loop every LLM data stack runs before anything
+  //     else: start from characters (+ an explicit </w> end-of-word
+  //     symbol), repeatedly count adjacent symbol pairs weighted by
+  //     word frequency, merge the most frequent pair left-to-right
+  //     non-overlapping, repeat. Output = the 3 learned merges with
+  //     their weighted pair counts and the weighted corpus symbol
+  //     total after each merge (the compression curve).
+  //     THE scale move is the corpus→vocab collapse: the only
+  //     corpus-sized work is ONE word-count pass (map-combined hash
+  //     aggregate over 10^12 tokens); the training loop then runs on
+  //     the distinct-word table (10^5-10^6 rows at web scale, 31
+  //     here) — each round is a vocab-sized pair aggregate, a 1-row
+  //     argmax broadcast back as COLUMNS (crossJoin(broadcast(top)) —
+  //     no collect, no driver loop), and one codegen'd fold that
+  //     applies the merge. The fold's greedy-left rule needs no
+  //     "just merged" flag: after a merge the accumulator's last
+  //     element is left||right, and left||right = left would need an
+  //     empty right — impossible — so overlap ("aaa" under a+a)
+  //     resolves correctly by construction.
+  //     Determinism: pure strings and integer counts end-to-end; the
+  //     argmax tie rule is (count DESC, left, right). The oracle
+  //     certifies the fold with a DIFFERENT algorithm (positional
+  //     run-parity: adjacent occurrences only chain when left = right,
+  //     so greedy = even offsets within each occurrence run) — the
+  //     q236 different-algorithm-as-oracle discipline.
+  private val q278 = Q(
+    "q278_bpe_merge_training",
+    "✦ tokenizer: BPE pair-merge training — 3 rounds, vocab-sized loop, greedy fold apply",
+    (s, d) => {
+      // Greedy left-to-right non-overlapping merge of the (l, r) pair,
+      // as one codegen'd fold over the symbol array.
+      def mergeFold(l: org.apache.spark.sql.Column,
+          r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0
+              && element_at(acc, -1) === l && x === r,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+            .otherwise(concat(acc, array(x))))
+      // The ONE corpus-sized pass: token → word-frequency collapse.
+      var vocab = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("syms",
+          concat(
+            transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1))),
+            array(lit("</w>"))))
+        .select(col("word"), col("freq"), col("syms"))
+        .localCheckpoint(true)
+      var outs = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (step <- 1 to 3) {
+        val pc = vocab
+          .select(col("freq"), explode(
+            transform(sequence(lit(1), size(col("syms")) - 1), i =>
+              struct(element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+        val top = pc.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        // The winning pair rides along as COLUMNS (1-row broadcast),
+        // so the loop never collects to the driver.
+        val merged = vocab.crossJoin(broadcast(top))
+          .withColumn("newsyms", mergeFold(col("l"), col("r")))
+          .localCheckpoint(true)
+        outs = outs :+ merged
+          .groupBy(col("l"), col("r"), col("cnt"))
+          .agg(sum(col("freq") * size(col("newsyms"))).as("symbols_after"))
+          .select(lit(step.toLong).as("step"), col("l").as("merge_left"),
+            col("r").as("merge_right"), col("cnt").as("pair_freq"),
+            col("symbols_after"))
+        vocab = merged
+          .select(col("word"), col("freq"), col("newsyms").as("syms"))
+      }
+      outs.reduce(_.unionByName(_)).orderBy(col("step"))
+    },
+    Some {
+      // One unrolled round: pair counts → argmax → occurrence runs →
+      // greedy merge starts (odd offsets within a run — adjacent
+      // occurrences only chain when l = r, so run parity IS the greedy
+      // fold) → rebuilt symbol table. A different algorithm from the
+      // Spark fold, certifying the same semantics (q236's discipline).
+      def round(n: Int): String = {
+        val (sN, p, t, o, m, s1) =
+          (s"s$n", s"p$n", s"t$n", s"o$n", s"m$n", s"s${n + 1}")
+        s"""$p AS (SELECT a.s AS l, b.s AS r,
+          CAST(SUM(a.freq) AS BIGINT) AS cnt
+        FROM $sN a JOIN $sN b ON a.word = b.word AND b.i = a.i + 1
+        GROUP BY 1, 2),
+      $t AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1),
+      $o AS (SELECT a.word, a.i
+        FROM $sN a JOIN $sN b ON a.word = b.word AND b.i = a.i + 1, $t
+        WHERE a.s = $t.l AND b.s = $t.r),
+      $m AS (SELECT word, i FROM (
+          SELECT word, i,
+            ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) AS off
+          FROM (SELECT word, i,
+              ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rn
+            FROM $o))
+        WHERE off % 2 = 1),
+      $s1 AS MATERIALIZED (
+        SELECT word, freq,
+          CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS BIGINT)
+            AS i, s
+        FROM (
+          SELECT x.word, x.freq, x.i,
+            CASE WHEN ms.i IS NOT NULL
+              THEN (SELECT l FROM $t) || (SELECT r FROM $t)
+              ELSE x.s END AS s
+          FROM $sN x
+          LEFT JOIN $m ms ON ms.word = x.word AND ms.i = x.i
+          LEFT JOIN $m mp ON mp.word = x.word AND mp.i = x.i - 1
+          WHERE mp.i IS NULL)),
+      r$n AS (SELECT CAST($n AS BIGINT) AS step, t.l AS merge_left,
+          t.r AS merge_right, t.cnt AS pair_freq,
+          (SELECT CAST(SUM(freq) AS BIGINT) FROM $s1) AS symbols_after
+        FROM $t t)"""
+      }
+      s"""WITH w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents)
+        WHERE word <> '' GROUP BY word),
+      s1 AS MATERIALIZED (
+        SELECT word, freq, CAST(i AS BIGINT) AS i,
+          CASE WHEN i <= len(word) THEN substr(word, CAST(i AS INT), 1)
+            ELSE '</w>' END AS s
+        FROM (SELECT word, freq,
+            unnest(generate_series(1, len(word) + 1)) AS i
+          FROM w)),
+      ${round(1)},
+      ${round(2)},
+      ${round(3)}
+      SELECT step, merge_left, merge_right, pair_freq, symbols_after
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3)
+      ORDER BY step"""
+    })
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210, q223)
+      q171, q173, q183, q210, q223, q278)
 }

@@ -375,6 +375,19 @@ class PlanEvidenceSpec extends SparkSuite {
       s"a kilobyte-side join shuffled the corpus:\n$plan")
   }
 
+  test("q278 BPE: vocab loop is argmax-broadcast, no cartesian, no window") {
+    // The training loop must never cartesian two data-sized frames: the
+    // only BroadcastNestedLoopJoins allowed are the deliberate 1-row
+    // argmax frames riding along as columns (crossJoin(broadcast(top)),
+    // the block-totals exemption). The per-round pair count must be a
+    // hash aggregate (map-side combined over the vocab), and the merge
+    // apply is a fold — no WindowExec anywhere.
+    val plan = planOf("q278_bpe_merge_training")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("WindowExec"), s"window crept in:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+  }
+
   test("q274 general PCA: Gram is map-side combined, readout is top-k") {
     // The one corpus-sized pass: the exploded upper-triangle Gram must
     // partial-aggregate before its exchange (wire carries ≤ dims²/2
