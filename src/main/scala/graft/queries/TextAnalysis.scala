@@ -1656,8 +1656,123 @@ object TextAnalysis extends Q.Module {
       ORDER BY step"""
     })
 
+  // --- q279: BPE ENCODE at corpus scale — the APPLY side of q278:
+  //     tokenize every document against a FIXED ranked merge table
+  //     (the artifact a trained tokenizer ships). The scale pattern is
+  //     VOCAB MEMOIZATION: subword-encode each DISTINCT word once
+  //     (the merge table is compile-time literals, so the 5 ranked
+  //     merges chain into one codegen'd projection stack over the
+  //     distinct-word frame — zero shuffles, no loop), then the
+  //     corpus only pays a broadcast join word → subword-count. At
+  //     100 TB that's the difference between running the tokenizer on
+  //     10^12 tokens and running it on 10^6 vocab entries — the
+  //     standard trick every token-count audit uses (HF tokenizers'
+  //     word cache, made distributed). Readout: per-source token
+  //     economics — words, character-baseline symbols (len+1: chars +
+  //     </w>), post-BPE subwords, and the compression ratio.
+  //     Determinism: strings and integer counts end-to-end; one final
+  //     fpTrunc'd double division for the ratio.
+  private val q279 = Q(
+    "q279_bpe_encode",
+    "✦ tokenizer: BPE encode via vocab memoization — 5 ranked merges, per-source token economics",
+    (s, d) => {
+      // The shipped artifact: 5 merges in rank order (q278's learned
+      // head extended; a production table is 10^4-10^5 rows and rides
+      // the same chained-fold plan generated from its rows).
+      val merges = Seq(("e", "</w>"), ("e", "r"), ("i", "n"),
+        ("t", "i"), ("d", "</w>"))
+      def fold(l: String, r: String) =
+        aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0
+              && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      var enc = toks.select(col("word")).distinct()
+        .withColumn("syms",
+          concat(
+            transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1))),
+            array(lit("</w>"))))
+      for ((l, r) <- merges) enc = enc.withColumn("syms", fold(l, r))
+      val wtok = enc.select(col("word"),
+        (length(col("word")) + 1).cast("long").as("n_base"),
+        size(col("syms")).cast("long").as("n_sub"))
+      toks.join(broadcast(wtok), Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_base")).as("n_base_symbols"),
+          sum(col("n_sub")).as("n_subwords"))
+        .withColumn("compression",
+          fpTrunc(col("n_subwords").cast("double")
+            / col("n_base_symbols").cast("double"), 9))
+        .orderBy(col("source"))
+    },
+    Some {
+      // Each merge application is the q278 run-parity rewrite with the
+      // pair fixed as literals.
+      def app(n: Int, l: String, r: String): String = {
+        val (sN, o, m, s1) = (s"e$n", s"o$n", s"m$n", s"e${n + 1}")
+        s"""$o AS (SELECT a.word, a.i
+        FROM $sN a JOIN $sN b ON a.word = b.word AND b.i = a.i + 1
+        WHERE a.s = '$l' AND b.s = '$r'),
+      $m AS (SELECT word, i FROM (
+          SELECT word, i,
+            ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) AS off
+          FROM (SELECT word, i,
+              ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rn
+            FROM $o))
+        WHERE off % 2 = 1),
+      $s1 AS MATERIALIZED (
+        SELECT word,
+          CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS BIGINT)
+            AS i, s
+        FROM (
+          SELECT x.word, x.i,
+            CASE WHEN ms.i IS NOT NULL THEN '$l' || '$r' ELSE x.s END AS s
+          FROM $sN x
+          LEFT JOIN $m ms ON ms.word = x.word AND ms.i = x.i
+          LEFT JOIN $m mp ON mp.word = x.word AND mp.i = x.i - 1
+          WHERE mp.i IS NULL))"""
+      }
+      s"""WITH toks AS (
+        SELECT source, word FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+        WHERE word <> ''),
+      vw AS (SELECT DISTINCT word FROM toks),
+      e1 AS MATERIALIZED (
+        SELECT word, CAST(i AS BIGINT) AS i,
+          CASE WHEN i <= len(word) THEN substr(word, CAST(i AS INT), 1)
+            ELSE '</w>' END AS s
+        FROM (SELECT word,
+            unnest(generate_series(1, len(word) + 1)) AS i
+          FROM vw)),
+      ${app(1, "e", "</w>")},
+      ${app(2, "e", "r")},
+      ${app(3, "i", "n")},
+      ${app(4, "t", "i")},
+      ${app(5, "d", "</w>")},
+      wt AS (SELECT w.word, CAST(len(w.word) + 1 AS BIGINT) AS n_base,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM e6 WHERE e6.word = w.word)
+            AS n_sub
+        FROM vw w)
+      SELECT t.source,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(wt.n_base) AS BIGINT) AS n_base_symbols,
+        CAST(SUM(wt.n_sub) AS BIGINT) AS n_subwords,
+        ${fpTruncSql(
+          "CAST(SUM(wt.n_sub) AS DOUBLE) / CAST(SUM(wt.n_base) AS DOUBLE)",
+          9)} AS compression
+      FROM toks t JOIN wt ON t.word = wt.word
+      GROUP BY t.source ORDER BY t.source"""
+    })
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210, q223, q278)
+      q171, q173, q183, q210, q223, q278, q279)
 }

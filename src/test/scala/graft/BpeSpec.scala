@@ -82,6 +82,36 @@ class BpeSpec extends SparkSuite {
       List("aa", "aa"), List("aa", "a"), List("b", "aa", "b")))
   }
 
+  test("q279 encode replica: memoized vocab encode equals the recompute") {
+    val merges = Seq(("e", "</w>"), ("e", "r"), ("i", "n"),
+      ("t", "i"), ("d", "</w>"))
+    def mergeGreedy(sy: Vector[String], l: String, r: String)
+        : Vector[String] =
+      sy.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    def encode(w: String): Int =
+      merges.foldLeft(w.map(_.toString).toVector :+ "</w>") {
+        case (sy, (l, r)) => mergeGreedy(sy, l, r)
+      }.size
+    val rows = Tables.documents(spark, sfDir).select("source", "text")
+      .collect()
+    val agg = rows.iterator.flatMap { r =>
+      r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => (r.getString(0), w))
+    }.toVector.groupBy(_._1).map { case (src, ws) =>
+      val nBase = ws.iterator.map(_._2.length.toLong + 1L).sum
+      val nSub = ws.iterator.map(w => encode(w._2).toLong).sum
+      (src, ws.size.toLong, nBase, nSub,
+        math.floor(nSub.toDouble / nBase.toDouble * 1e9) / 1e9)
+    }.toVector.sortBy(_._1)
+    val got = SparkEntry.queries("q279_bpe_encode")(spark, sfDir)
+      .collect().map { case Row(s: String, w: Long, b: Long, n: Long,
+        c: Double) => (s, w, b, n, c) }.toVector
+    assert(got == agg)
+  }
+
   test("q278 BPE theorems: counts non-increasing, symbols shrink by <= cnt") {
     val counts = got.map(_._4)
     assert(counts == counts.sorted(Ordering[Long].reverse),

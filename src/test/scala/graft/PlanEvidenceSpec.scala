@@ -388,6 +388,18 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
   }
 
+  test("q279 encode: merges are one projection stack, corpus pays a broadcast join") {
+    // The 5 chained merge folds are compile-time literals — they must
+    // stay a projection over the distinct-word frame (no WindowExec,
+    // no per-merge shuffle), and the corpus-sized side must meet the
+    // memoized word→count frame through a broadcast-hash join.
+    val plan = planOf("q279_bpe_encode")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("WindowExec"), s"window crept in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus did not meet the vocab via broadcast:\n$plan")
+  }
+
   test("q274 general PCA: Gram is map-side combined, readout is top-k") {
     // The one corpus-sized pass: the exploded upper-triangle Gram must
     // partial-aggregate before its exchange (wire carries ≤ dims²/2
