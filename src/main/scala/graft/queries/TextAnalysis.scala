@@ -1771,8 +1771,78 @@ object TextAnalysis extends Q.Module {
       GROUP BY t.source ORDER BY t.source"""
     })
 
+  // --- q280: SPAN-CORRUPTION MASKING AUDIT (T5/UL2 denoising) — the
+  //     data transform behind every span-corruption objective: pick
+  //     deterministic span starts (the no-rand() hashMod primitive —
+  //     shard-reproducible, q152's contract), mask the 3-token window
+  //     after each start, and report the per-source masking economics
+  //     (docs, tokens, spans, masked tokens, realized mask rate) a
+  //     pipeline uses to validate the objective's corruption budget
+  //     before a run. Overlapping windows MERGE (T5 merges adjacent
+  //     sentinel spans), which makes the semantics fully declarative —
+  //     masked set = union of [p, p+2] intervals, span count = number
+  //     of maximal covered runs (a covered position whose predecessor
+  //     is uncovered starts a run) — no greedy sequential scan, no
+  //     window function, just array HOFs inside one codegen'd
+  //     projection. Zero shuffles before the final per-source rollup;
+  //     candidate rate 1/20, expected realized mask rate ≈ 3/20 minus
+  //     overlap (the audit's reason to exist).
+  private val q280 = Q(
+    "q280_span_corruption",
+    "✦ training data: T5-style span-corruption audit — hash span starts, merged-window mask economics",
+    (s, d) => {
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        // Span starts p ∈ [1, n−2] (the 3-token window stays inside the
+        // doc); the n ≥ 3 guard is the house sequence() rule (q47).
+        .withColumn("cand",
+          when(col("n") >= 3,
+            filter(sequence(lit(1L), col("n") - 2), p =>
+              hashMod(col("doc_id") * lit(4096L) + p, 20L) === 0))
+            .otherwise(array().cast("array<bigint>")))
+        .withColumn("covered", array_distinct(flatten(
+          transform(col("cand"), p => sequence(p, p + 2)))))
+        .withColumn("n_masked", size(col("covered")).cast("long"))
+        .withColumn("n_spans", size(filter(col("covered"),
+          c => !array_contains(col("covered"), c - 1))).cast("long"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          sum(col("n_spans")).as("n_spans"),
+          sum(col("n_masked")).as("n_masked"))
+        .withColumn("mask_rate",
+          fpTrunc(col("n_masked").cast("double")
+            / col("n_tokens").cast("double"), 9))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH t AS (
+      SELECT source, doc_id, string_split(text, ' ') AS toks
+      FROM documents),
+    b AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n,
+        CASE WHEN len(toks) >= 3 THEN
+          list_filter(generate_series(1, len(toks) - 2),
+            p -> ((doc_id * 4096 + p) * 2654435761) % 20 = 0)
+        ELSE CAST([] AS BIGINT[]) END AS cand
+      FROM t),
+    c AS (SELECT source, n,
+        list_distinct(flatten(list_transform(cand,
+          p -> generate_series(p, p + 2)))) AS covered
+      FROM b)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n) AS BIGINT) AS n_tokens,
+      CAST(SUM(len(list_filter(covered,
+        x -> NOT list_contains(covered, x - 1)))) AS BIGINT) AS n_spans,
+      CAST(SUM(len(covered)) AS BIGINT) AS n_masked,
+      ${fpTruncSql(
+        "CAST(SUM(len(covered)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)", 9)}
+        AS mask_rate
+    FROM c GROUP BY source ORDER BY source"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210, q223, q278, q279)
+      q171, q173, q183, q210, q223, q278, q279, q280)
 }
