@@ -849,6 +849,99 @@ object Scale extends Q.Module {
     FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) u, m
     ORDER BY layout"""))
 
+  // --- q281: EPOCH-RESHUFFLE DECORRELATION AUDIT — "does the
+  //     dataloader actually reshuffle between epochs?" Multi-epoch
+  //     training re-permutes the corpus with a per-epoch seed; a
+  //     seeding bug (same permutation every epoch, or a shifted copy)
+  //     silently costs model quality and is invisible to any
+  //     single-epoch check. This audit materializes THREE epoch
+  //     orders — q164's deterministic md5-rank shuffle with the epoch
+  //     folded into the seed, each via the q135 two-phase block-offset
+  //     rank (the only unpartitioned window is the 256-row block-
+  //     totals cumsum) — joins them on doc_id, and reports per epoch:
+  //     the permutation invariant (sum idx = n(n−1)/2, identical every
+  //     epoch — a broken rank shows here), and displacement vs epoch 1
+  //     (mean |Δidx| and max |Δidx|; a re-used seed gives 0, a healthy
+  //     reshuffle gives mean ≈ n/3). Scale shape: three parallel
+  //     two-phase ranks, doc_id equi-joins (co-partitionable), ONE
+  //     map-combined aggregate pass over the joined frame, 1-row
+  //     checkpoint, three constant-time readout rows.
+  private val q281 = Q(
+    "q281_epoch_shuffle",
+    "✦ training data: epoch-reshuffle audit — 3 seeded permutations, displacement vs epoch 1",
+    (s, d) => {
+      def rank(e: Int): DataFrame = {
+        val h = Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("h", md5(concat(lit(s"epoch:$e:"),
+            col("doc_id").cast("string"))))
+          .withColumn("block", substring(col("h"), 1, 2))
+        val counts = h.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+        val wB = Window.orderBy(col("block"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val off = counts
+          .withColumn("off", sum(col("bn")).over(wB) - col("bn"))
+          .select(col("block"), col("off"))
+        val wI = Window.partitionBy(col("block"))
+          .orderBy(col("h"), col("doc_id"))
+        h.join(broadcast(off), Seq("block"))
+          .withColumn(s"idx$e", col("off") + row_number().over(wI) - 1)
+          .select(col("doc_id"), col(s"idx$e"))
+      }
+      val j = rank(1).join(rank(2), Seq("doc_id"))
+        .join(rank(3), Seq("doc_id"))
+      // One corpus pass computes every epoch's stats; the 1-row result
+      // is checkpointed so the three readout rows don't re-run it.
+      val a = j.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("idx1")).as("s1"), sum(col("idx2")).as("s2"),
+        sum(col("idx3")).as("s3"),
+        sum(abs(col("idx2") - col("idx1"))).as("d2"),
+        sum(abs(col("idx3") - col("idx1"))).as("d3"),
+        max(abs(col("idx2") - col("idx1"))).as("m2"),
+        max(abs(col("idx3") - col("idx1"))).as("m3"))
+        .localCheckpoint(true)
+      def row(e: Int, sIdx: Column, disp: Column, mx: Column) =
+        a.select(lit(e.toLong).as("epoch"), col("n_docs"),
+          sIdx.as("sum_idx"),
+          fpTrunc(disp.cast("double") / col("n_docs").cast("double"), 9)
+            .as("mean_disp"),
+          mx.as("max_disp"))
+      row(1, col("s1"), lit(0L), lit(0L))
+        .unionByName(row(2, col("s2"), col("d2"), col("m2")))
+        .unionByName(row(3, col("s3"), col("d3"), col("m3")))
+        .orderBy(col("epoch"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id FROM documents),
+    r1 AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY md5('epoch:1:' || doc_id), doc_id) - 1 AS BIGINT) AS idx1
+      FROM d),
+    r2 AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY md5('epoch:2:' || doc_id), doc_id) - 1 AS BIGINT) AS idx2
+      FROM d),
+    r3 AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY md5('epoch:3:' || doc_id), doc_id) - 1 AS BIGINT) AS idx3
+      FROM d),
+    j AS (SELECT r1.doc_id, idx1, idx2, idx3
+      FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(idx1) AS BIGINT) AS s1, CAST(SUM(idx2) AS BIGINT) AS s2,
+        CAST(SUM(idx3) AS BIGINT) AS s3,
+        CAST(SUM(ABS(idx2 - idx1)) AS BIGINT) AS d2,
+        CAST(SUM(ABS(idx3 - idx1)) AS BIGINT) AS d3,
+        CAST(MAX(ABS(idx2 - idx1)) AS BIGINT) AS m2,
+        CAST(MAX(ABS(idx3 - idx1)) AS BIGINT) AS m3
+      FROM j)
+    SELECT CAST(1 AS BIGINT) AS epoch, n_docs, s1 AS sum_idx,
+      ${fpTruncSql("0.0", 9)} AS mean_disp, CAST(0 AS BIGINT) AS max_disp
+    FROM a
+    UNION ALL SELECT CAST(2 AS BIGINT), n_docs, s2,
+      ${fpTruncSql("CAST(d2 AS DOUBLE) / CAST(n_docs AS DOUBLE)", 9)}, m2
+    FROM a
+    UNION ALL SELECT CAST(3 AS BIGINT), n_docs, s3,
+      ${fpTruncSql("CAST(d3 AS DOUBLE) / CAST(n_docs AS DOUBLE)", 9)}, m3
+    FROM a
+    ORDER BY epoch"""))
+
   def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165,
-    q185, q219, q233, q270)
+    q185, q219, q233, q270, q281)
 }
