@@ -942,6 +942,90 @@ object Scale extends Q.Module {
     FROM a
     ORDER BY epoch"""))
 
+  // --- q282: RENDEZVOUS (HRW) RESHARD AUDIT — what happens to a
+  //     sharded corpus when the shard count changes 8 → 9? Under
+  //     hash-MOD assignment nearly EVERYTHING moves (a doc stays only
+  //     when id·c mod 8 = id·c mod 9 — ~1/9 of docs), so an
+  //     incremental pipeline re-shuffles ~89% of 100 TB to add one
+  //     shard. Under highest-random-weight (rendezvous) hashing each
+  //     doc goes to argmax_s md5(s:doc) — adding shard 8 moves ONLY
+  //     the docs whose new weight wins (~1/9), the provable minimum,
+  //     and balance is preserved. This audit computes both schemes'
+  //     old/new assignments in one projection (the 9 weights are an
+  //     array HOF; argmax = array_position of array_max — md5 ties
+  //     are impossible in practice and both engines take the FIRST
+  //     position), then reports per scheme: moved count/fraction and
+  //     the new 9-shard max/min populations. Zero joins, zero
+  //     windows; two map-combined aggregate passes over a persisted
+  //     projection.
+  private val q282 = Q(
+    "q282_rendezvous_shard",
+    "✦ ops: rendezvous-vs-mod resharding audit — moved fraction + balance at 8→9 shards",
+    (s, d) => {
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"))
+        .withColumn("w", transform(sequence(lit(0), lit(8)), sh =>
+          md5(concat(sh.cast("string"), lit(":"),
+            col("doc_id").cast("string")))))
+        .select(col("doc_id"),
+          (array_position(col("w"), array_max(slice(col("w"), 1, 8))) - 1)
+            .as("hrw8"),
+          (array_position(col("w"), array_max(col("w"))) - 1).as("hrw9"),
+          hashMod(col("doc_id"), 8L).as("mod8"),
+          hashMod(col("doc_id"), 9L).as("mod9"))
+        .persist()
+      // base persist: harness-owned cache (q47's rule); consumed by the
+      // moved aggregate AND the shard-population rollup of each scheme.
+      def stats(name: String, o: String, n: String) = {
+        val mv = base.agg(count(lit(1)).as("n_docs"),
+          sum(when(col(o) =!= col(n), 1L).otherwise(0L)).as("n_moved"))
+        val bal = base.groupBy(col(n).as("shard"))
+          .agg(count(lit(1)).as("pop"))
+          .agg(max(col("pop")).as("max_pop"), min(col("pop")).as("min_pop"))
+        mv.crossJoin(bal).select(lit(name).as("scheme"),
+          col("n_docs"), col("n_moved"),
+          fpTrunc(col("n_moved").cast("double")
+            / col("n_docs").cast("double"), 9).as("frac_moved"),
+          col("max_pop"), col("min_pop"))
+      }
+      stats("hrw", "hrw8", "hrw9")
+        .unionByName(stats("mod", "mod8", "mod9"))
+        .orderBy(col("scheme"))
+    },
+    Some(s"""WITH b AS MATERIALIZED (
+      SELECT doc_id,
+        list_transform(generate_series(0, 8),
+          sh -> md5(sh || ':' || doc_id)) AS w,
+        (CAST(doc_id AS HUGEINT) * 2654435761) % 8 AS mod8,
+        (CAST(doc_id AS HUGEINT) * 2654435761) % 9 AS mod9
+      FROM documents),
+    h AS MATERIALIZED (SELECT doc_id, mod8, mod9,
+        list_position(w, list_max(w[1:8])) - 1 AS hrw8,
+        list_position(w, list_max(w)) - 1 AS hrw9
+      FROM b),
+    hs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved FROM h),
+    hb AS (SELECT CAST(MAX(pop) AS BIGINT) AS max_pop,
+        CAST(MIN(pop) AS BIGINT) AS min_pop
+      FROM (SELECT COUNT(*) AS pop FROM h GROUP BY hrw9)),
+    ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved FROM h),
+    mb AS (SELECT CAST(MAX(pop) AS BIGINT) AS max_pop,
+        CAST(MIN(pop) AS BIGINT) AS min_pop
+      FROM (SELECT COUNT(*) AS pop FROM h GROUP BY mod9))
+    SELECT 'hrw' AS scheme, n_docs, n_moved,
+      ${fpTruncSql("CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE)", 9)}
+        AS frac_moved, max_pop, min_pop
+    FROM hs, hb
+    UNION ALL
+    SELECT 'mod', n_docs, n_moved,
+      ${fpTruncSql("CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE)", 9)},
+      max_pop, min_pop
+    FROM ms, mb
+    ORDER BY scheme"""))
+
   def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165,
-    q185, q219, q233, q270, q281)
+    q185, q219, q233, q270, q281, q282)
 }
