@@ -2547,9 +2547,83 @@ object Events extends Q.Module {
     FROM hc, sp
     GROUP BY event_type, hh ORDER BY event_type"""))
 
+  // --- q283: CUSUM CHANGEPOINT DETECTION — the classic sequential
+  //     rate-shift detector (Page 1954) over per-type hourly event
+  //     counts: S_t = max(0, S_{t−1} + x_t − k) with alarm at S_t > h.
+  //     The recurrence LOOKS inherently sequential, but it has an
+  //     exact declarative closed form: with y_t = Σx − k·t,
+  //     S_t = y_t − min(0, min_{j≤t} y_j) — a cumsum and a running
+  //     min, two frame windows over the SAME (type, hour) order, no
+  //     recursion, no UDF, no driver loop. That reformulation is the
+  //     whole operator: the textbook loop becomes two window
+  //     aggregates Spark executes per type in parallel.
+  //     Reference k = ⌊mean hourly count⌋ + 1 (steady state drifts
+  //     negative → S sits at 0), h = 4k. Scale shape: the corpus pass
+  //     is ONE map-combined (type, hour) count; every window after it
+  //     runs on hourly frames (calendar-bounded per type — the
+  //     block-totals discipline), with the per-type k riding a
+  //     broadcast join. Integer end-to-end: counts, k·rn, mins —
+  //     engines cannot drift.
+  private val q283 = Q(
+    "q283_cusum_changepoint",
+    "✦ drift: CUSUM rate-shift detector — closed-form (cumsum − running min), per-type alarms",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("x"))
+      val kf = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          (floor(sum(col("x")).cast("double")
+            / count(lit(1)).cast("double")) + 1).as("k"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val cs = hourly.join(broadcast(kf), Seq("event_type"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("y", sum(col("x")).over(wRun) - col("k") * col("rn"))
+        .withColumn("cusum",
+          col("y") - least(lit(0L), min(col("y")).over(wRun)))
+      cs.groupBy(col("event_type"))
+        .agg(max(col("n_hours")).as("n_hours"), max(col("k")).as("k"),
+          sum(when(col("cusum") > col("k") * 4, 1L).otherwise(0L))
+            .as("n_alarms"),
+          coalesce(min(when(col("cusum") > col("k") * 4, col("hr"))),
+            lit(-1L)).as("first_alarm_hr"),
+          max(col("cusum")).as("max_cusum"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    kf AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) + 1 AS BIGINT) AS k
+      FROM hourly GROUP BY 1),
+    cs AS (SELECT h.event_type, h.hr, kf.n_hours, kf.k,
+        SUM(h.x) OVER (PARTITION BY h.event_type ORDER BY h.hr
+            ROWS UNBOUNDED PRECEDING)
+          - kf.k * ROW_NUMBER() OVER (PARTITION BY h.event_type
+            ORDER BY h.hr) AS y
+      FROM hourly h JOIN kf USING (event_type)),
+    cc AS (SELECT event_type, hr, n_hours, k,
+        y - LEAST(0, MIN(y) OVER (PARTITION BY event_type ORDER BY hr
+          ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM cs)
+    SELECT event_type,
+      CAST(MAX(n_hours) AS BIGINT) AS n_hours,
+      CAST(MAX(k) AS BIGINT) AS k,
+      CAST(SUM(CASE WHEN cusum > k * 4 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_alarms,
+      CAST(COALESCE(MIN(CASE WHEN cusum > k * 4 THEN hr END), -1)
+        AS BIGINT) AS first_alarm_hr,
+      CAST(MAX(cusum) AS BIGINT) AS max_cusum
+    FROM cc GROUP BY event_type ORDER BY event_type"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
-    q261, q262)
+    q261, q262, q283)
 }
