@@ -1841,8 +1841,59 @@ object TextAnalysis extends Q.Module {
         AS mask_rate
     FROM c GROUP BY source ORDER BY source"""))
 
+  // --- q284: PREFERENCE-PAIR MINING (DPO/RLHF data construction) —
+  //     build (chosen, rejected) training pairs per group: within each
+  //     source, the highest- and lowest-quality document under a
+  //     deterministic integer quality score (lexical diversity =
+  //     distinct-token count — a projection-computable stand-in for a
+  //     reward model's score; swap the expression, keep the plan),
+  //     plus the score margin a pair-quality gate thresholds on.
+  //     Scale shape: the per-group argmax/argmin is the house
+  //     COMPOSITE-KEY MIN/MAX idiom (score·2²⁰ + doc_id packed into
+  //     one BIGINT; max picks high score then high id, min the
+  //     mirror) — ONE map-combined aggregate, NO rank window over the
+  //     corpus-sized group (the no-corpus-global-window discipline;
+  //     a row_number per source would sort whole corpus partitions).
+  //     Integer end-to-end; ties broken by doc_id in the key itself.
+  private val q284 = Q(
+    "q284_preference_pairs",
+    "✦ training data: DPO pair mining — per-source chosen/rejected via composite-key argmax",
+    (s, d) => {
+      val scored = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("score"))
+        .withColumn("key", col("score") * lit(1048576L) + col("doc_id"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("key")).as("kmax"), min(col("key")).as("kmin"))
+        .select(col("source"), col("n_docs"),
+          pmod(col("kmax"), lit(1048576L)).as("chosen_doc"),
+          floor(col("kmax") / lit(1048576L)).as("chosen_score"),
+          pmod(col("kmin"), lit(1048576L)).as("rejected_doc"),
+          floor(col("kmin") / lit(1048576L)).as("rejected_score"))
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH sc AS (
+      SELECT source, doc_id,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+          AS score
+      FROM documents),
+    k AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MAX(score * 1048576 + doc_id) AS BIGINT) AS kmax,
+        CAST(MIN(score * 1048576 + doc_id) AS BIGINT) AS kmin
+      FROM sc GROUP BY source)
+    SELECT source, n_docs,
+      CAST(kmax % 1048576 AS BIGINT) AS chosen_doc,
+      CAST(kmax // 1048576 AS BIGINT) AS chosen_score,
+      CAST(kmin % 1048576 AS BIGINT) AS rejected_doc,
+      CAST(kmin // 1048576 AS BIGINT) AS rejected_score,
+      CAST(kmax // 1048576 - kmin // 1048576 AS BIGINT) AS margin
+    FROM k ORDER BY source"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210, q223, q278, q279, q280)
+      q171, q173, q183, q210, q223, q278, q279, q280, q284)
 }
