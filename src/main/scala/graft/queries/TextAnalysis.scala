@@ -1892,8 +1892,92 @@ object TextAnalysis extends Q.Module {
       CAST(kmax // 1048576 - kmin // 1048576 AS BIGINT) AS margin
     FROM k ORDER BY source"""))
 
+  // --- q285: STRATIFIED EVAL-SET QUOTAS via LARGEST REMAINDER — build
+  //     an EXACTLY-k evaluation set whose composition mirrors the
+  //     corpus: proportional allocation per source with the classic
+  //     largest-remainder (Hamilton) apportionment, then a
+  //     deterministic per-source draw. Hash-threshold sampling (q102)
+  //     only hits k in expectation; eval sets need k EXACTLY and the
+  //     strata quotas to be the integer apportionment of the shares.
+  //     All apportionment arithmetic is INTEGER: base = (k·n_s) div N,
+  //     remainder = (k·n_s) mod N (never a float quotient), leftover
+  //     seats go to the largest remainders (tie: source name) via a
+  //     rank on the #strata-row frame (block-totals exemption). The
+  //     draw is the md5-rank idiom with a LITERAL rk ≤ k pre-filter so
+  //     Catalyst rewrites the per-source rank into WindowGroupLimit
+  //     (map-side cap: no task ever holds more than k rows of one
+  //     source) before the per-row quota filter applies the exact cut.
+  //     Output = the allocation ledger with the realized selection
+  //     count per source (n_selected = quota — the op's contract).
+  private val q285 = Q(
+    "q285_quota_split",
+    "✦ curation: exactly-k stratified eval split — largest-remainder quotas + capped md5 draw",
+    (s, d) => {
+      val k = 100L
+      val base = Tables.fanOut(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"))
+      val counts = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val a0 = counts.crossJoin(broadcast(tot))
+        .withColumn("base_quota",
+          expr(s"($k * n_docs) div n_total"))
+        .withColumn("rem", pmod(lit(k) * col("n_docs"), col("n_total")))
+      val seats = a0.agg((lit(k) - sum(col("base_quota"))).as("seats"))
+      val wR = Window.orderBy(col("rem").desc, col("source"))
+      val alloc = a0.crossJoin(broadcast(seats))
+        .withColumn("rr", row_number().over(wR).cast("long"))
+        .withColumn("extra",
+          when(col("rr") <= col("seats"), 1L).otherwise(0L))
+        .withColumn("quota", col("base_quota") + col("extra"))
+        .select(col("source"), col("n_docs"), col("base_quota"),
+          col("rem"), col("extra"), col("quota"))
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      val selected = base
+        .withColumn("h", md5(concat(lit("eval:"),
+          col("doc_id").cast("string"))))
+        .withColumn("rk", row_number().over(wS).cast("long"))
+        .filter(col("rk") <= lit(k)) // literal cap → WindowGroupLimit
+        .join(broadcast(alloc.select(col("source"), col("quota"))),
+          Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_selected"))
+      alloc.join(selected, Seq("source"), "left")
+        .withColumn("n_selected", coalesce(col("n_selected"), lit(0L)))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+    a0 AS (SELECT source, n_docs,
+        CAST((100 * n_docs) // n_total AS BIGINT) AS base_quota,
+        CAST((100 * n_docs) % n_total AS BIGINT) AS rem
+      FROM c, t),
+    s AS (SELECT CAST(100 - SUM(base_quota) AS BIGINT) AS seats FROM a0),
+    al AS (SELECT a0.*,
+        CASE WHEN CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+          AS BIGINT) <= s.seats THEN 1 ELSE 0 END AS extra
+      FROM a0, s),
+    q AS (SELECT source, n_docs, base_quota, rem,
+        CAST(extra AS BIGINT) AS extra,
+        CAST(base_quota + extra AS BIGINT) AS quota
+      FROM al),
+    r AS (SELECT source, doc_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5('eval:' || doc_id), doc_id) AS BIGINT) AS rk
+      FROM documents),
+    sel AS (SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_selected
+      FROM r JOIN q ON r.source = q.source
+      WHERE r.rk <= q.quota GROUP BY 1)
+    SELECT q.source, q.n_docs, q.base_quota, q.rem, q.extra, q.quota,
+      CAST(COALESCE(sel.n_selected, 0) AS BIGINT) AS n_selected
+    FROM q LEFT JOIN sel ON q.source = sel.source
+    ORDER BY q.source"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210, q223, q278, q279, q280, q284)
+      q171, q173, q183, q210, q223, q278, q279, q280, q284, q285)
 }
