@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.dsl.{cosineSql, dotSql, norm2Sql}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -874,6 +874,47 @@ object Vectors extends Q.Module {
         * SQRT(CAST(qnb AS DOUBLE)))) * 1e6) / 1e6 AS cos_t
     FROM pairs ORDER BY label_a, label_b"""))
 
+  /** (long-format units, final centroids, final assignment) after the
+    * 3-round integer-exact Lloyd loop of q214 — factored out so q286's
+    * agreement audit scores the IDENTICAL assignment (one body, one
+    * arithmetic; q214's hash is unchanged). See q214's comment for the
+    * integer-unit determinism rules and the per-round plan shape. */
+  private def kmeansLloyd(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ve = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding"))
+        .as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1e6).as("xu"))
+      .persist()
+    // ve persist: harness-owned cache (q47's rule).
+    def assign(cent: DataFrame) =
+      ve.join(broadcast(cent), Seq("dim"))
+        .withColumn("dd",
+          (col("xu") - col("cu")) * (col("xu") - col("cu")))
+        .groupBy(col("vec_id"), col("cid")).agg(sum(col("dd")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d2") * 8 + col("cid")).as("key"))
+        .select(col("vec_id"), pmod(col("key"), lit(8L)).as("cid"))
+    def update(asg: DataFrame) =
+      ve.join(asg, Seq("vec_id"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("xu")).as("ss"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"),
+          floor(col("ss").cast("double") / col("n").cast("double"))
+            .as("cu"))
+    val c0 = ve.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("dim"), col("xu").as("cu"))
+      .localCheckpoint(true)
+    var cent = c0
+    var asg: DataFrame = null
+    for (_ <- 1 to 3) {
+      asg = assign(cent).localCheckpoint(true)
+      cent = update(asg).localCheckpoint(true)
+    }
+    (ve, cent, asg)
+  }
+
   // --- q214: DISTRIBUTED K-MEANS (Lloyd, k=4, 3 iterations) — the
   //     clustering workhorse behind IVF cell training (q74) and SemDeDup
   //     (q109), here as a first-class oracle-gated operator. Every step
@@ -898,36 +939,7 @@ object Vectors extends Q.Module {
     "q214_kmeans",
     "✦ ML: distributed k-means (k=4, 3 Lloyd iterations), integer-quantized exact arithmetic",
     (s, d) => {
-      val ve = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding"))
-          .as(Seq("dim", "x")))
-        .select(col("vec_id"), col("dim").cast("long").as("dim"),
-          floor(col("x").cast("double") * 1e6).as("xu"))
-        .persist()
-      def assign(cent: org.apache.spark.sql.DataFrame) =
-        ve.join(broadcast(cent), Seq("dim"))
-          .withColumn("dd",
-            (col("xu") - col("cu")) * (col("xu") - col("cu")))
-          .groupBy(col("vec_id"), col("cid")).agg(sum(col("dd")).as("d2"))
-          .groupBy(col("vec_id"))
-          .agg(min(col("d2") * 8 + col("cid")).as("key"))
-          .select(col("vec_id"), pmod(col("key"), lit(8L)).as("cid"))
-      def update(asg: org.apache.spark.sql.DataFrame) =
-        ve.join(asg, Seq("vec_id"))
-          .groupBy(col("cid"), col("dim"))
-          .agg(sum(col("xu")).as("ss"), count(lit(1)).as("n"))
-          .select(col("cid"), col("dim"),
-            floor(col("ss").cast("double") / col("n").cast("double"))
-              .as("cu"))
-      val c0 = ve.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("dim"), col("xu").as("cu"))
-        .localCheckpoint(true)
-      var cent = c0
-      var asg: org.apache.spark.sql.DataFrame = null
-      for (_ <- 1 to 3) {
-        asg = assign(cent).localCheckpoint(true)
-        cent = update(asg).localCheckpoint(true)
-      }
+      val (_, cent, asg) = kmeansLloyd(s, d)
       val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
       cent.join(broadcast(sizes), Seq("cid"))
         .select(col("cid"), col("dim"), col("cu"), col("n_members"))
@@ -1326,7 +1338,104 @@ object Vectors extends Q.Module {
       ORDER BY exact_d2, vec_id LIMIT 15"""
     })
 
+  // --- q286: CLUSTER-AGREEMENT AUDIT (adjusted Rand index + purity) —
+  //     "do the discovered clusters recover the known classes?": score
+  //     q214's k-means assignment (the IDENTICAL assignment — shared
+  //     kmeansLloyd body) against the embeddings' ground-truth labels.
+  //     Everything reduces to the CONTINGENCY TABLE n_ij (label ×
+  //     cluster co-occurrence counts — a #labels·#clusters-row frame,
+  //     the audit's only corpus-sized pass is the one count
+  //     aggregate), from which both metrics are pure integer pair
+  //     counts: ARI's C(n,2)-identity form with the /2s cleared —
+  //     ari = (2·C(n,2)·Σij − 2·ΣA·ΣB) / (C(n,2)·(ΣA+ΣB) − 2·ΣA·ΣB),
+  //     where Σij/ΣA/ΣB are sums of x·(x−1) div 2 over cells/rows/
+  //     columns (div, not float division — exact at any corpus size)
+  //     — and purity = Σ_cluster max_label n_ij / n. One final IEEE
+  //     division each through fpTrunc; every operand is an exact
+  //     BIGINT on both engines.
+  private val q286 = Q(
+    "q286_cluster_agreement",
+    "✦ ML eval: adjusted Rand + purity of k-means clusters vs ground-truth labels",
+    (s, d) => {
+      val (_, _, asg) = kmeansLloyd(s, d)
+      val lab = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val ct = asg.join(lab, Seq("vec_id"))
+        .groupBy(col("label"), col("cid")).agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true) // ≤ #labels·k rows; read by 5 readouts
+      val cells = ct.agg(
+        sum(col("nij")).as("n"),
+        sum(expr("(nij * (nij - 1)) div 2")).as("sum_ij"),
+        countDistinct(col("label")).as("n_labels"),
+        countDistinct(col("cid")).as("n_clusters"))
+      val rows = ct.groupBy(col("label")).agg(sum(col("nij")).as("ai"))
+        .agg(sum(expr("(ai * (ai - 1)) div 2")).as("sum_a"))
+      val cols = ct.groupBy(col("cid")).agg(sum(col("nij")).as("bj"))
+        .agg(sum(expr("(bj * (bj - 1)) div 2")).as("sum_b"))
+      val pur = ct.groupBy(col("cid")).agg(max(col("nij")).as("mx"))
+        .agg(sum(col("mx")).as("purity_num"))
+      cells.crossJoin(rows).crossJoin(cols).crossJoin(pur)
+        .withColumn("c2n", expr("(n * (n - 1)) div 2"))
+        .select(col("n"), col("n_labels"), col("n_clusters"),
+          col("purity_num"),
+          graft.dsl.fpTrunc(col("purity_num").cast("double")
+            / col("n").cast("double"), 9).as("purity"),
+          graft.dsl.fpTrunc(
+            (col("c2n") * col("sum_ij") * 2
+              - col("sum_a") * col("sum_b") * 2).cast("double")
+              / (col("c2n") * (col("sum_a") + col("sum_b"))
+                - col("sum_a") * col("sum_b") * 2).cast("double"), 9)
+            .as("ari"))
+    },
+    Some {
+      def a(i: Int, c: String) = s"""a$i AS (
+        SELECT vec_id, CAST(MIN(d2 * 8 + cid) % 8 AS BIGINT) AS cid FROM (
+          SELECT ve.vec_id, c.cid,
+            CAST(SUM((ve.xu - c.cu) * (ve.xu - c.cu)) AS BIGINT) AS d2
+          FROM ve JOIN $c c ON ve.dim = c.dim GROUP BY 1, 2)
+        GROUP BY 1)"""
+      def u(i: Int) = s"""c$i AS (
+        SELECT a.cid, ve.dim,
+          CAST(FLOOR(CAST(SUM(ve.xu) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+        FROM ve JOIN a$i a ON ve.vec_id = a.vec_id GROUP BY 1, 2)"""
+      s"""WITH ve AS (
+        SELECT vec_id, g.i AS dim,
+          CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+            AS xu
+        FROM embeddings,
+          (SELECT unnest(generate_series(0, 63)) AS i) g),
+      c0 AS (SELECT vec_id AS cid, dim, xu AS cu FROM ve WHERE vec_id < 4),
+      ${a(1, "c0")}, ${u(1)},
+      ${a(2, "c1")}, ${u(2)},
+      ${a(3, "c2")},
+      ct AS (SELECT CAST(e.label AS BIGINT) AS label, a.cid,
+          CAST(COUNT(*) AS BIGINT) AS nij
+        FROM a3 a JOIN embeddings e ON a.vec_id = e.vec_id
+        GROUP BY 1, 2),
+      cells AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+          CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sum_ij,
+          CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+          CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters
+        FROM ct),
+      rws AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS sum_a
+        FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM ct
+          GROUP BY label)),
+      cls AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS sum_b
+        FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM ct
+          GROUP BY cid)),
+      pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS purity_num
+        FROM (SELECT MAX(nij) AS mx FROM ct GROUP BY cid))
+      SELECT n, n_labels, n_clusters, purity_num,
+        ${graft.dsl.fpTruncSql(
+          "CAST(purity_num AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS purity,
+        ${graft.dsl.fpTruncSql(
+          "CAST(((n * (n - 1)) // 2) * sum_ij * 2 - sum_a * sum_b * 2" +
+            " AS DOUBLE) / CAST(((n * (n - 1)) // 2) * (sum_a + sum_b)" +
+            " - sum_a * sum_b * 2 AS DOUBLE)", 9)} AS ari
+      FROM cells, rws, cls, pur"""
+    })
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214, q215, q236, q265, q269, q274, q277)
+      q214, q215, q236, q265, q269, q274, q277, q286)
 }
