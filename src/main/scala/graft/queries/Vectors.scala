@@ -1435,7 +1435,166 @@ object Vectors extends Q.Module {
       FROM cells, rws, cls, pur"""
     })
 
+  // --- q287: kNN LABEL-AGREEMENT AUDIT (label-noise detection) — the
+  //     confident-learning-style screen run before training a classifier
+  //     on weak labels: for each probed vector, what fraction of its k=10
+  //     exact-cosine nearest neighbors share its label? A vector whose
+  //     neighborhood votes against it (agree ≤ 2 of 10) is a mislabel /
+  //     outlier suspect. Probes are a DETERMINISTIC 1-in-5 decimation
+  //     (vec_id % 5 = 0 — the q152 hash-sample discipline: re-runnable,
+  //     oracle-reproducible), so the probe frame is bounded and
+  //     broadcast; candidates stream through ONE corpus scan into the
+  //     fused codegen'd cosine kernel (q44's plan: broadcast-hash join,
+  //     no candidate shuffle). The only shuffle is the per-probe top-k
+  //     window over |probes|·N scored rows — the exact audit's
+  //     irreducible cost; the scale dials are the probe rate and, for
+  //     full-corpus screening, swapping the exact kernel for q74's IVF
+  //     cells or q57's LSH buckets (same agree-count readout). Agreement
+  //     stays integer (agree of k) until one final fpTrunc division.
+  private val q287 = Q(
+    "q287_knn_label_agreement",
+    "✦ ML data quality: label-noise screen — kNN label agreement per probe, suspects per label",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+          col("label").cast("long").as("plab"))
+      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").cast("long").as("clab"))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("score").desc, col("cid"))
+      val agree = broadcast(probes).join(cands, col("pid") =!= col("cid"))
+        .select(col("pid"), col("plab"), col("clab"),
+          graft.functions.CosineSimilarity
+            .cosineSim(col("pe"), col("ce")).as("score"), col("cid"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .groupBy(col("pid"), col("plab"))
+        .agg(sum(when(col("clab") === col("plab"), 1L).otherwise(0L))
+          .as("agree"))
+      agree.groupBy(col("plab").as("label"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("agree")).as("agree_total"),
+          sum(when(col("agree") <= 2, 1L).otherwise(0L)).as("n_suspect"))
+        .select(col("label"), col("n_probes"), col("agree_total"),
+          col("n_suspect"),
+          graft.dsl.fpTrunc(col("agree_total").cast("double")
+            / (col("n_probes").cast("double") * 10.0), 9).as("agreement"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH nb AS (
+      SELECT p.vec_id AS pid, CAST(p.label AS BIGINT) AS plab,
+        CAST(c.label AS BIGINT) AS clab,
+        ROW_NUMBER() OVER (PARTITION BY p.vec_id
+          ORDER BY ${cosineSql("p.embedding", "c.embedding")} DESC,
+            c.vec_id) AS rank
+      FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+      WHERE p.vec_id % 5 = 0),
+    ag AS (SELECT pid, plab,
+        CAST(SUM(CASE WHEN clab = plab THEN 1 ELSE 0 END) AS BIGINT)
+          AS agree
+      FROM nb WHERE rank <= 10 GROUP BY 1, 2)
+    SELECT plab AS label, COUNT(*) AS n_probes,
+      CAST(SUM(agree) AS BIGINT) AS agree_total,
+      CAST(SUM(CASE WHEN agree <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_suspect,
+      ${graft.dsl.fpTruncSql(
+        "CAST(SUM(agree) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10.0)",
+        9)} AS agreement
+    FROM ag GROUP BY plab ORDER BY label"""))
+
+  // --- q290: EMBEDDING SNAPSHOT DRIFT — q272's PSI answers "did the
+  //     scalar features drift?"; this answers the same question for the
+  //     EMBEDDING SPACE between two corpus snapshots (here the
+  //     deterministic vec_id-parity halves): centroid cosine, centroid
+  //     norm ratio, and L1/L∞ per-dimension mean shift, plus a count of
+  //     dimensions shifted beyond 0.01 (10,000 integer units). Exactness:
+  //     coordinates quantize ONCE to 1e-6 integer units (the q167/q214
+  //     rule), per-(snapshot, dim) means re-quantize via the engine-
+  //     identical FLOOR(exact-int-sum / count) double division, and every
+  //     downstream moment (dot, norms², shifts) is then EXACT BIGINT
+  //     arithmetic over the two 64-long mean vectors — |mu| ≤ 1e6 units
+  //     keeps Σ mu² ≤ 64·1e12 far from both the BIGINT and the 2^53
+  //     double-exactness bounds, so the final sqrt/divide/fpTrunc is the
+  //     only floating step. Shape at 100 TB: ONE map-combined
+  //     (snap, dim) aggregate over the long-format corpus (the corpus-
+  //     sized pass), then all metrics on a 64-row frame; generalizes to
+  //     date-partitioned snapshots by keying snap on the partition
+  //     column, where partition pruning confines each run to the two
+  //     snapshots compared.
+  private val q290 = Q(
+    "q290_embedding_drift",
+    "✦ ML data quality: embedding-space drift between snapshots — centroid cosine, norm ratio, L1/L∞ mean shift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val ve = e.select((col("vec_id") % 2).as("snap"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("snap"), col("dim"),
+          floor(col("x").cast("double") * 1e6).as("xu"))
+      val mu = ve.groupBy(col("snap"), col("dim"))
+        .agg(floor(sum(col("xu")).cast("double")
+          / count(lit(1)).cast("double")).as("mu"))
+      val wide = mu.groupBy(col("dim"))
+        .agg(max(when(col("snap") === 0, col("mu"))).as("mu_ref"),
+          max(when(col("snap") === 1, col("mu"))).as("mu_cur"))
+      val moments = wide.agg(
+        sum(col("mu_ref") * col("mu_cur")).as("dot_u"),
+        sum(col("mu_ref") * col("mu_ref")).as("na"),
+        sum(col("mu_cur") * col("mu_cur")).as("nb"),
+        sum(abs(col("mu_ref") - col("mu_cur"))).as("l1_shift_u"),
+        max(abs(col("mu_ref") - col("mu_cur"))).as("linf_shift_u"),
+        sum(when(abs(col("mu_ref") - col("mu_cur")) > 10000L, 1L)
+          .otherwise(0L)).as("n_dims_shifted"))
+      val counts = e.agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
+      counts.crossJoin(moments)
+        .select(col("n_ref"), col("n_cur"), col("dot_u"),
+          col("l1_shift_u"), col("linf_shift_u"), col("n_dims_shifted"),
+          graft.dsl.fpTrunc(col("dot_u").cast("double")
+            / (sqrt(col("na").cast("double"))
+              * sqrt(col("nb").cast("double"))), 9).as("cos_centroids"),
+          graft.dsl.fpTrunc(sqrt(col("na").cast("double"))
+            / sqrt(col("nb").cast("double")), 9).as("norm_ratio"))
+    },
+    Some(s"""WITH ve AS (
+      SELECT vec_id % 2 AS snap, g.i AS dim,
+        CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+          AS xu
+      FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) g),
+    mu AS (SELECT snap, dim,
+        CAST(FLOOR(CAST(SUM(xu) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+      FROM ve GROUP BY 1, 2),
+    wide AS (SELECT dim,
+        MAX(CASE WHEN snap = 0 THEN mu END) AS mu_ref,
+        MAX(CASE WHEN snap = 1 THEN mu END) AS mu_cur
+      FROM mu GROUP BY dim),
+    mo AS (SELECT
+        CAST(SUM(mu_ref * mu_cur) AS BIGINT) AS dot_u,
+        CAST(SUM(mu_ref * mu_ref) AS BIGINT) AS na,
+        CAST(SUM(mu_cur * mu_cur) AS BIGINT) AS nb,
+        CAST(SUM(ABS(mu_ref - mu_cur)) AS BIGINT) AS l1_shift_u,
+        CAST(MAX(ABS(mu_ref - mu_cur)) AS BIGINT) AS linf_shift_u,
+        CAST(SUM(CASE WHEN ABS(mu_ref - mu_cur) > 10000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dims_shifted
+      FROM wide),
+    cnt AS (SELECT
+        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ref,
+        CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cur
+      FROM embeddings)
+    SELECT n_ref, n_cur, dot_u, l1_shift_u, linf_shift_u, n_dims_shifted,
+      ${graft.dsl.fpTruncSql(
+        "CAST(dot_u AS DOUBLE) / (SQRT(CAST(na AS DOUBLE))" +
+          " * SQRT(CAST(nb AS DOUBLE)))", 9)} AS cos_centroids,
+      ${graft.dsl.fpTruncSql(
+        "SQRT(CAST(na AS DOUBLE)) / SQRT(CAST(nb AS DOUBLE))",
+        9)} AS norm_ratio
+    FROM cnt, mo"""))
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214, q215, q236, q265, q269, q274, q277, q286)
+      q214, q215, q236, q265, q269, q274, q277, q286, q287, q290)
 }
