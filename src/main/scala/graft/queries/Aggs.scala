@@ -2696,9 +2696,67 @@ object Aggs extends Q.Module {
         n_rows >= 100 FROM r)
     ORDER BY "check""""))
 
+  // --- q288: AUC RANKING AUDIT (Mann–Whitney, tie-aware) — the
+  //     evaluation every heuristic quality scorer needs before it gates
+  //     a corpus: how well does the score RANK the positive class?
+  //     Here: n_chars as a ranking signal for lang = 'en' (the q113/q51
+  //     quality-gate family's score axis scored against a weak label).
+  //     Tie-aware closed form without any per-row ranking: collapse the
+  //     corpus to the DISTINCT-SCORE frame (one map-combined groupBy —
+  //     the only corpus-sized pass), then
+  //       U·2 = Σ_s pos(s) · (2·cumneg(<s) + neg(s)),
+  //     an EXACT BIGINT (ties contribute the half via the uncleared
+  //     neg(s) term), and AUC = U2/(2·P·N), Gini = 2·AUC − 1 as the
+  //     only floating steps (fpTrunc). The running cumneg is a window
+  //     over the collapsed frame only — bounded by distinct score
+  //     values (the q114 length-histogram bound), NOT the corpus, so
+  //     the single-partition window is aggregate-sized by construction.
+  private val q288 = Q(
+    "q288_auc_ranking",
+    "✦ ML eval: tie-aware Mann–Whitney AUC + Gini of a quality score vs a weak label",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy(col("n_chars").as("score"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+        .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+          sum(col("pos") * (col("cumneg") * 2 + col("neg"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          fpTrunc(col("u2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")), 9).as("auc"),
+          fpTrunc(col("u2").cast("double")
+            / (col("n_pos").cast("double") * col("n_neg")) - lit(1.0), 9)
+            .as("gini"))
+    },
+    Some(s"""WITH g AS (
+      SELECT n_chars AS score,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          AS pos,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+          AS neg
+      FROM documents GROUP BY 1),
+    c AS (SELECT pos, neg,
+        COALESCE(SUM(neg) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      FROM g),
+    t AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(SUM(neg) AS BIGINT) AS n_neg,
+        CAST(SUM(pos * (cumneg * 2 + neg)) AS BIGINT) AS u2
+      FROM c)
+    SELECT n_pos, n_neg, u2,
+      ${fpTruncSql("CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg)", 9)}
+        AS auc,
+      ${fpTruncSql(
+        "CAST(u2 AS DOUBLE) / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0",
+        9)} AS gini
+    FROM t"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
     q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
-    q249, q257, q272, q273)
+    q249, q257, q272, q273, q288)
 }

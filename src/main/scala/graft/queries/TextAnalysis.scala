@@ -1976,8 +1976,68 @@ object TextAnalysis extends Q.Module {
     FROM q LEFT JOIN sel ON q.source = sel.source
     ORDER BY q.source"""))
 
+  // --- q289: VOCABULARY RICHNESS / COVERAGE ESTIMATION — "how much of
+  //     the corpus's lexical diversity have we actually seen?": the
+  //     Chao1 lower bound on total species (here word-3-gram types, the
+  //     q47 shingle unit WITH multiplicity — unigram types saturate on
+  //     this fixture's ~45-word vocabulary, 3-grams don't), plus the
+  //     Good–Turing unseen-mass estimate f1/N (the probability the NEXT
+  //     shingle drawn is a new type — the signal that decides whether
+  //     more crawling buys new text or re-reads the same), and the
+  //     type–token ratio. Everything is frequency-of-frequency
+  //     arithmetic: shingle→tf (the corpus-sized map-combined pass),
+  //     tf→(V, N, f1, f2) (collapsed to one row), then
+  //     chao1 = V + f1·(f1−1)/(2·(f2+1)) carried as the exact BIGINT
+  //     numerator 2·(f2+1)·V + f1·(f1−1) over denominator 2·(f2+1);
+  //     the three ratios are the only floating steps (fpTrunc).
+  private val q289 = Q(
+    "q289_vocab_richness",
+    "✦ corpus stats: Chao1 richness bound, Good–Turing unseen mass, TTR over 3-gram types",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      // size >= 3 guard: q47's rule (sequence counts DOWN below 1).
+      val tf = docs(s, d).filter(size(w) >= 3)
+        .select(explode(transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", slice(w, i, lit(3))))).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+      tf.agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+          ((col("f2") + 1) * 2 * col("vocab")
+            + col("f1") * (col("f1") - 1)).as("chao1_num"),
+          fpTrunc(((col("f2") + 1) * 2 * col("vocab")
+            + col("f1") * (col("f1") - 1)).cast("double")
+            / ((col("f2") + 1) * 2).cast("double"), 9).as("chao1"),
+          fpTrunc(col("f1").cast("double")
+            / col("n_tokens").cast("double"), 9).as("p_unseen"),
+          fpTrunc(col("vocab").cast("double")
+            / col("n_tokens").cast("double"), 9).as("ttr"))
+    },
+    Some(s"""WITH t AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (SELECT concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle
+      FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i FROM t)),
+    tf AS (SELECT COUNT(*) AS c FROM sh GROUP BY shingle),
+    ff AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tf)
+    SELECT n_tokens, vocab, f1, f2,
+      CAST((f2 + 1) * 2 * vocab + f1 * (f1 - 1) AS BIGINT) AS chao1_num,
+      ${fpTruncSql(
+        "CAST((f2 + 1) * 2 * vocab + f1 * (f1 - 1) AS DOUBLE)" +
+          " / CAST((f2 + 1) * 2 AS DOUBLE)", 9)} AS chao1,
+      ${fpTruncSql(
+        "CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 9)} AS p_unseen,
+      ${fpTruncSql(
+        "CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 9)} AS ttr
+    FROM ff"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210, q223, q278, q279, q280, q284, q285)
+      q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289)
 }
