@@ -768,7 +768,73 @@ object Extras extends Q.Module {
     FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
     ORDER BY rrf DESC, doc_id LIMIT 15"""))
 
+  // --- q291: LUHN CHECKSUM VALIDATION AUDIT — the mod-10 checksum
+  //     family (payment PANs, IMEIs, some national IDs) as a
+  //     first-class data-quality gate: q101 redacts PII by PATTERN;
+  //     this validates candidate identifiers by CHECKSUM, the screen
+  //     that separates real leaked numbers from random digit noise
+  //     (a random 16-digit string passes Luhn 1 time in 10 — the
+  //     audit's base rate, which the fixture leg exhibits). The fixture
+  //     has no digit runs (checked), so candidates are SYNTHESIZED
+  //     deterministically from c_custkey (the q94/q97 injection idiom —
+  //     7-digit key zone + 8-digit multiplicative-hash zone + key-mod-10
+  //     check digit, both engines spell the same string), making
+  //     validity a pure function of the key. The Luhn sum itself is one
+  //     bounded 16-step HOF fold per row — per-row O(1), zero shuffle
+  //     before the 5-group segment rollup; HOFs skip WholeStageCodegen,
+  //     so a hot-path variant would move the fold into a codegen'd
+  //     Expression (the q84 route), same plan shape otherwise.
+  private val q291 = Q(
+    "q291_luhn_checksum_audit",
+    "✦ data quality: Luhn mod-10 checksum validation of synthesized identifiers, per segment",
+    (s, d) => {
+      val pan = concat(
+        lpad(col("c_custkey").cast("string"), 7, "0"),
+        lpad(((col("c_custkey") * 7919L) % 9999991L).cast("string"), 8, "0"),
+        (col("c_custkey") % 10L).cast("string"))
+      // Doubling rule spelled from the LEFT of the fixed-width-16 string:
+      // position-from-right 17-i is even exactly when i is odd.
+      val luhnSum = expr("""aggregate(transform(sequence(1, 16), i ->
+        CASE WHEN i % 2 = 1
+          THEN CASE WHEN CAST(substring(pan, i, 1) AS INT) * 2 > 9
+            THEN CAST(substring(pan, i, 1) AS INT) * 2 - 9
+            ELSE CAST(substring(pan, i, 1) AS INT) * 2 END
+          ELSE CAST(substring(pan, i, 1) AS INT) END),
+        0, (a, x) -> a + x)""")
+      Tables.customer(s, d)
+        .select(col("c_mktsegment").as("segment"), pan.as("pan"))
+        .withColumn("valid", luhnSum % 10 === 0)
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
+        .select(col("segment"), col("n"), col("n_valid"),
+          fpTrunc(col("n_valid").cast("double") / col("n").cast("double"),
+            9).as("valid_rate"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""WITH p AS (
+      SELECT c_mktsegment AS segment,
+        lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+          || lpad(CAST((c_custkey * 7919) % 9999991 AS VARCHAR), 8, '0')
+          || CAST(c_custkey % 10 AS VARCHAR) AS pan
+      FROM customer),
+    v AS (SELECT segment,
+        list_sum(list_transform(generate_series(1, 16), i ->
+          CASE WHEN i % 2 = 1
+            THEN CASE WHEN CAST(substring(pan, i, 1) AS INT) * 2 > 9
+              THEN CAST(substring(pan, i, 1) AS INT) * 2 - 9
+              ELSE CAST(substring(pan, i, 1) AS INT) * 2 END
+            ELSE CAST(substring(pan, i, 1) AS INT) END))
+          % 10 = 0 AS valid
+      FROM p)
+    SELECT segment, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+      ${fpTruncSql(
+        "CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS DOUBLE)" +
+          " / CAST(COUNT(*) AS DOUBLE)", 9)} AS valid_rate
+    FROM v GROUP BY segment ORDER BY segment"""))
+
   def defs: Seq[Q] =
     Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166, q190,
-      q224, q226, q230, q276)
+      q224, q226, q230, q276, q291)
 }

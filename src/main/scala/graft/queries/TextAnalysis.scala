@@ -2036,8 +2036,99 @@ object TextAnalysis extends Q.Module {
         "CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 9)} AS ttr
     FROM ff"""))
 
+  // --- q292: KNESER–NEY BIGRAM LM SCORING — the smoothing actually
+  //     used by the KenLM-style perplexity filters in CCNet-class
+  //     pipelines, upgrading q171's add-k: interpolated KN with
+  //     absolute discount D = 3/4 backs off not to raw unigram
+  //     frequency but to CONTINUATION probability ("how many distinct
+  //     contexts does w complete?" — N1+(·w)/N1+(··)), the fix for
+  //     high-frequency-but-context-bound words. With D = 3/4 the
+  //     probability clears to one exact ratio:
+  //       P(w|v) = [ (4·c(vw) − 3) · T + 3 · N1+(v·) · N1+(·w) ]
+  //                / (4·c(v) · T),      T = N1+(··)
+  //     (c(vw) ≥ 1 in a self-trained table, so the max(·,0) never
+  //     binds). The two big cross products multiply as DOUBLES of
+  //     exact integers — spelled identically on both engines, so the
+  //     IEEE results match bit-for-bit while staying safe at corpora
+  //     where c(v)·4·T would overflow BIGINT (the fpTrunc-doc
+  //     magnitude discipline); all counts beneath them stay exact
+  //     BIGINT. Shape: the corpus-sized passes are the bigram window
+  //     (per-doc partition) and the type-table aggregate; the
+  //     probability table is bigram-TYPE-sized, its three marginals
+  //     collapse further, and scoring is one type-table join back plus
+  //     q161's ordered per-doc fold.
+  private val q292 = Q(
+    "q292_kneser_ney_bigram",
+    "✦ quality: interpolated Kneser–Ney bigram LM mean neg log-prob per doc",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .withColumn("prev", lag(col("word"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .persist()
+      // big persist: the type table AND the score join both read it —
+      // harness-owned cache (q47's rule).
+      val bc = big.groupBy(col("prev"), col("word"))
+        .agg(count(lit(1)).as("cvw"))
+      val pc = bc.groupBy(col("prev"))
+        .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+      val wc = bc.groupBy(col("word")).agg(count(lit(1)).as("n1w"))
+      val tot = bc.agg(count(lit(1)).as("t"))
+      val p = bc.join(pc, Seq("prev")).join(wc, Seq("word"))
+        .crossJoin(broadcast(tot))
+        .select(col("prev"), col("word"),
+          log(((col("cvw") * 4 - 3).cast("double") * col("t").cast("double")
+            + (col("n1v") * 3).cast("double") * col("n1w").cast("double"))
+            / ((col("cv") * 4).cast("double") * col("t").cast("double")))
+            .as("lp"))
+      big.join(p, Seq("prev", "word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+              x => x.getField("lp")),
+            lit(0.0), (a, x) => a + x).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          fpTrunc(-(col("s") / col("n_bigrams").cast("double")), 9)
+            .as("avg_neg_logp_kn"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t0 AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+        len(string_split(text, ' ')) AS n FROM documents),
+    tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS word
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, n)) AS i
+        FROM t0)),
+    big AS (SELECT doc_id, pos, word,
+        LAG(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM tok QUALIFY prev IS NOT NULL),
+    bc AS (SELECT prev, word, CAST(COUNT(*) AS BIGINT) AS cvw
+      FROM big GROUP BY 1, 2),
+    pc AS (SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv,
+        CAST(COUNT(*) AS BIGINT) AS n1v FROM bc GROUP BY 1),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n1w
+      FROM bc GROUP BY 1),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bc),
+    p AS (SELECT prev, word,
+        ln((CAST(cvw * 4 - 3 AS DOUBLE) * CAST((SELECT t FROM tt)
+            AS DOUBLE)
+          + CAST(n1v * 3 AS DOUBLE) * CAST(n1w AS DOUBLE))
+          / (CAST(cv * 4 AS DOUBLE) * CAST((SELECT t FROM tt)
+            AS DOUBLE))) AS lp
+      FROM bc JOIN pc USING (prev) JOIN wc USING (word)),
+    sc AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        list_sum(list(p.lp ORDER BY b.pos)) AS s
+      FROM big b JOIN p USING (prev, word)
+      GROUP BY b.doc_id)
+    SELECT doc_id, n_bigrams,
+      FLOOR((-(s / CAST(n_bigrams AS DOUBLE))) * 1e9) / 1e9
+        AS avg_neg_logp_kn
+    FROM sc ORDER BY doc_id"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289)
+      q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292)
 }
