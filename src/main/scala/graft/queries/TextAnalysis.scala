@@ -2127,8 +2127,185 @@ object TextAnalysis extends Q.Module {
         AS avg_neg_logp_kn
     FROM sc ORDER BY doc_id"""))
 
+  // --- q293: HEAPS'-LAW VOCABULARY GROWTH — q289 asks "how much is
+  //     unseen NOW?"; this fits HOW vocabulary grows with corpus size
+  //     (V = k·N^β — the curve that decides whether the next 10× of
+  //     crawl buys new types), over the same 3-gram type unit. NO
+  //     global token index and NO corpus-wide window: the growth curve
+  //     is sampled at 16 doc-prefix checkpoints (cp_i = ⌈D⌉·i/16 from
+  //     one max(doc_id) broadcast), and both curve coordinates are
+  //     range-join aggregates against that 16-row frame —
+  //     N(cp) = Σ tokens of docs below cp (from the per-doc count
+  //     frame), V(cp) = #types whose FIRST doc is below cp (from the
+  //     min-doc-per-type frame; first occurrence = min, an aggregate,
+  //     not a scan). The 16× row amplification of the range join is
+  //     the explicit dial. The log-log OLS runs over the 16-row curve
+  //     with q162's ordered-fold spelling (deterministic sum order).
+  private val q293 = Q(
+    "q293_heaps_law",
+    "✦ corpus stats: Heaps'-law vocab-growth fit V=k·N^β over doc-prefix checkpoints",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val sh = docs(s, d).filter(size(w) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(w) - 2),
+            i => concat_ws(" ", slice(w, i, lit(3))))).as("shingle"))
+        .persist()
+      // sh persist: checkpoints + both curve legs re-read it —
+      // harness-owned cache (q47's rule).
+      val cps = sh.agg(max(col("doc_id")).as("maxd"))
+        .select(explode(sequence(lit(1), lit(16))).as("i"), col("maxd"))
+        .select(col("i").cast("long").as("i"),
+          expr("((maxd + 1) * i) div 16").as("cp"))
+      val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      val firstDoc = sh.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("fd"))
+      val nCurve = perDoc.join(broadcast(cps), col("doc_id") < col("cp"))
+        .groupBy(col("i"), col("cp")).agg(sum(col("nt")).as("n_tokens"))
+      val vCurve = firstDoc.join(broadcast(cps), col("fd") < col("cp"))
+        .groupBy(col("i")).agg(count(lit(1)).as("vocab"))
+      val curve = nCurve.join(vCurve, Seq("i"))
+      def fsum(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (a, x) => a + x)
+      val xs = transform(col("arr"), x => log(x.getField("n_tokens").cast("double")))
+      val ys = transform(col("arr"), x => log(x.getField("vocab").cast("double")))
+      curve.agg(count(lit(1)).as("n_points"),
+          max(col("n_tokens")).as("total_tokens"),
+          max(col("vocab")).as("total_vocab"),
+          array_sort(collect_list(struct(col("i"), col("n_tokens"),
+            col("vocab")))).as("arr"))
+        .select(col("n_points"), col("total_tokens"), col("total_vocab"),
+          fsum(xs).as("sx"), fsum(ys).as("sy"),
+          fsum(zip_with(xs, ys, (a, b) => a * b)).as("sxy"),
+          fsum(transform(xs, x => x * x)).as("sxx"))
+        .withColumn("beta",
+          (col("n_points").cast("double") * col("sxy")
+            - col("sx") * col("sy")) /
+          (col("n_points").cast("double") * col("sxx")
+            - col("sx") * col("sx")))
+        .select(col("n_points"), col("total_tokens"), col("total_vocab"),
+          round(col("beta"), 9).as("beta"),
+          round((col("sy") - col("beta") * col("sx"))
+            / col("n_points").cast("double"), 9).as("ln_k"))
+    },
+    Some("""WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (SELECT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2])
+        AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM t)),
+    cps AS (SELECT CAST(i AS BIGINT) AS i,
+        ((SELECT MAX(doc_id) + 1 FROM sh) * i) // 16 AS cp
+      FROM (SELECT unnest(generate_series(1, 16)) AS i)),
+    pd AS (SELECT doc_id, COUNT(*) AS nt FROM sh GROUP BY 1),
+    fd AS (SELECT shingle, MIN(doc_id) AS fd FROM sh GROUP BY 1),
+    nc AS (SELECT i, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM pd JOIN cps ON pd.doc_id < cps.cp GROUP BY i),
+    vc AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM fd JOIN cps ON fd.fd < cps.cp GROUP BY i),
+    curve AS (SELECT nc.i, n_tokens, vocab FROM nc JOIN vc USING (i)),
+    l AS (SELECT COUNT(*) AS n_points,
+        CAST(MAX(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(MAX(vocab) AS BIGINT) AS total_vocab,
+        list(n_tokens ORDER BY i) AS ns, list(vocab ORDER BY i) AS vs
+      FROM curve),
+    m AS (SELECT n_points, total_tokens, total_vocab,
+        list_sum(list_transform(ns, x -> ln(CAST(x AS DOUBLE)))) AS sx,
+        list_sum(list_transform(vs, x -> ln(CAST(x AS DOUBLE)))) AS sy,
+        list_sum(list_transform(generate_series(1, n_points), j ->
+          ln(CAST(ns[j] AS DOUBLE)) * ln(CAST(vs[j] AS DOUBLE)))) AS sxy,
+        list_sum(list_transform(ns, x ->
+          ln(CAST(x AS DOUBLE)) * ln(CAST(x AS DOUBLE)))) AS sxx
+      FROM l),
+    r AS (SELECT n_points, total_tokens, total_vocab,
+        ((CAST(n_points AS DOUBLE) * sxy - sx * sy) /
+         (CAST(n_points AS DOUBLE) * sxx - sx * sx)) AS beta, sx, sy
+      FROM m)
+    SELECT n_points, total_tokens, total_vocab,
+      ROUND(beta, 9) AS beta,
+      ROUND((sy - beta * sx) / CAST(n_points AS DOUBLE), 9) AS ln_k
+    FROM r"""))
+
+  // --- q294: COHEN'S KAPPA RATER AGREEMENT — the inter-annotator
+  //     metric for label pipelines ("is the cheap classifier actually
+  //     agreeing with the gold labels beyond chance?"): rater A is
+  //     q52's marker-word language rule (en_score > 0.05 → 'en'), rater
+  //     B the stored lang binarized to the same {en, und} space. The
+  //     whole metric reduces to the 2×2 confusion cells (a,b,c,d) from
+  //     ONE conditional-sum corpus pass, then kappa's denominator-
+  //     cleared integer form:
+  //       κ = (n·(a+d) − [(a+b)(a+c) + (c+d)(b+d)])
+  //           / (n² − [(a+b)(a+c) + (c+d)(b+d)])
+  //     — every operand an exact BIGINT, one final fpTrunc division
+  //     (q286's ARI discipline, binary-rater edition).
+  private val q294 = Q(
+    "q294_cohens_kappa",
+    "✦ ML eval: Cohen's kappa of the langid rule vs gold labels (denominator-cleared integers)",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val en = Seq("the", "a", "value", "fast")
+      val cells = docs(s, d)
+        .select(
+          (size(filter(w, x => x.isin(en.map(lit(_)): _*))).cast("double")
+            / size(w) > 0.05).as("pred_en"),
+          (col("lang") === "en").as("gold_en"))
+        .agg(
+          sum(when(col("pred_en") && col("gold_en"), 1L).otherwise(0L))
+            .as("a"),
+          sum(when(col("pred_en") && !col("gold_en"), 1L).otherwise(0L))
+            .as("b"),
+          sum(when(!col("pred_en") && col("gold_en"), 1L).otherwise(0L))
+            .as("c"),
+          sum(when(!col("pred_en") && !col("gold_en"), 1L).otherwise(0L))
+            .as("d"))
+      cells
+        .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+        .withColumn("pe_num",
+          (col("a") + col("b")) * (col("a") + col("c"))
+            + (col("c") + col("d")) * (col("b") + col("d")))
+        .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+          graft.dsl.fpTrunc((col("a") + col("d")).cast("double")
+            / col("n").cast("double"), 9).as("po"),
+          graft.dsl.fpTrunc(col("pe_num").cast("double")
+            / (col("n") * col("n")).cast("double"), 9).as("pe"),
+          graft.dsl.fpTrunc(
+            (col("n") * (col("a") + col("d")) - col("pe_num")).cast("double")
+              / (col("n") * col("n") - col("pe_num")).cast("double"), 9)
+            .as("kappa"))
+    },
+    Some(s"""WITH r AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '),
+          x -> x IN ('the','a','value','fast'))) AS DOUBLE)
+          / len(string_split(text, ' ')) > 0.05 AS pred_en,
+        lang = 'en' AS gold_en
+      FROM documents),
+    cells AS (SELECT
+        CAST(SUM(CASE WHEN pred_en AND gold_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN pred_en AND NOT gold_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT pred_en AND gold_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT pred_en AND NOT gold_en THEN 1 ELSE 0 END)
+          AS BIGINT) AS d
+      FROM r),
+    k AS (SELECT a, b, c, d, a + b + c + d AS n,
+        (a + b) * (a + c) + (c + d) * (b + d) AS pe_num
+      FROM cells)
+    SELECT a, b, c, d, n,
+      ${graft.dsl.fpTruncSql(
+        "CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS po,
+      ${graft.dsl.fpTruncSql(
+        "CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE)", 9)} AS pe,
+      ${graft.dsl.fpTruncSql(
+        "CAST(n * (a + d) - pe_num AS DOUBLE)" +
+          " / CAST(n * n - pe_num AS DOUBLE)", 9)} AS kappa
+    FROM k"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
-      q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292)
+      q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292,
+      q293, q294)
 }
