@@ -2754,9 +2754,151 @@ object Aggs extends Q.Module {
         9)} AS gini
     FROM t"""))
 
+  // --- q295: CALIBRATION AUDIT (reliability bins + Brier + ECE) —
+  //     q288 grades how a score RANKS; this grades whether the score,
+  //     read as a probability, MEANS what it says. The probability is
+  //     the exact rational p̂ = n_chars/M (M = corpus max — one
+  //     broadcast), kept UNevaluated so every metric clears to
+  //     integers: per decile bin b = min((n_chars·10) div M, 9) the
+  //     frame carries (n_b, pos_b, Σnc_b); mean-confidence is
+  //     Σnc_b/(n_b·M), empirical rate pos_b/n_b, the Brier score is
+  //     Σ(nc − y·M)²/(n·M²) with an exact BIGINT numerator (one
+  //     conditional square per row — bound: rows·M² < 2⁶³, assert
+  //     before reusing on wider scores), and ECE's weighted-|gap| sum
+  //     telescopes to Σ_b|Σnc_b − pos_b·M| / (n·M) — every |·| of
+  //     exact integers. One corpus pass → 10-row frame → fpTrunc
+  //     readouts; the globals ride every bin row via a broadcast
+  //     cross join (constant columns, same hash both engines).
+  private val q295 = Q(
+    "q295_calibration_bins",
+    "✦ ML eval: reliability deciles + Brier + ECE of a probability score, exact-integer numerators",
+    (s, d) => {
+      val m = Tables.documents(s, d).agg(max(col("n_chars")).as("m"))
+      val base = Tables.documents(s, d).crossJoin(broadcast(m))
+        .select(col("n_chars").as("nc"), col("m"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .withColumn("bin", least(expr("(nc * 10) div m"), lit(9L)))
+      val bins = base.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+          sum(col("nc")).as("snc"), max(col("m")).as("m"))
+      val glob = base.agg(count(lit(1)).as("n_tot"),
+        sum((col("nc") - col("y") * col("m"))
+          * (col("nc") - col("y") * col("m"))).as("brier_num"),
+        max(col("m")).as("mg"))
+      val ece = bins
+        .agg(sum(abs(col("snc") - col("pos") * col("m"))).as("ece_num"))
+      bins.crossJoin(broadcast(glob)).crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("pos"),
+          fpTrunc(col("snc").cast("double")
+            / (col("n") * col("m")).cast("double"), 9).as("mean_conf"),
+          fpTrunc(col("pos").cast("double") / col("n").cast("double"), 9)
+            .as("emp_rate"),
+          fpTrunc(col("brier_num").cast("double")
+            / (col("n_tot") * col("mg") * col("mg")).cast("double"), 9)
+            .as("brier"),
+          fpTrunc(col("ece_num").cast("double")
+            / (col("n_tot") * col("mg")).cast("double"), 9).as("ece"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH mm AS (SELECT MAX(n_chars) AS m FROM documents),
+    base AS (SELECT n_chars AS nc, (SELECT m FROM mm) AS m,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    b2 AS (SELECT nc, m, y,
+        LEAST((nc * 10) // m, 9) AS bin FROM base),
+    bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(y) AS BIGINT) AS pos,
+        CAST(SUM(nc) AS BIGINT) AS snc, MAX(m) AS m
+      FROM b2 GROUP BY 1),
+    gstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+        CAST(SUM((nc - y * m) * (nc - y * m)) AS BIGINT) AS brier_num,
+        MAX(m) AS mg
+      FROM b2),
+    ece AS (SELECT CAST(SUM(ABS(snc - pos * m)) AS BIGINT) AS ece_num
+      FROM bins)
+    SELECT bin, n, pos,
+      ${fpTruncSql(
+        "CAST(snc AS DOUBLE) / CAST(n * m AS DOUBLE)", 9)} AS mean_conf,
+      ${fpTruncSql(
+        "CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS emp_rate,
+      ${fpTruncSql(
+        "CAST(brier_num AS DOUBLE) / CAST(n_tot * mg * mg AS DOUBLE)",
+        9)} AS brier,
+      ${fpTruncSql(
+        "CAST(ece_num AS DOUBLE) / CAST(n_tot * mg AS DOUBLE)",
+        9)} AS ece
+    FROM bins, gstats, ece ORDER BY bin"""))
+
+  // --- q296: SPLIT-CONFORMAL COVERAGE GATE — the distribution-free
+  //     threshold rule for turning any score into a gate with a
+  //     coverage guarantee: on a deterministic calibration half
+  //     (doc_id parity — the q149 split discipline) take the
+  //     ⌈(1−α)(n+1)⌉-th smallest nonconformity score (α = 0.1), then
+  //     measure what fraction of the held-out half the threshold
+  //     actually covers. The order statistic needs NO corpus sort:
+  //     scores collapse to the distinct-value frame (q288's bound),
+  //     the rank is a running count over that collapsed frame, and the
+  //     threshold is the first value whose cumulative count reaches k
+  //     — min over a filter, exact integers throughout. The eval leg
+  //     is one conditional count against the broadcast 1-row
+  //     threshold. Coverage lands at ≥ 1−α by the conformal guarantee
+  //     (exchangeability); the spec asserts the finite-sample band.
+  private val q296 = Q(
+    "q296_conformal_coverage",
+    "✦ ML eval: split-conformal threshold (exact order statistic) + held-out coverage",
+    (s, d) => {
+      val scores = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("score"),
+          (col("doc_id") % 2 === 0).as("cal"))
+      val g = scores.filter(col("cal"))
+        .groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val nCal = scores.filter(col("cal")).agg(count(lit(1)).as("n_cal"))
+      val thr = g.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(nCal))
+        .withColumn("k", expr("((n_cal + 1) * 9 + 9) div 10"))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("n_cal"), col("k"))
+        .agg(min(col("score")).as("threshold"))
+      scores.filter(!col("cal")).crossJoin(broadcast(thr))
+        .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+          max(col("threshold")).as("threshold"),
+          count(lit(1)).as("n_eval"),
+          sum(when(col("score") <= col("threshold"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("n_cal"), col("k"), col("threshold"), col("n_eval"),
+          col("n_covered"),
+          fpTrunc(col("n_covered").cast("double")
+            / col("n_eval").cast("double"), 9).as("coverage"))
+    },
+    Some(s"""WITH s AS (SELECT doc_id, n_chars AS score,
+        doc_id % 2 = 0 AS cal FROM documents),
+    g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s WHERE cal GROUP BY 1),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM s WHERE cal),
+    cum AS (SELECT score,
+        SUM(c) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        (SELECT n_cal FROM nc) AS n_cal,
+        (((SELECT n_cal FROM nc) + 1) * 9 + 9) // 10 AS k
+      FROM g),
+    thr AS (SELECT n_cal, k, MIN(score) AS threshold
+      FROM cum WHERE cum >= k GROUP BY 1, 2)
+    SELECT CAST(t.n_cal AS BIGINT) AS n_cal, CAST(t.k AS BIGINT) AS k,
+      CAST(t.threshold AS BIGINT) AS threshold,
+      CAST(COUNT(*) AS BIGINT) AS n_eval,
+      CAST(SUM(CASE WHEN s.score <= t.threshold THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_covered,
+      ${fpTruncSql(
+        "CAST(SUM(CASE WHEN s.score <= t.threshold THEN 1 ELSE 0 END)" +
+          " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 9)} AS coverage
+    FROM s, thr t WHERE NOT s.cal
+    GROUP BY t.n_cal, t.k, t.threshold"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
     q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
-    q249, q257, q272, q273, q288)
+    q249, q257, q272, q273, q288, q295, q296)
 }
