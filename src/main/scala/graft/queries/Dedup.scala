@@ -1364,6 +1364,72 @@ object Dedup extends Q.Module {
     FROM kd JOIN f USING (chash)
     GROUP BY kd.doc_id ORDER BY kd.doc_id"""))
 
+  // --- q297: DUPLICATION-INFLATION ECONOMICS — q46 answers "which
+  //     docs are copies?"; this prices WHAT THE COPIES COST: the
+  //     cluster-size histogram of exact-dup groups weighted by
+  //     character mass, the excess (non-representative) mass per
+  //     size, and the corpus-level savings ratio a dedup pass would
+  //     reclaim — the number that decides whether dedup runs at all.
+  //     Fixture injection extends q46's: every 10th doc doubles
+  //     (+10000) and every 30th TRIPLES (+20000), so the histogram has
+  //     k ∈ {1,2,3}, not a single dup size. Shape: one hash aggregate
+  //     over the corpus (all copies share the text, so per-cluster
+  //     char mass is k·len — min(len) is the representative), the
+  //     histogram is a second aggregate over the CLUSTER frame, and
+  //     the corpus-level ratio rides every row from a broadcast 1-row
+  //     cross join. All masses exact BIGINTs; one fpTrunc ratio.
+  private val q297 = Q(
+    "q297_dedup_inflation",
+    "✦ dedup economics: cluster-size histogram by char mass + reclaimable savings ratio",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val clusters = corpus
+        .select(sha2(col("text"), 256).as("h"),
+          length(col("text")).cast("long").as("len"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("k"), min(col("len")).as("rep_len"))
+      val hist = clusters.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("k") * col("rep_len")).as("total_chars"),
+          sum((col("k") - 1) * col("rep_len")).as("excess_chars"))
+      val tot = hist.agg(sum(col("total_chars")).as("tc"),
+        sum(col("excess_chars")).as("ec"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("k"), col("n_clusters"),
+          (col("k") * col("n_clusters")).as("n_docs"),
+          col("total_chars"), col("excess_chars"),
+          graft.dsl.fpTrunc(col("ec").cast("double")
+            / col("tc").cast("double"), 9).as("corpus_savings_ratio"))
+        .orderBy(col("k"))
+    },
+    Some(s"""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 20000, text FROM documents WHERE doc_id % 30 = 0),
+    clusters AS (SELECT sha256(text) AS h,
+        CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(MIN(len(text)) AS BIGINT) AS rep_len
+      FROM corpus GROUP BY 1),
+    hist AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(k * rep_len) AS BIGINT) AS total_chars,
+        CAST(SUM((k - 1) * rep_len) AS BIGINT) AS excess_chars
+      FROM clusters GROUP BY 1),
+    tot AS (SELECT CAST(SUM(total_chars) AS BIGINT) AS tc,
+        CAST(SUM(excess_chars) AS BIGINT) AS ec FROM hist)
+    SELECT k, n_clusters, k * n_clusters AS n_docs,
+      total_chars, excess_chars,
+      ${graft.dsl.fpTruncSql(
+        "CAST(ec AS DOUBLE) / CAST(tc AS DOUBLE)", 9)}
+        AS corpus_savings_ratio
+    FROM hist, tot ORDER BY k"""))
+
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148, q156, q228, q242, q244, q271, q275)
+    q148, q156, q228, q242, q244, q271, q275, q297)
 }

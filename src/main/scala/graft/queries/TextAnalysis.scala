@@ -2303,9 +2303,79 @@ object TextAnalysis extends Q.Module {
           " / CAST(n * n - pe_num AS DOUBLE)", 9)} AS kappa
     FROM k"""))
 
+  // --- q298: MIXTURE-DIVERSITY AUDIT — the health check on a training
+  //     mixture's SOURCE BALANCE by token mass (the q102/q141/q176
+  //     samplers change this; something must measure it): Shannon
+  //     entropy of the token-share distribution, the Herfindahl
+  //     concentration index, the inverse-Simpson EFFECTIVE source
+  //     count N²/Σcnt² (the "how many sources does this mixture
+  //     really have?" number — chosen over exp(entropy) because it is
+  //     an EXACT rational of BIGINTs, no cross-engine exp), and the
+  //     top-source share. Shape: one corpus pass to per-source token
+  //     masses (~tens of rows), then the entropy fold runs over the
+  //     source-sorted collected array (q162's deterministic-order
+  //     spelling); HHI/Simpson/top are exact integer moments of the
+  //     same collapsed frame. All ratios fpTrunc at readout.
+  private lazy val q298 = Q(
+    "q298_mixture_diversity",
+    "✦ mixture audit: token-share entropy, HHI, inverse-Simpson effective sources, top share",
+    (s, d) => {
+      val masses = docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("cnt"))
+      def fsum(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (a, x) => a + x)
+      masses.agg(count(lit(1)).as("n_sources"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("cnt")).as("hhi_num"),
+          max(col("cnt")).as("top_cnt"),
+          array_sort(collect_list(struct(col("source"), col("cnt"))))
+            .as("arr"))
+        .select(col("n_sources"), col("n_tokens"),
+          fpTrunc(-fsum(transform(col("arr"), x =>
+            (x.getField("cnt").cast("double")
+              / col("n_tokens").cast("double"))
+              * log(x.getField("cnt").cast("double")
+                / col("n_tokens").cast("double")))), 9).as("entropy"),
+          fpTrunc(col("hhi_num").cast("double")
+            / (col("n_tokens") * col("n_tokens")).cast("double"), 9)
+            .as("hhi"),
+          fpTrunc((col("n_tokens") * col("n_tokens")).cast("double")
+            / col("hhi_num").cast("double"), 9).as("eff_sources"),
+          fpTrunc(col("top_cnt").cast("double")
+            / col("n_tokens").cast("double"), 9).as("top_share"))
+    },
+    Some(s"""WITH m AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+          AS cnt
+      FROM documents GROUP BY 1),
+    l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        CAST(SUM(cnt * cnt) AS BIGINT) AS hhi_num,
+        CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+        list(cnt ORDER BY source) AS cs
+      FROM m)
+    SELECT n_sources, n_tokens,
+      ${fpTruncSql(
+        "-list_sum(list_transform(cs, x ->" +
+          " (CAST(x AS DOUBLE) / CAST(n_tokens AS DOUBLE))" +
+          " * ln(CAST(x AS DOUBLE) / CAST(n_tokens AS DOUBLE))))",
+        9)} AS entropy,
+      ${fpTruncSql(
+        "CAST(hhi_num AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)",
+        9)} AS hhi,
+      ${fpTruncSql(
+        "CAST(n_tokens * n_tokens AS DOUBLE) / CAST(hhi_num AS DOUBLE)",
+        9)} AS eff_sources,
+      ${fpTruncSql(
+        "CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)",
+        9)} AS top_share
+    FROM l"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
       q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292,
-      q293, q294)
+      q293, q294, q298)
 }
