@@ -2896,9 +2896,67 @@ object Aggs extends Q.Module {
     FROM s, thr t WHERE NOT s.cal
     GROUP BY t.n_cal, t.k, t.threshold"""))
 
+
+  // --- q300: K-ANONYMITY / L-DIVERSITY GOVERNANCE AUDIT — the
+  //     re-identification screen run before a corpus ships: under the
+  //     quasi-identifier (source, lang, n_chars div 100), how small is
+  //     the smallest equivalence class (k-anonymity level), how much
+  //     of the corpus sits in classes below k = 5 (the at-risk mass),
+  //     and — dropping lang from the QI to treat it as the SENSITIVE
+  //     attribute — what is the minimum distinct-sensitive-value count
+  //     per class (l-diversity)? Shape: one groupBy to the QI-class
+  //     frame (the corpus-sized pass), every readout an aggregate of
+  //     that collapsed frame; the l-diversity leg is a second
+  //     aggregate over the coarser (source, bucket) classes. All
+  //     counts exact BIGINTs; one fpTrunc share.
+  private val q300 = Q(
+    "q300_k_anonymity",
+    "✦ governance: k-anonymity level, at-risk mass below k=5, l-diversity of lang",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          expr("n_chars div 100").as("bucket"))
+      val classes = base.groupBy(col("source"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("sz"))
+      val kStats = classes.agg(count(lit(1)).as("n_classes"),
+        sum(col("sz")).as("n_docs"),
+        min(col("sz")).as("k_anonymity"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+          .as("n_docs_at_risk"))
+      val lDiv = base.groupBy(col("source"), col("bucket"))
+        .agg(countDistinct(col("lang")).as("l"))
+        .agg(min(col("l")).as("l_diversity"))
+      kStats.crossJoin(broadcast(lDiv))
+        .select(col("n_docs"), col("n_classes"), col("k_anonymity"),
+          col("n_docs_at_risk"),
+          graft.dsl.fpTrunc(col("n_docs_at_risk").cast("double")
+            / col("n_docs").cast("double"), 9).as("at_risk_share"),
+          col("l_diversity"))
+    },
+    Some(s"""WITH base AS (
+      SELECT source, lang, n_chars // 100 AS bucket FROM documents),
+    classes AS (SELECT source, lang, bucket,
+        CAST(COUNT(*) AS BIGINT) AS sz
+      FROM base GROUP BY 1, 2, 3),
+    ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(sz) AS BIGINT) AS n_docs,
+        CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+        CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+          AS n_docs_at_risk
+      FROM classes),
+    ld AS (SELECT CAST(MIN(l) AS BIGINT) AS l_diversity FROM (
+      SELECT source, bucket, COUNT(DISTINCT lang) AS l
+      FROM base GROUP BY 1, 2))
+    SELECT n_docs, n_classes, k_anonymity, n_docs_at_risk,
+      ${graft.dsl.fpTruncSql(
+        "CAST(n_docs_at_risk AS DOUBLE) / CAST(n_docs AS DOUBLE)",
+        9)} AS at_risk_share,
+      l_diversity
+    FROM ks, ld"""))
+
   def defs: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32,
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
     q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
-    q249, q257, q272, q273, q288, q295, q296)
+    q249, q257, q272, q273, q288, q295, q296, q300)
 }

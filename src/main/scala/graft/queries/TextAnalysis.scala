@@ -2373,9 +2373,89 @@ object TextAnalysis extends Q.Module {
         9)} AS top_share
     FROM l"""))
 
+  // --- q299: IMPORTANCE REWEIGHTING + EFFECTIVE SAMPLE SIZE — the
+  //     density-ratio correction for "train on the reference corpus,
+  //     target the current one": per-cell (lang) weights
+  //     w = (b·n_ref)/(a·n_cur) between the doc_id-parity snapshot
+  //     halves (q290's split), each an exact rational evaluated as ONE
+  //     identically-spelled double, plus Kish's effective sample size
+  //     ESS = (Σ a·w)²/(Σ a·w²) of the reweighted reference half — the
+  //     number that says how much data the reweighting actually left
+  //     you. Shape: one corpus pass to the ~5-cell (lang, a, b) frame;
+  //     the ESS fold runs over the lang-sorted collected array (q162's
+  //     deterministic-order spelling); the global ESS ratio rides every
+  //     cell row via a broadcast cross join.
+  private val q299 = Q(
+    "q299_importance_reweight",
+    "✦ mixture audit: per-cell density-ratio weights ref→cur + Kish effective sample size",
+    (s, d) => {
+      val cells = docs(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("a"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("b"))
+      val tot = cells.agg(sum(col("a")).as("n_ref"),
+        sum(col("b")).as("n_cur"))
+      val withW = cells.crossJoin(broadcast(tot))
+        .withColumn("w", (col("b").cast("double") * col("n_ref"))
+          / (col("a") * col("n_cur")).cast("double"))
+      def fsum(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (acc, x) => acc + x)
+      val ess = withW.agg(
+          array_sort(collect_list(struct(col("lang"), col("a"), col("w"))))
+            .as("arr"),
+          max(col("n_ref")).as("nr"))
+        .select((fsum(transform(col("arr"),
+            x => x.getField("a").cast("double") * x.getField("w")))
+          * fsum(transform(col("arr"),
+            x => x.getField("a").cast("double") * x.getField("w")))
+          / fsum(transform(col("arr"),
+            x => x.getField("a").cast("double") * x.getField("w")
+              * x.getField("w")))).as("ess"), col("nr"))
+        .select(fpTrunc(col("ess"), 6).as("ess"),
+          fpTrunc(col("ess") / col("nr").cast("double"), 9)
+            .as("ess_ratio"))
+      withW.crossJoin(broadcast(ess))
+        .select(col("lang"), col("a").as("n_ref_cell"),
+          col("b").as("n_cur_cell"),
+          fpTrunc(col("w"), 9).as("weight"),
+          col("ess"), col("ess_ratio"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH cells AS (
+      SELECT lang,
+        CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS a,
+        CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS b
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n_ref,
+        CAST(SUM(b) AS BIGINT) AS n_cur FROM cells),
+    ww AS (SELECT lang, a, b,
+        (CAST(b AS DOUBLE) * (SELECT n_ref FROM tot))
+          / CAST(a * (SELECT n_cur FROM tot) AS DOUBLE) AS w
+      FROM cells),
+    l AS (SELECT list(CAST(a AS DOUBLE) ORDER BY lang) AS aw,
+        list(w ORDER BY lang) AS ws,
+        (SELECT n_ref FROM tot) AS nr
+      FROM ww),
+    e0 AS (SELECT
+        list_sum(list_transform(generate_series(1, len(aw)),
+          j -> aw[j] * ws[j]))
+        * list_sum(list_transform(generate_series(1, len(aw)),
+          j -> aw[j] * ws[j]))
+        / list_sum(list_transform(generate_series(1, len(aw)),
+          j -> aw[j] * ws[j] * ws[j])) AS ess, nr
+      FROM l),
+    e AS (SELECT ${fpTruncSql("ess", 6)} AS ess,
+        ${fpTruncSql("ess / CAST(nr AS DOUBLE)", 9)} AS ess_ratio
+      FROM e0)
+    SELECT lang, a AS n_ref_cell, b AS n_cur_cell,
+      ${fpTruncSql("w", 9)} AS weight, ess, ess_ratio
+    FROM ww, e ORDER BY lang"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
       q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292,
-      q293, q294, q298)
+      q293, q294, q298, q299)
 }
