@@ -2621,9 +2621,191 @@ object Events extends Q.Module {
       CAST(MAX(cusum) AS BIGINT) AS max_cusum
     FROM cc GROUP BY event_type ORDER BY event_type"""))
 
+  // --- q301: WATERMARK-DELAY PLANNER — the number the q163/q108
+  //     streaming legs take as a GIVEN (`withWatermark(...)`) measured
+  //     from the data instead of guessed: per-event LATENESS is how
+  //     far behind the running event-time high-water mark each event
+  //     arrives (arrival order = event_id), and the planner reads off
+  //     the exact p50/p95/p99/max of that distribution — set the
+  //     watermark at p99 and ~1% of events drop as late. NO corpus-
+  //     order global window: the running max decomposes into the q135
+  //     two-phase shape — per-block (event_id div 4096) maxes, a
+  //     running max over the BLOCK frame (corpus/4096 rows), and a
+  //     bounded within-block window — and the quantiles come from the
+  //     distinct-lateness collapse with running counts (q296's order-
+  //     statistic shape), never a corpus sort. All integer µs→ms
+  //     arithmetic; no floats anywhere. The oracle spells the straight
+  //     global-window definition — the check proves the decomposition.
+  private val q301 = Q(
+    "q301_watermark_planner",
+    "✦ streaming ops: exact lateness distribution vs running high-water mark → watermark quantiles",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"),
+          expr("event_id div 4096").as("blk"))
+      val wBlk = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkMax = ev.groupBy(col("blk")).agg(max(col("ts")).as("bmax"))
+        .withColumn("prevmax",
+          coalesce(max(col("bmax")).over(wBlk), lit(Long.MinValue)))
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val late = ev.join(broadcast(blkMax.select(col("blk"), col("prevmax"))),
+          Seq("blk"))
+        .withColumn("runmax",
+          greatest(col("prevmax"), max(col("ts")).over(wIn)))
+        .select(expr("(runmax - ts) div 1000000").as("late_ms"))
+      val g = late.groupBy(col("late_ms")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("late_ms"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = g.agg(sum(col("c")).as("n"))
+      val cum = g.withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(tot))
+      def qtile(p: Int) = cum
+        .filter(col("cum") * 100 >= col("n") * p)
+        .agg(min(col("late_ms")).as(s"p$p"))
+      qtile(50).crossJoin(qtile(95)).crossJoin(qtile(99))
+        .crossJoin(late.agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_ms") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_ms")).as("max_late_ms")))
+        .select(col("n_events"), col("n_late"), col("p50"), col("p95"),
+          col("p99"), col("max_late_ms"))
+    },
+    Some("""WITH ev AS (
+      SELECT event_id, epoch_us(ts) AS us FROM events),
+    l AS (SELECT (MAX(us) OVER (ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us) // 1000
+        AS late_ms
+      FROM ev),
+    g AS (SELECT late_ms, CAST(COUNT(*) AS BIGINT) AS c
+      FROM l GROUP BY 1),
+    cum AS (SELECT late_ms,
+        SUM(c) OVER (ORDER BY late_ms
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        (SELECT SUM(c) FROM g) AS n
+      FROM g)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_events,
+      (SELECT CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM l) AS n_late,
+      (SELECT CAST(MIN(late_ms) AS BIGINT) FROM cum
+        WHERE cum * 100 >= n * 50) AS p50,
+      (SELECT CAST(MIN(late_ms) AS BIGINT) FROM cum
+        WHERE cum * 100 >= n * 95) AS p95,
+      (SELECT CAST(MIN(late_ms) AS BIGINT) FROM cum
+        WHERE cum * 100 >= n * 99) AS p99,
+      (SELECT CAST(MAX(late_ms) AS BIGINT) FROM l) AS max_late_ms"""))
+
+  // --- q302: NEYMAN STRATIFIED ALLOCATION — how to SPEND a fixed
+  //     eval-annotation budget (K = 200 draws) across strata when the
+  //     goal is estimating a mean: optimal sampling puts draws where
+  //     N_h·S_h is big (big AND noisy strata), not merely where N_h
+  //     is (q285's proportional split). The per-stratum std comes from
+  //     the decimal-exact moment helpers (dvar — cross-engine-
+  //     identical doubles), the Neyman weights N_h·S_h quantize ONCE
+  //     to integer 1e-6 units (FLOOR of identical doubles — the q167
+  //     rule), and the seat assignment is q285's integer Hamilton
+  //     largest-remainder, exact end to end. The design-effect readout
+  //     deff = (ΣW_h S_h)²/(ΣW_h S_h²) ≤ 1 (Cauchy–Schwarz) prices the
+  //     variance saved vs proportional; its two folds run over the
+  //     type-sorted collected array (q162's order discipline). One
+  //     corpus pass to the ~5-row stratum frame; everything after is
+  //     collapsed-frame arithmetic.
+  private val q302 = Q(
+    "q302_neyman_allocation",
+    "✦ eval curation: Neyman budget allocation (quantized weights + integer Hamilton) + design effect",
+    (s, d) => {
+      val k = 200L
+      val cents = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val strata = cents.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_h"), dstddev(col("cents")).as("s_h"))
+        .withColumn("wq",
+          floor(col("n_h").cast("double") * col("s_h") * lit(1e6))
+            .cast("long"))
+      val tot = strata.agg(sum(col("wq")).as("w_total"),
+        sum(col("n_h")).as("n_total"))
+      val a0 = strata.crossJoin(broadcast(tot))
+        .withColumn("base_quota", expr(s"($k * wq) div w_total"))
+        .withColumn("rem", pmod(lit(k) * col("wq"), col("w_total")))
+      val seats = a0.agg((lit(k) - sum(col("base_quota"))).as("seats"))
+      val wR = Window.orderBy(col("rem").desc, col("event_type"))
+      def fsum(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
+      val deff = strata.crossJoin(broadcast(tot))
+        .select(col("event_type"),
+          (col("n_h").cast("double") / col("n_total").cast("double"))
+            .as("w"), col("s_h"))
+        .agg(array_sort(collect_list(struct(col("event_type"), col("w"),
+          col("s_h")))).as("arr"))
+        .select((fsum(transform(col("arr"),
+            x => x.getField("w") * x.getField("s_h")))
+          * fsum(transform(col("arr"),
+            x => x.getField("w") * x.getField("s_h")))
+          / fsum(transform(col("arr"),
+            x => x.getField("w") * x.getField("s_h")
+              * x.getField("s_h")))).as("deff0"))
+        .select(fpTrunc(col("deff0"), 9).as("design_effect"))
+      a0.crossJoin(broadcast(seats))
+        .withColumn("rr", row_number().over(wR).cast("long"))
+        .withColumn("extra",
+          when(col("rr") <= col("seats"), 1L).otherwise(0L))
+        .withColumn("alloc", col("base_quota") + col("extra"))
+        .crossJoin(broadcast(deff))
+        .select(col("event_type"), col("n_h"),
+          fpTrunc(col("s_h"), 6).as("s_h"), col("wq"),
+          col("base_quota"), col("extra"), col("alloc"),
+          col("design_effect"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH c AS (
+      SELECT event_type,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+        ${dstddevSql("cents")} AS s_h
+      FROM c GROUP BY 1),
+    sq AS (SELECT event_type, n_h, s_h,
+        CAST(FLOOR(CAST(n_h AS DOUBLE) * s_h * 1e6) AS BIGINT) AS wq
+      FROM st),
+    t AS (SELECT CAST(SUM(wq) AS BIGINT) AS w_total,
+        CAST(SUM(n_h) AS BIGINT) AS n_total FROM sq),
+    a0 AS (SELECT sq.*, t.n_total,
+        CAST((200 * wq) // w_total AS BIGINT) AS base_quota,
+        CAST((200 * wq) % w_total AS BIGINT) AS rem
+      FROM sq, t),
+    se AS (SELECT CAST(200 - SUM(base_quota) AS BIGINT) AS seats FROM a0),
+    de0 AS (SELECT
+        list_sum(list_transform(list(CAST(n_h AS DOUBLE)
+            / CAST(n_total AS DOUBLE) * s_h ORDER BY event_type),
+          x -> x))
+        AS ws,
+        list(CAST(n_h AS DOUBLE) / CAST(n_total AS DOUBLE)
+          ORDER BY event_type) AS wl,
+        list(s_h ORDER BY event_type) AS sl
+      FROM a0),
+    de AS (SELECT ${fpTruncSql(
+        "list_sum(list_transform(generate_series(1, len(wl))," +
+          " j -> wl[j] * sl[j]))" +
+          " * list_sum(list_transform(generate_series(1, len(wl))," +
+          " j -> wl[j] * sl[j]))" +
+          " / list_sum(list_transform(generate_series(1, len(wl))," +
+          " j -> wl[j] * sl[j] * sl[j]))", 9)} AS design_effect
+      FROM de0)
+    SELECT event_type, n_h, ${fpTruncSql("s_h", 6)} AS s_h, wq,
+      base_quota,
+      CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, event_type)
+        <= (SELECT seats FROM se) THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      CAST(base_quota + CASE WHEN ROW_NUMBER()
+        OVER (ORDER BY rem DESC, event_type)
+        <= (SELECT seats FROM se) THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+      (SELECT design_effect FROM de) AS design_effect
+    FROM a0 ORDER BY event_type"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
-    q261, q262, q283)
+    q261, q262, q283, q301, q302)
 }
