@@ -2453,9 +2453,94 @@ object TextAnalysis extends Q.Module {
       ${fpTruncSql("w", 9)} AS weight, ess, ess_ratio
     FROM ww, e ORDER BY lang"""))
 
+  // --- q303: DOMAIN KL SIGNATURE — "which sources are lexically
+  //     DISTINCTIVE?": per-source KL divergence from the corpus
+  //     unigram distribution over a FIXED top-64 signature vocabulary
+  //     (fixed feature set = bounded fold, the design choice that
+  //     keeps the per-source reduction exact and deterministic at any
+  //     corpus size — a full-vocab KL would need an unbounded float
+  //     sum). Add-1 smoothing over the ACTUAL signature size V (the
+  //     fixture vocabulary undershoots 64; a hard-coded 64 would
+  //     subnormalize both sides and break Gibbs' KL ≥ 0) makes every
+  //     probability a strictly positive exact rational of BIGINTs; each source's 64
+  //     p·ln(p/q) terms fold in word-sorted order (q162's discipline).
+  //     Shape: one corpus token pass → top-64 table (broadcast) → one
+  //     (source, word) aggregate over the probe join → ~n_sources·64
+  //     collapsed rows → per-source fold. The readout ranks sources by
+  //     divergence — the mixture-curation signal ("src7 is not like
+  //     the others") that q298's balance audit cannot see.
+  private val q303 = Q(
+    "q303_domain_kl_signature",
+    "✦ mixture audit: per-source KL divergence from the corpus over a fixed top-64 vocab",
+    (s, d) => {
+      val tok = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .persist()
+      // tok persist: the top-64 table and the probe join both read it —
+      // harness-owned cache (q47's rule).
+      val top = tok.groupBy(col("word")).agg(count(lit(1)).as("cq"))
+        .orderBy(col("cq").desc, col("word")).limit(64)
+      val qtot = top.agg(sum(col("cq")).as("cq_tot"),
+        count(lit(1)).as("v"))
+      val sc = tok.join(broadcast(top.select(col("word"))), Seq("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("cp"))
+      // Dense (source × signature-word) grid so absent words carry
+      // their smoothed mass: re-join the top table with per-source
+      // totals, left-joining observed counts.
+      val stot = sc.groupBy(col("source")).agg(sum(col("cp")).as("cp_tot"))
+      val grid = stot.crossJoin(broadcast(top))
+        .join(sc, Seq("source", "word"), "left")
+        .withColumn("cp", coalesce(col("cp"), lit(0L)))
+        .crossJoin(broadcast(qtot))
+      def fsum(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (acc, x) => acc + x)
+      val terms = grid.select(col("source"), col("word"),
+        ((col("cp") + 1).cast("double")
+          / (col("cp_tot") + col("v")).cast("double")).as("p"),
+        ((col("cq") + 1).cast("double")
+          / (col("cq_tot") + col("v")).cast("double")).as("q"))
+      terms.groupBy(col("source"))
+        .agg(array_sort(collect_list(struct(col("word"), col("p"),
+          col("q")))).as("arr"))
+        .select(col("source"),
+          fpTrunc(fsum(transform(col("arr"),
+            x => x.getField("p")
+              * log(x.getField("p") / x.getField("q")))), 9)
+            .as("kl_nats"))
+        .orderBy(col("kl_nats").desc, col("source"))
+    },
+    Some(s"""WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    top AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cq
+      FROM tok GROUP BY 1 ORDER BY cq DESC, word LIMIT 64),
+    qt AS (SELECT CAST(SUM(cq) AS BIGINT) AS cq_tot,
+        CAST(COUNT(*) AS BIGINT) AS v FROM top),
+    sc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cp
+      FROM tok JOIN top USING (word) GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(cp) AS BIGINT) AS cp_tot
+      FROM sc GROUP BY 1),
+    grid AS (SELECT st.source, top.word, top.cq, st.cp_tot,
+        COALESCE(sc.cp, 0) AS cp, (SELECT cq_tot FROM qt) AS cq_tot,
+        (SELECT v FROM qt) AS v
+      FROM st CROSS JOIN top
+      LEFT JOIN sc ON sc.source = st.source AND sc.word = top.word),
+    terms AS (SELECT source, word,
+        CAST(cp + 1 AS DOUBLE) / CAST(cp_tot + v AS DOUBLE) AS p,
+        CAST(cq + 1 AS DOUBLE) / CAST(cq_tot + v AS DOUBLE) AS q
+      FROM grid),
+    kl AS (SELECT source,
+        list_sum(list_transform(
+          list(struct_pack(p := p, q := q) ORDER BY word),
+          x -> x.p * ln(x.p / x.q))) AS kl0
+      FROM terms GROUP BY 1)
+    SELECT source, ${fpTruncSql("kl0", 9)} AS kl_nats
+    FROM kl ORDER BY kl_nats DESC, source"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
       q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292,
-      q293, q294, q298, q299)
+      q293, q294, q298, q299, q303)
 }

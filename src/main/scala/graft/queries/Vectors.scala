@@ -1594,7 +1594,88 @@ object Vectors extends Q.Module {
         9)} AS norm_ratio
     FROM cnt, mo"""))
 
+  // --- q304: CENTROID SILHOUETTE OF THE LABEL CLASSES — "are the
+  //     labels even separable in embedding space?", the go/no-go check
+  //     before training a classifier on them (q286 scores DISCOVERED
+  //     clusters; this scores the GIVEN labels). Centroid variant
+  //     (a = d² to own-label centroid, b = min d² to any other
+  //     centroid) so the cost is one broadcast of the #labels×64
+  //     centroid frame against the long-format corpus — never the
+  //     all-pairs distances of textbook silhouette. Exactness: q214's
+  //     integer-unit rules end-to-end (quantize once, FLOOR(sum/count)
+  //     centroids, exact integer d² sums), and the per-label readout
+  //     is the MICRO-averaged silhouette Σ(b−a)/Σmax(a,b) — a ratio of
+  //     two exact BIGINT sums (order-free, oracle-exact at any scale),
+  //     chosen over the per-row-mean variant whose float sum would
+  //     need q45's block decomposition. A class that beats 0 is
+  //     separable; n_misassigned counts vectors strictly closer to a
+  //     foreign centroid (the label-noise suspects, cross-checking
+  //     q287's kNN vote from the parametric side).
+  private val q304 = Q(
+    "q304_centroid_silhouette",
+    "✦ ML eval: micro-averaged centroid silhouette per label class, integer-exact distances",
+    (s, d) => {
+      val ve = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"),
+          col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * 1e6).as("xu"))
+        .persist()
+      // ve persist: centroid pass + distance pass — harness-owned
+      // cache (q47's rule).
+      val cent = ve.groupBy(col("label").as("cl"), col("dim"))
+        .agg(floor(sum(col("xu")).cast("double")
+          / count(lit(1)).cast("double")).as("cu"))
+      val d2 = ve.join(broadcast(cent), Seq("dim"))
+        .withColumn("dd", (col("xu") - col("cu")) * (col("xu") - col("cu")))
+        .groupBy(col("vec_id"), col("label"), col("cl"))
+        .agg(sum(col("dd")).as("d2"))
+      val ab = d2.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("cl") === col("label"), col("d2"))).as("a"),
+          min(when(col("cl") =!= col("label"), col("d2"))).as("b"))
+      ab.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("b") < col("a"), 1L).otherwise(0L))
+            .as("n_misassigned"),
+          sum(col("b") - col("a")).as("num"),
+          sum(greatest(col("a"), col("b"))).as("den"))
+        .select(col("label"), col("n"), col("n_misassigned"),
+          graft.dsl.fpTrunc(col("n_misassigned").cast("double")
+            / col("n").cast("double"), 9).as("mis_share"),
+          graft.dsl.fpTrunc(col("num").cast("double")
+            / col("den").cast("double"), 9).as("micro_silhouette"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH ve AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, g.i AS dim,
+        CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+          AS xu
+      FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) g),
+    cent AS (SELECT label AS cl, dim,
+        CAST(FLOOR(CAST(SUM(xu) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+      FROM ve GROUP BY 1, 2),
+    d2 AS (SELECT ve.vec_id, ve.label, c.cl,
+        CAST(SUM((ve.xu - c.cu) * (ve.xu - c.cu)) AS BIGINT) AS d2
+      FROM ve JOIN cent c ON ve.dim = c.dim
+      GROUP BY 1, 2, 3),
+    ab AS (SELECT vec_id, label,
+        CAST(MAX(CASE WHEN cl = label THEN d2 END) AS BIGINT) AS a,
+        CAST(MIN(CASE WHEN cl != label THEN d2 END) AS BIGINT) AS b
+      FROM d2 GROUP BY 1, 2)
+    SELECT label, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN b < a THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_misassigned,
+      ${graft.dsl.fpTruncSql(
+        "CAST(SUM(CASE WHEN b < a THEN 1 ELSE 0 END) AS DOUBLE)" +
+          " / CAST(COUNT(*) AS DOUBLE)", 9)} AS mis_share,
+      ${graft.dsl.fpTruncSql(
+        "CAST(SUM(b - a) AS DOUBLE)" +
+          " / CAST(SUM(GREATEST(a, b)) AS DOUBLE)", 9)}
+        AS micro_silhouette
+    FROM ab GROUP BY label ORDER BY label"""))
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214, q215, q236, q265, q269, q274, q277, q286, q287, q290)
+      q214, q215, q236, q265, q269, q274, q277, q286, q287, q290, q304)
 }
