@@ -425,4 +425,32 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(windows.forall(_.contains("user_id")),
       s"unpartitioned window in the scan path:\n$plan")
   }
+
+  test("q287 label agreement: probes broadcast, no cartesian") {
+    // The non-equi probe×candidate join must be a broadcast nested
+    // loop of the BOUNDED probe sample — a CartesianProduct would mean
+    // the corpus met itself unbounded.
+    val plan = planOf("q287_knn_label_agreement")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"probe side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("q303 KL signature: corpus meets the top-64 table via broadcast") {
+    val plan = planOf("q303_domain_kl_signature")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"signature probe not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("q304 silhouette: one broadcast centroid join, no windows") {
+    // The whole metric is aggregates around ONE broadcast of the
+    // #labels×64 centroid frame — any Window or sort-merge join says
+    // the plan degenerated.
+    val plan = planOf("q304_centroid_silhouette")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid frame not broadcast:\n$plan")
+    assert(!plan.contains("Window "), s"unexpected window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ crept in:\n$plan")
+  }
 }
