@@ -2538,9 +2538,72 @@ object TextAnalysis extends Q.Module {
     SELECT source, ${fpTruncSql("kl0", 9)} AS kl_nats
     FROM kl ORDER BY kl_nats DESC, source"""))
 
+  // --- q306: GATE-ATTRITION MATRIX — quality pipelines stack gates
+  //     (q51's heuristics, q113's quantile cut, q111's Gopher rules);
+  //     this answers "WHICH gate kills WHICH source" — the matrix that
+  //     tells you a gate is silently deleting a domain before the
+  //     mixture solver ever sees it. Three deterministic q51-family
+  //     gates (length ≥ 200 chars, stopword ratio cleared to the
+  //     integer comparison 100·n_stop ≥ 2·n_words, lexical diversity
+  //     5·n_distinct ≥ 2·n_words — all BIGINT, no float thresholds),
+  //     evaluated as conditional sums in ONE corpus pass → per-source
+  //     pass counts per gate, survivors of the full stack, and the
+  //     attrition share. Zero joins, zero windows — the 100 TB shape
+  //     for a composition audit.
+  private val q306 = Q(
+    "q306_gate_attrition",
+    "✦ quality ops: gate×source attrition matrix — which gate kills which source",
+    (s, d) => {
+      val w = split(col("text"), " ")
+      val stop = Seq("the", "a")
+      val flags = docs(s, d).select(col("source"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(w).cast("long").as("n_words"),
+          size(array_distinct(w)).cast("long").as("n_distinct"),
+          size(filter(w, x => x.isin(stop.map(lit(_)): _*))).cast("long")
+            .as("n_stop"))
+        .select(col("source"),
+          (col("n_chars") >= 200L).as("g_len"),
+          (col("n_stop") * 100 >= col("n_words") * 2).as("g_stop"),
+          (col("n_distinct") * 5 >= col("n_words") * 2).as("g_div"))
+      flags.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("g_len"), 1L).otherwise(0L)).as("pass_len"),
+          sum(when(col("g_stop"), 1L).otherwise(0L)).as("pass_stop"),
+          sum(when(col("g_div"), 1L).otherwise(0L)).as("pass_div"),
+          sum(when(col("g_len") && col("g_stop") && col("g_div"), 1L)
+            .otherwise(0L)).as("pass_all"))
+        .select(col("source"), col("n_docs"), col("pass_len"),
+          col("pass_stop"), col("pass_div"), col("pass_all"),
+          fpTrunc((col("n_docs") - col("pass_all")).cast("double")
+            / col("n_docs").cast("double"), 9).as("attrition"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH f AS (
+      SELECT source,
+        len(text) >= 200 AS g_len,
+        len(list_filter(string_split(text, ' '),
+          x -> x IN ('the', 'a'))) * 100
+          >= len(string_split(text, ' ')) * 2 AS g_stop,
+        len(list_distinct(string_split(text, ' '))) * 5
+          >= len(string_split(text, ' ')) * 2 AS g_div
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+      CAST(SUM(CASE WHEN g_stop THEN 1 ELSE 0 END) AS BIGINT)
+        AS pass_stop,
+      CAST(SUM(CASE WHEN g_div THEN 1 ELSE 0 END) AS BIGINT) AS pass_div,
+      CAST(SUM(CASE WHEN g_len AND g_stop AND g_div THEN 1 ELSE 0 END)
+        AS BIGINT) AS pass_all,
+      ${fpTruncSql(
+        "CAST(COUNT(*) - SUM(CASE WHEN g_len AND g_stop AND g_div" +
+          " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+        9)} AS attrition
+    FROM f GROUP BY source ORDER BY source"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
       q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292,
-      q293, q294, q298, q299, q303)
+      q293, q294, q298, q299, q303, q306)
 }

@@ -1675,7 +1675,96 @@ object Vectors extends Q.Module {
         AS micro_silhouette
     FROM ab GROUP BY label ORDER BY label"""))
 
+  // --- q305: NDCG RETRIEVAL EVALUATION — the graded-relevance metric
+  //     for the engine's retrieval stack (q44 exact / q57 LSH / q276
+  //     RRF): score the exact-cosine top-10 ranking per probe against
+  //     same-label relevance. Per-probe DCG folds its ≤10 terms in
+  //     rank order (bounded fold — deterministic at any scale);
+  //     discounts are natural-log (dcg/idcg are "nats" columns —
+  //     NDCG itself is BASE-INVARIANT, identical to the log2
+  //     textbook value, because the base cancels in the ratio). The
+  //     ideal DCG caps at min(10, #relevant-in-corpus) — the honest
+  //     denominator when a label class is thin. Probes are q287's
+  //     deterministic 1-in-5 decimation (bounded broadcast side);
+  //     output stays per-probe — the grain that avoids a corpus-sized
+  //     float mean (a label-level rollup would need q45's block fold).
+  private val q305 = Q(
+    "q305_ndcg_retrieval",
+    "✦ ML eval: per-probe NDCG@10 of exact-cosine retrieval vs same-label relevance",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+          col("label").cast("long").as("plab"))
+      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").cast("long").as("clab"))
+      val labTot = cands.groupBy(col("clab").as("plab"))
+        .agg(count(lit(1)).as("n_lab"))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("score").desc, col("cid"))
+      val ranked = broadcast(probes).join(cands, col("pid") =!= col("cid"))
+        .select(col("pid"), col("plab"), col("clab"),
+          graft.functions.CosineSimilarity
+            .cosineSim(col("pe"), col("ce")).as("score"), col("cid"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      def fsum(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
+      ranked.groupBy(col("pid"), col("plab"))
+        .agg(sum(when(col("clab") === col("plab"), 1L).otherwise(0L))
+          .as("n_rel_at10"),
+          array_sort(collect_list(struct(col("rank"),
+            when(col("clab") === col("plab"), 1L).otherwise(0L)
+              .as("rel")))).as("arr"))
+        .join(broadcast(labTot), Seq("plab"))
+        // relevant pool excludes the probe itself (same label).
+        .withColumn("n_ideal", least(lit(10L), col("n_lab") - 1))
+        .select(col("pid"), col("plab"), col("n_rel_at10"), col("n_ideal"),
+          fsum(transform(col("arr"), x =>
+            x.getField("rel").cast("double")
+              / log(x.getField("rank").cast("double") + 1.0)))
+            .as("dcg_nats"),
+          fsum(transform(sequence(lit(1L), col("n_ideal")), i =>
+            lit(1.0) / log(i.cast("double") + 1.0))).as("idcg_nats"))
+        .select(col("pid"), col("plab"), col("n_rel_at10"), col("n_ideal"),
+          graft.dsl.fpTrunc(col("dcg_nats"), 9).as("dcg_nats"),
+          graft.dsl.fpTrunc(col("idcg_nats"), 9).as("idcg_nats"),
+          graft.dsl.fpTrunc(col("dcg_nats") / col("idcg_nats"), 9)
+            .as("ndcg"))
+        .orderBy(col("pid"))
+    },
+    Some(s"""WITH nb AS (
+      SELECT p.vec_id AS pid, CAST(p.label AS BIGINT) AS plab,
+        CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
+        ROW_NUMBER() OVER (PARTITION BY p.vec_id
+          ORDER BY ${cosineSql("p.embedding", "c.embedding")} DESC,
+            c.vec_id) AS rank
+      FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+      WHERE p.vec_id % 5 = 0),
+    lt AS (SELECT CAST(label AS BIGINT) AS plab,
+        CAST(COUNT(*) AS BIGINT) AS n_lab
+      FROM embeddings GROUP BY 1),
+    ag AS (SELECT pid, plab,
+        CAST(SUM(rel) AS BIGINT) AS n_rel_at10,
+        list_sum(list_transform(list(struct_pack(rank := rank, rel := rel)
+            ORDER BY rank),
+          x -> CAST(x.rel AS DOUBLE) / ln(CAST(x.rank AS DOUBLE) + 1.0)))
+          AS dcg
+      FROM nb WHERE rank <= 10 GROUP BY 1, 2),
+    fin AS (SELECT pid, ag.plab, n_rel_at10,
+        LEAST(10, lt.n_lab - 1) AS n_ideal, dcg,
+        list_sum(list_transform(generate_series(1,
+            LEAST(10, lt.n_lab - 1)),
+          i -> 1.0 / ln(CAST(i AS DOUBLE) + 1.0))) AS idcg
+      FROM ag JOIN lt ON ag.plab = lt.plab)
+    SELECT pid, plab, n_rel_at10, CAST(n_ideal AS BIGINT) AS n_ideal,
+      ${graft.dsl.fpTruncSql("dcg", 9)} AS dcg_nats,
+      ${graft.dsl.fpTruncSql("idcg", 9)} AS idcg_nats,
+      ${graft.dsl.fpTruncSql("dcg / idcg", 9)} AS ndcg
+    FROM fin ORDER BY pid"""))
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
-      q214, q215, q236, q265, q269, q274, q277, q286, q287, q290, q304)
+      q214, q215, q236, q265, q269, q274, q277, q286, q287, q290, q304,
+      q305)
 }
