@@ -2897,6 +2897,83 @@ object Aggs extends Q.Module {
     GROUP BY t.n_cal, t.k, t.threshold"""))
 
 
+  // --- q307: PINBALL-LOSS QUANTILE-FORECAST EVALUATION — quality
+  //     gates and SLOs run on predicted QUANTILES (q113's cut, q296's
+  //     conformal threshold); pinball (quantile) loss is the proper
+  //     scoring rule that says whether a p90 estimate was any good.
+  //     Train/test by doc parity: per-source exact p90 on the
+  //     calibration half (the ⌈0.9·n⌉-th order statistic via the
+  //     per-source distinct-score collapse — windows partitioned by
+  //     source over COLLAPSED rows only), then on the held-out half
+  //     the loss clears to exact integers: 10·pinball(y, ŷ) =
+  //     Σ [y ≥ ŷ] 9(y−ŷ) + [y < ŷ] (ŷ−y) — one conditional sum, no
+  //     floats until the mean readout. Empirical coverage rides along
+  //     (a well-calibrated p90 covers ~90%).
+  private val q307 = Q(
+    "q307_pinball_eval",
+    "✦ ML eval: integer-cleared pinball loss + coverage of a per-source p90 forecast",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").as("y"),
+          (col("doc_id") % 2 === 0).as("cal"))
+      val g = base.filter(col("cal"))
+        .groupBy(col("source"), col("y")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("y"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val nCal = base.filter(col("cal"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_cal"))
+      val yhat = g.withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(nCal), Seq("source"))
+        .filter(col("cum") * 10 >= col("n_cal") * 9)
+        .groupBy(col("source"), col("n_cal"))
+        .agg(min(col("y")).as("yhat"))
+      base.filter(!col("cal"))
+        .join(broadcast(yhat), Seq("source"))
+        .groupBy(col("source"), col("n_cal"), col("yhat"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("y") >= col("yhat"),
+              (col("y") - col("yhat")) * 9)
+            .otherwise(col("yhat") - col("y"))).as("pinball10"),
+          sum(when(col("y") <= col("yhat"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("source"), col("n_cal"), col("yhat"), col("n_eval"),
+          col("pinball10"),
+          fpTrunc(col("pinball10").cast("double")
+            / (col("n_eval") * 10).cast("double"), 9)
+            .as("mean_pinball"),
+          fpTrunc(col("n_covered").cast("double")
+            / col("n_eval").cast("double"), 9).as("coverage"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH base AS (
+      SELECT source, n_chars AS y, doc_id % 2 = 0 AS cal
+      FROM documents),
+    g AS (SELECT source, y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base WHERE cal GROUP BY 1, 2),
+    nc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM base WHERE cal GROUP BY 1),
+    cum AS (SELECT g.source, y,
+        SUM(c) OVER (PARTITION BY g.source ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        nc.n_cal
+      FROM g JOIN nc ON g.source = nc.source),
+    yh AS (SELECT source, n_cal, CAST(MIN(y) AS BIGINT) AS yhat
+      FROM cum WHERE cum * 10 >= n_cal * 9 GROUP BY 1, 2)
+    SELECT b.source, yh.n_cal, yh.yhat,
+      CAST(COUNT(*) AS BIGINT) AS n_eval,
+      CAST(SUM(CASE WHEN b.y >= yh.yhat THEN (b.y - yh.yhat) * 9
+        ELSE yh.yhat - b.y END) AS BIGINT) AS pinball10,
+      ${fpTruncSql(
+        "CAST(SUM(CASE WHEN b.y >= yh.yhat THEN (b.y - yh.yhat) * 9" +
+          " ELSE yh.yhat - b.y END) AS DOUBLE)" +
+          " / CAST(COUNT(*) * 10 AS DOUBLE)", 9)} AS mean_pinball,
+      ${fpTruncSql(
+        "CAST(SUM(CASE WHEN b.y <= yh.yhat THEN 1 ELSE 0 END)" +
+          " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 9)} AS coverage
+    FROM base b JOIN yh ON b.source = yh.source
+    WHERE NOT b.cal
+    GROUP BY b.source, yh.n_cal, yh.yhat ORDER BY b.source"""))
+
   // --- q300: K-ANONYMITY / L-DIVERSITY GOVERNANCE AUDIT — the
   //     re-identification screen run before a corpus ships: under the
   //     quasi-identifier (source, lang, n_chars div 100), how small is
@@ -2958,5 +3035,5 @@ object Aggs extends Q.Module {
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
     q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
-    q249, q257, q272, q273, q288, q295, q296, q300)
+    q249, q257, q272, q273, q288, q295, q296, q300, q307)
 }

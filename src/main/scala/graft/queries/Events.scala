@@ -2803,9 +2803,74 @@ object Events extends Q.Module {
       (SELECT design_effect FROM de) AS design_effect
     FROM a0 ORDER BY event_type"""))
 
+  // --- q308: HODGES–LEHMANN ROBUST LOCATION — q261's Theil–Sen
+  //     sibling for LEVEL instead of slope: the median of the Walsh
+  //     averages (x_i + x_j)/2 over day pairs i ≤ j of daily purchase
+  //     revenue — a 29%-breakdown location estimate that one outlier
+  //     day cannot drag (the daily MEAN rides along for contrast).
+  //     Integer end-to-end: Walsh sums stay DOUBLED (w2 = rev_i +
+  //     rev_j, exact cents — no halving until the final readout, where
+  //     /2 is an exact binary operation), and the pair median is the
+  //     q296 distinct-value-collapse order statistic — counts over the
+  //     collapsed w2 frame, never a sort of the pair set. The pair
+  //     frame is #days², bounded by the CALENDAR (time, not corpus —
+  //     the q261 dial); a multi-year window would block the pair join
+  //     on month the way q261's comment prescribes.
+  private val q308 = Q(
+    "q308_hodges_lehmann",
+    "✦ robust stats: Hodges–Lehmann location of daily revenue via Walsh-average median",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 86400000000").as("dd"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("dd")).agg(sum(col("cents")).as("rev"))
+      val pairs = daily.as("a").join(daily.as("b"), col("a.dd") <= col("b.dd"))
+        .select((col("a.rev") + col("b.rev")).as("w2"))
+      val g = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c"))
+      val tot = g.agg(sum(col("c")).as("n_pairs"))
+      val wCum = Window.orderBy(col("w2"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val med = g.withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * 2 >= col("n_pairs") + 1)
+        .groupBy(col("n_pairs")).agg(min(col("w2")).as("w2_med"))
+      val mean = daily.agg(count(lit(1)).as("n_days"),
+        sum(col("rev")).as("rev_tot"))
+      med.crossJoin(broadcast(mean))
+        .select(col("n_days"), col("n_pairs"), col("w2_med"),
+          (col("w2_med").cast("double") / 2.0).as("hl_cents"),
+          fpTrunc(col("rev_tot").cast("double")
+            / col("n_days").cast("double"), 9).as("mean_cents"))
+    },
+    Some(s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    p AS (SELECT CAST(a.rev + b.rev AS BIGINT) AS w2
+      FROM daily a JOIN daily b ON a.dd <= b.dd),
+    g AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_pairs FROM g),
+    cum AS (SELECT w2,
+        SUM(c) OVER (ORDER BY w2
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        (SELECT n_pairs FROM t) AS n_pairs
+      FROM g),
+    med AS (SELECT n_pairs, CAST(MIN(w2) AS BIGINT) AS w2_med
+      FROM cum WHERE cum * 2 >= n_pairs + 1 GROUP BY 1),
+    mn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(rev) AS BIGINT) AS rev_tot FROM daily)
+    SELECT n_days, n_pairs, w2_med,
+      CAST(w2_med AS DOUBLE) / 2.0 AS hl_cents,
+      ${fpTruncSql(
+        "CAST(rev_tot AS DOUBLE) / CAST(n_days AS DOUBLE)",
+        9)} AS mean_cents
+    FROM med, mn"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
-    q261, q262, q283, q301, q302)
+    q261, q262, q283, q301, q302, q308)
 }
