@@ -2974,6 +2974,77 @@ object Aggs extends Q.Module {
     WHERE NOT b.cal
     GROUP BY b.source, yh.n_cal, yh.yhat ORDER BY b.source"""))
 
+  // --- q310: JOIN-SIZE ESTIMATION AUDIT (CMS inner product vs exact)
+  //     — the cardinality estimate a cost-based planner needs BEFORE
+  //     running a fact-fact join: |A⋈B| = Σ_k cA(k)·cB(k), estimated
+  //     by the count-min INNER PRODUCT est_r = Σ_b cmsA[r][b]·cmsB[r][b]
+  //     (min over the 4 rows — a one-sided overestimate, like q205's
+  //     point lookups), audited against the exact key-count dot
+  //     product. Everything is integer: both sketches are q205's
+  //     deterministic seeded-hash 4×1024 frames (two map-combined
+  //     passes), the exact size is one collapsed key-count join —
+  //     never the join itself — and the single fpTrunc is the
+  //     overestimate factor. At 100 TB the sketch passes are the only
+  //     corpus-sized work and the estimate costs O(depth·width), the
+  //     point of sketched planning.
+  private val q310 = Q(
+    "q310_join_size_estimate",
+    "✦ planner ops: count-min inner-product join-size estimate vs exact key-count dot product",
+    (s, d) => {
+      val depth = 4
+      val width = 1024L
+      val rs = array((0 until depth).map(r => lit(r.toLong)): _*)
+      def cmsOf(keys: DataFrame) = keys
+        .withColumn("r", explode(rs))
+        .withColumn("bucket",
+          hashMod2L(col("k") + col("r") * lit(1000003L), lit(width)))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val a = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val b = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val exact = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(sum(col("ca") * col("cb")).as("exact_size"),
+          count(lit(1)).as("n_join_keys"))
+      val est = cmsOf(a).withColumnRenamed("c", "ca")
+        .join(cmsOf(b).withColumnRenamed("c", "cb"), Seq("r", "bucket"))
+        .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min(col("ip")).as("cms_est"))
+      val sizes = a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      exact.crossJoin(broadcast(est)).crossJoin(broadcast(sizes))
+        .select(col("n_a"), col("n_b"), col("n_join_keys"),
+          col("exact_size"), col("cms_est"),
+          (col("cms_est") - col("exact_size")).as("overcount"),
+          fpTrunc(col("cms_est").cast("double")
+            / col("exact_size").cast("double"), 9).as("over_factor"))
+    },
+    Some(s"""WITH ka AS (SELECT l_orderkey AS k FROM lineitem),
+    kb AS (SELECT o_orderkey AS k FROM orders),
+    rs AS (SELECT CAST(r AS BIGINT) AS r
+      FROM (VALUES (0), (1), (2), (3)) t(r)),
+    ca AS (SELECT r, ${hashMod2LSql("(k + r * 1000003)", "1024")}
+        AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ka CROSS JOIN rs GROUP BY 1, 2),
+    cb AS (SELECT r, ${hashMod2LSql("(k + r * 1000003)", "1024")}
+        AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM kb CROSS JOIN rs GROUP BY 1, 2),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_est FROM (
+      SELECT ca.r, SUM(ca.c * cb.c) AS ip
+      FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+      GROUP BY 1)),
+    ex AS (SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_size,
+        CAST(COUNT(*) AS BIGINT) AS n_join_keys
+      FROM (SELECT k, COUNT(*) AS c FROM ka GROUP BY 1) a
+      JOIN (SELECT k, COUNT(*) AS c FROM kb GROUP BY 1) b USING (k)),
+    sz AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ka) AS n_a,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM kb) AS n_b)
+    SELECT n_a, n_b, n_join_keys, exact_size, cms_est,
+      CAST(cms_est - exact_size AS BIGINT) AS overcount,
+      ${fpTruncSql(
+        "CAST(cms_est AS DOUBLE) / CAST(exact_size AS DOUBLE)",
+        9)} AS over_factor
+    FROM ex, est, sz"""))
+
   // --- q300: K-ANONYMITY / L-DIVERSITY GOVERNANCE AUDIT — the
   //     re-identification screen run before a corpus ships: under the
   //     quasi-identifier (source, lang, n_chars div 100), how small is
@@ -3035,5 +3106,5 @@ object Aggs extends Q.Module {
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
     q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
-    q249, q257, q272, q273, q288, q295, q296, q300, q307)
+    q249, q257, q272, q273, q288, q295, q296, q300, q307, q310)
 }

@@ -1430,6 +1430,55 @@ object Dedup extends Q.Module {
         AS corpus_savings_ratio
     FROM hist, tot ORDER BY k"""))
 
+  // --- q309: CONTAINMENT (ASYMMETRIC) NEAR-DUP — the case symmetric
+  //     Jaccard is BLIND to: a short document quoted whole inside a
+  //     long one has |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment
+  //     |A∩B|/min(|A|,|B|) ≈ 1 — the quote-inclusion dedup signal
+  //     (The-Stack-style pipelines gate on containment for exactly
+  //     this). Fixture injection: every 25th doc gets its SUCCESSOR's
+  //     full text appended (a left join on doc_id+1, so the quoted doc
+  //     still exists standalone), creating true containment pairs at
+  //     Jaccard ≈ ½. Shape: q47's whole machinery reused — the shingle
+  //     inverted index with the hot-shingle cutoff, 8-byte-key SMJ pair
+  //     join — plus one extra division; the audit reports both scores
+  //     so the Jaccard-blind pairs are visible in the output.
+  private val q309 = Q(
+    "q309_containment_dedup",
+    "✦ asymmetric near-dup: containment ≥ 0.8 pairs the Jaccard gate misses",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = base.as("x")
+        .join(base.as("y"), col("y.doc_id") === col("x.doc_id") + 1, "left")
+        .select(col("x.doc_id").as("doc_id"),
+          when(col("x.doc_id") % 25 === 0 && col("y.text").isNotNull,
+            concat(col("x.text"), lit(" "), col("y.text")))
+            .otherwise(col("x.text")).as("text"))
+      val pairs = jaccardPairs(shinglesOf(Tables.fanOut(corpus)).persist())
+      // shingle persist: harness-owned cache (q47's rule).
+      pairs
+        .withColumn("containment", col("inter").cast("double")
+          / least(col("na"), col("nb")).cast("double"))
+        .filter(col("containment") >= 0.8)
+        .select(col("da"), col("db"), col("na"), col("nb"), col("inter"),
+          graft.dsl.fpTrunc(col("jacc"), 9).as("jacc"),
+          graft.dsl.fpTrunc(col("containment"), 9).as("containment"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH corpus AS (
+      SELECT x.doc_id,
+        CASE WHEN x.doc_id % 25 = 0 AND y.text IS NOT NULL
+          THEN x.text || ' ' || y.text ELSE x.text END AS text
+      FROM documents x LEFT JOIN documents y ON y.doc_id = x.doc_id + 1),
+    ${shinglesSqlFrom("corpus")}, $jaccardPairsSql
+    SELECT da, db, na, nb, inter,
+      ${graft.dsl.fpTruncSql("jacc", 9)} AS jacc,
+      ${graft.dsl.fpTruncSql(
+        "CAST(inter AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE)",
+        9)} AS containment
+    FROM jp
+    WHERE CAST(inter AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) >= 0.8
+    ORDER BY da, db"""))
+
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148, q156, q228, q242, q244, q271, q275, q297)
+    q148, q156, q228, q242, q244, q271, q275, q297, q309)
 }
