@@ -157,5 +157,61 @@ object Multimodal extends Q.Module {
           k -> ascii(substr(p, k, 1)))) AS BIGINT) END AS head_sum
     FROM t ORDER BY doc_id"""))
 
-  def defs: Seq[Q] = Seq(q55, q56, q81, q133)
+  // --- q312: MODALITY-COVERAGE AUDIT — multimodal pipelines die
+  //     quietly when one modality's job lags: text lands, embeddings
+  //     don't, and the training join silently shrinks. This audits the
+  //     text↔embedding alignment: per-source document coverage (does
+  //     each doc have its vector?) plus the global orphan count on the
+  //     embedding side. The fixture aligns 1:1 by construction, so a
+  //     FAILED-JOB INJECTION (embeddings with vec_id % 7 = 0 dropped —
+  //     the q94/q97 idiom) makes the coverage gap real (~6/7) and the
+  //     outputs non-degenerate. Shape: one left join doc→embedding
+  //     (the embedding-id frame collapses to one column and
+  //     broadcasts), one conditional-sum rollup per source; the orphan
+  //     leg is an anti-join the other way. The 100 TB audit is exactly
+  //     this plan with both sides partitioned by the id.
+  private val q312 = Q(
+    "q312_modality_coverage",
+    "✦ multimodal ops: text↔embedding coverage per source + orphan vectors (failed-job injection)",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      // Injection: simulate a partially-failed embedding job.
+      val emb = Tables.embeddings(s, d).select(col("vec_id"))
+        .filter(col("vec_id") % 7 =!= 0)
+      val cov = docs
+        .join(broadcast(emb.withColumn("has", lit(1L))),
+          col("doc_id") === col("vec_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("has"), lit(0L))).as("n_embedded"))
+      val orphans = emb.join(docs, col("vec_id") === col("doc_id"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_orphan_vectors"))
+      cov.crossJoin(broadcast(orphans))
+        .select(col("source"), col("n_docs"), col("n_embedded"),
+          (col("n_docs") - col("n_embedded")).as("n_missing"),
+          graft.dsl.fpTrunc(col("n_embedded").cast("double")
+            / col("n_docs").cast("double"), 9).as("coverage"),
+          col("n_orphan_vectors"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH emb AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 7 != 0),
+    cov AS (SELECT d.source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_embedded
+      FROM documents d LEFT JOIN emb e ON d.doc_id = e.vec_id
+      GROUP BY 1),
+    orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_vectors
+      FROM emb WHERE NOT EXISTS (
+        SELECT 1 FROM documents d WHERE d.doc_id = emb.vec_id))
+    SELECT source, n_docs, n_embedded,
+      CAST(n_docs - n_embedded AS BIGINT) AS n_missing,
+      ${graft.dsl.fpTruncSql(
+        "CAST(n_embedded AS DOUBLE) / CAST(n_docs AS DOUBLE)",
+        9)} AS coverage,
+      n_orphan_vectors
+    FROM cov, orph ORDER BY source"""))
+
+  def defs: Seq[Q] = Seq(q55, q56, q81, q133, q312)
 }

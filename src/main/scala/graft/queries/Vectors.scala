@@ -1763,8 +1763,96 @@ object Vectors extends Q.Module {
       ${graft.dsl.fpTruncSql("dcg / idcg", 9)} AS ndcg
     FROM fin ORDER BY pid"""))
 
+  // --- q311: RANK-BIASED OVERLAP (RBO) QUANTIZATION-FIDELITY AUDIT —
+  //     q129/q277 speed retrieval up by quantizing; this measures what
+  //     quantization does to the RANKING, which recall alone cannot
+  //     see (same set, scrambled order ⇒ recall 1, broken top-1). RBO
+  //     compares the exact-cosine top-10 against the coarse-integer-
+  //     dot top-10 per probe with TOP-WEIGHTED depth discounts:
+  //     rbo@10 = (1−p)·Σ_{d=1..10} p^{d−1}·|A_d ∩ B_d|/d, with
+  //     p = 1/2 — chosen over the textbook 0.9 because 2^{-(d-1)} is
+  //     BINARY-EXACT in both engines (no cross-engine pow), making
+  //     every term an exact rational evaluated in one fixed-order
+  //     bounded fold. The quantized leg re-ranks by Σ⌊64x⌋·⌊64y⌋ —
+  //     exact BIGINT scores, deterministic ties by cid. Probes are the
+  //     q287 decimation; both rankings ride the same one-scan
+  //     broadcast-probe plan.
+  private val q311 = Q(
+    "q311_rbo_quantization",
+    "✦ similarity audit: rank-biased overlap of quantized vs exact top-10 per probe",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val qdot = aggregate(
+        zip_with(col("pe"), col("ce"), (a, b) =>
+          floor(a.cast("double") * 64) * floor(b.cast("double") * 64)),
+        lit(0L), (acc, x) => acc + x.cast("long"))
+      val scored = broadcast(probes).join(cands, col("pid") =!= col("cid"))
+        .select(col("pid"), col("cid"),
+          graft.functions.CosineSimilarity
+            .cosineSim(col("pe"), col("ce")).as("sx"),
+          qdot.as("sq"))
+      val wx = Window.partitionBy(col("pid"))
+        .orderBy(col("sx").desc, col("cid"))
+      val wq = Window.partitionBy(col("pid"))
+        .orderBy(col("sq").desc, col("cid"))
+      val ranked = scored
+        .withColumn("rx", row_number().over(wx))
+        .withColumn("rq", row_number().over(wq))
+      val lists = ranked.groupBy(col("pid"))
+        .agg(
+          transform(array_sort(filter(
+            collect_list(struct(col("rx"), col("cid"))),
+            x => x.getField("rx") <= 10)), x => x.getField("cid"))
+            .as("ax"),
+          transform(array_sort(filter(
+            collect_list(struct(col("rq"), col("cid"))),
+            x => x.getField("rq") <= 10)), x => x.getField("cid"))
+            .as("aq"))
+      def fsum(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
+      lists.select(col("pid"),
+          size(array_intersect(col("ax"), col("aq"))).cast("long")
+            .as("overlap_at10"),
+          graft.dsl.fpTrunc(fsum(transform(sequence(lit(1), lit(10)),
+            dep => lit(0.5)
+              * pow(lit(0.5), dep.cast("double") - 1.0)
+              * size(array_intersect(
+                  slice(col("ax"), lit(1), dep),
+                  slice(col("aq"), lit(1), dep))).cast("double")
+              / dep.cast("double"))), 9).as("rbo"))
+        .orderBy(col("pid"))
+    },
+    Some(s"""WITH sc AS (
+      SELECT p.vec_id AS pid, c.vec_id AS cid,
+        ${cosineSql("p.embedding", "c.embedding")} AS sx,
+        CAST(list_sum(list_transform(generate_series(1, 64), k ->
+          FLOOR(CAST(p.embedding[k] AS DOUBLE) * 64)
+          * FLOOR(CAST(c.embedding[k] AS DOUBLE) * 64))) AS BIGINT)
+          AS sq
+      FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+      WHERE p.vec_id % 5 = 0),
+    rk AS (SELECT pid, cid,
+        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sx DESC, cid) AS rx,
+        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sq DESC, cid) AS rq
+      FROM sc),
+    ls AS (SELECT pid,
+        list(cid ORDER BY rx) FILTER (WHERE rx <= 10) AS ax,
+        list(cid ORDER BY rq) FILTER (WHERE rq <= 10) AS aq
+      FROM rk GROUP BY 1)
+    SELECT pid,
+      CAST(len(list_intersect(ax, aq)) AS BIGINT) AS overlap_at10,
+      ${graft.dsl.fpTruncSql(
+        "list_sum(list_transform(generate_series(1, 10), dep ->" +
+          " 0.5 * power(0.5, CAST(dep AS DOUBLE) - 1.0)" +
+          " * CAST(len(list_intersect(ax[1:dep], aq[1:dep]))" +
+          " AS DOUBLE) / CAST(dep AS DOUBLE)))", 9)} AS rbo
+    FROM ls ORDER BY pid"""))
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
       q214, q215, q236, q265, q269, q274, q277, q286, q287, q290, q304,
-      q305)
+      q305, q311)
 }
