@@ -1479,6 +1479,77 @@ object Dedup extends Q.Module {
     WHERE CAST(inter AS DOUBLE) / CAST(LEAST(na, nb) AS DOUBLE) >= 0.8
     ORDER BY da, db"""))
 
+  // --- q313: WINNOWING FINGERPRINT DEDUP (MOSS-style) — the THIRD
+  //     fingerprint-selection scheme in the registry, with a guarantee
+  //     the others lack: q54 hashes position-weighted wholes, q275
+  //     cuts content-defined chunks, WINNOWING selects the MINIMUM
+  //     hash in every window of 4 consecutive 3-gram hashes — so any
+  //     shared run of ≥ 6 words between two documents is GUARANTEED
+  //     to contribute at least one common fingerprint (the winnowing
+  //     theorem), while storing ~2/(w+1) of the hashes. Hashes are
+  //     q54's portable md5-prefix integers (xxhash64 would be
+  //     oracle-opaque); selection is pure array HOFs per doc; the pair
+  //     join rides the q47-style inverted index with a hot-fingerprint
+  //     cutoff (df ≤ 50) and a ≥ 2-shared-fingerprint gate. The q46
+  //     doubling injection (+10000 every 10th doc) provides true
+  //     duplicate pairs that must surface with maximal sharing.
+  private val q313 = Q(
+    "q313_winnowing_dedup",
+    "✦ near-dup: winnowing (min-hash-per-window) fingerprints, inverted-index pairs sharing ≥ 2",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = Tables.fanOut(base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"))))
+      val w = split(col("text"), " ")
+      val hs = transform(sequence(lit(1), size(w) - 2), i =>
+        conv(substring(md5(concat_ws(" ", slice(w, i, lit(3)))), 1, 8),
+          16, 10).cast("long"))
+      // ≥ 6 words ⇒ ≥ 4 3-gram hashes ⇒ ≥ 1 window of 4.
+      val fps = corpus.filter(size(w) >= 6)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            transform(sequence(lit(1), size(w) - 5), j =>
+              array_min(slice(hs, j, lit(4)))))).as("fp"))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("df") <= 50)
+        .persist()
+      // fps persist: pair join reads both sides — harness-owned cache.
+      val a = fps.select(col("doc_id").as("da"), col("fp"))
+      val b = fps.select(col("doc_id").as("db"), col("fp"))
+      a.join(b.hint("shuffle_hash"), Seq("fp"))
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0),
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 6),
+    hs AS (SELECT doc_id,
+        list_transform(generate_series(1, len(w) - 2), i ->
+          ${hex8Sql("md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])", 1)})
+          AS h
+      FROM ws),
+    fp0 AS (SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(h) - 3), j ->
+          list_min(h[j:j+3]))) AS fp
+      FROM hs)),
+    fps AS (SELECT doc_id, fp FROM (
+      SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fp0)
+      WHERE df <= 50)
+    SELECT a.doc_id AS da, b.doc_id AS db,
+      CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY da, db"""))
+
   def defs: Seq[Q] = Seq(q46, q47, q48, q49, q50, q76, q78, q84, q112, q115,
-    q148, q156, q228, q242, q244, q271, q275, q297, q309)
+    q148, q156, q228, q242, q244, q271, q275, q297, q309, q313)
 }

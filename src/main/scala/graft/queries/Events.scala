@@ -2803,6 +2803,89 @@ object Events extends Q.Module {
       (SELECT design_effect FROM de) AS design_effect
     FROM a0 ORDER BY event_type"""))
 
+  // --- q314: SPRT SEQUENTIAL A/B TEST — q131/q179 test at a FIXED
+  //     horizon; Wald's sequential probability ratio test is what a
+  //     live experiment actually runs: accumulate the log-likelihood
+  //     ratio day by day and STOP the moment it exits (−ln 19, ln 19)
+  //     (α = β = 0.05). Stream: daily purchase share among events,
+  //     H0 p = 0.25 vs H1 p = 0.30. Determinism: the per-day LLR
+  //     x·ln(p1/p0) + (m−x)·ln(q1/q0) quantizes ONCE to integer 1e-9
+  //     units (FLOOR of identically-spelled doubles — the q167 rule;
+  //     per-day flooring accumulates the SAME sub-nano bias on both
+  //     engines), so the running sum, the boundary compare, and the
+  //     crossing day are pure BIGINT. Shape: one corpus-sized
+  //     map-combined day aggregate; the cumsum window runs over the
+  //     ~90-row day frame (q283's CUSUM discipline); readout is one
+  //     row — decision, crossing day, final statistic.
+  private val q314 = Q(
+    "q314_sprt_sequential",
+    "✦ experimentation: Wald SPRT on the daily purchase rate — integer-unit LLR random walk",
+    (s, d) => {
+      val c1 = math.log(0.30 / 0.25) // ln(p1/p0)
+      val c2 = math.log(0.70 / 0.75) // ln((1-p1)/(1-p0))
+      val bound = math.floor(math.log(19.0) * 1e9).toLong
+      val daily = Tables.events(s, d)
+        .select(expr("(ts div 1000) div 86400000000").as("dd"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("x"))
+        .groupBy(col("dd"))
+        .agg(sum(col("x")).as("x"), count(lit(1)).as("m"))
+        .withColumn("llr_u",
+          floor((col("x").cast("double") * lit(c1)
+            + (col("m") - col("x")).cast("double") * lit(c2)) * lit(1e9))
+            .cast("long"))
+      val wCum = Window.orderBy(col("dd"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val walk = daily.withColumn("cum", sum(col("llr_u")).over(wCum))
+      val cross = walk.filter(abs(col("cum")) >= bound)
+        .agg(min(col("dd")).as("decision_day"))
+      val fin = walk.agg(count(lit(1)).as("n_days"),
+        max(col("dd")).as("last_dd"),
+        sum(col("llr_u")).as("cum_final"))
+      val firstCross = walk.crossJoin(broadcast(cross))
+        .filter(col("dd") === col("decision_day"))
+        .select(col("decision_day"), col("cum").as("cum_at_decision"))
+      fin.join(firstCross, lit(true), "left")
+        .select(col("n_days"), col("cum_final"),
+          coalesce(col("decision_day"), lit(-1L)).as("decision_day"),
+          when(col("cum_at_decision") >= bound, "accept_h1")
+            .when(col("cum_at_decision") <= -bound, "accept_h0")
+            .otherwise("continue").as("decision"))
+    },
+    Some {
+      val c1 = "ln(0.30 / 0.25)"
+      val c2 = "ln(0.70 / 0.75)"
+      val bound = "CAST(FLOOR(ln(19.0) * 1e9) AS BIGINT)"
+      s"""WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS dd,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS x,
+        CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY 1),
+    l AS (SELECT dd, x, m,
+        CAST(FLOOR((CAST(x AS DOUBLE) * $c1
+          + CAST(m - x AS DOUBLE) * $c2) * 1e9) AS BIGINT) AS llr_u
+      FROM daily),
+    walk AS (SELECT dd, llr_u,
+        SUM(llr_u) OVER (ORDER BY dd
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM l),
+    cross_d AS (SELECT MIN(dd) AS decision_day FROM walk
+      WHERE ABS(cum) >= $bound),
+    fin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(llr_u) AS BIGINT) AS cum_final FROM walk),
+    fc AS (SELECT w.decision_day, w.cum AS cum_at_decision FROM (
+      SELECT walk.*, cross_d.decision_day FROM walk, cross_d
+      WHERE walk.dd = cross_d.decision_day) w)
+    SELECT n_days, cum_final,
+      COALESCE((SELECT decision_day FROM fc), -1) AS decision_day,
+      COALESCE((SELECT CASE
+          WHEN cum_at_decision >= $bound THEN 'accept_h1'
+          WHEN cum_at_decision <= -$bound THEN 'accept_h0'
+          END FROM fc), 'continue') AS decision
+    FROM fin"""
+    })
+
   // --- q308: HODGES–LEHMANN ROBUST LOCATION — q261's Theil–Sen
   //     sibling for LEVEL instead of slope: the median of the Walsh
   //     averages (x_i + x_j)/2 over day pairs i ≤ j of daily purchase
@@ -2872,5 +2955,5 @@ object Events extends Q.Module {
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
-    q261, q262, q283, q301, q302, q308)
+    q261, q262, q283, q301, q302, q308, q314)
 }
