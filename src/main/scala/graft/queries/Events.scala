@@ -2803,6 +2803,88 @@ object Events extends Q.Module {
       (SELECT design_effect FROM de) AS design_effect
     FROM a0 ORDER BY event_type"""))
 
+  // --- q315: MARKOV NEXT-EVENT PREDICTOR EVALUATION — q186 ESTIMATES
+  //     the transition matrix; this closes the loop the way an ML
+  //     pipeline must: TRAIN the argmax next-event predictor on the
+  //     even-user half, EVALUATE top-1 accuracy on the odd-user half,
+  //     per prior event type — against the majority-class baseline
+  //     (predicting the globally most common next event), the number
+  //     that says whether sequence context buys anything. All
+  //     deterministic: transitions come from the per-user (ts,
+  //     event_id) window (one shuffle on user_id), the argmax
+  //     tie-breaks to the lexicographically smallest type via a
+  //     max-count join + min(type), and accuracy is conditional
+  //     counting — integers until the fpTrunc shares.
+  private val q315 = Q(
+    "q315_markov_eval",
+    "✦ ML eval: train/test split of the Markov next-event predictor, top-1 accuracy per prior",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("typ"))
+        .withColumn("prev", lag(col("typ"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), col("prev"), col("typ"))
+        .persist()
+      // trans persist: train + eval legs — harness-owned cache.
+      val train = trans.filter(col("user_id") % 2 === 0)
+      val tc = train.groupBy(col("prev"), col("typ"))
+        .agg(count(lit(1)).as("c"))
+      val mx = tc.groupBy(col("prev")).agg(max(col("c")).as("cmax"))
+      val pred = tc.join(mx, Seq("prev"))
+        .filter(col("c") === col("cmax"))
+        .groupBy(col("prev")).agg(min(col("typ")).as("pred"))
+      // Majority-class baseline from the SAME training half.
+      val basePred = train.groupBy(col("typ")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("typ")).limit(1)
+        .select(col("typ").as("base_pred"))
+      trans.filter(col("user_id") % 2 =!= 0)
+        .join(broadcast(pred), Seq("prev"))
+        .crossJoin(broadcast(basePred))
+        .groupBy(col("prev"), col("pred"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("typ") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(when(col("typ") === col("base_pred"), 1L).otherwise(0L))
+            .as("n_base_correct"))
+        .select(col("prev"), col("pred"), col("n_eval"), col("n_correct"),
+          fpTrunc(col("n_correct").cast("double")
+            / col("n_eval").cast("double"), 9).as("accuracy"),
+          fpTrunc(col("n_base_correct").cast("double")
+            / col("n_eval").cast("double"), 9).as("baseline_accuracy"))
+        .orderBy(col("prev"))
+    },
+    Some(s"""WITH tr AS (
+      SELECT user_id, event_type AS typ,
+        LAG(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS prev
+      FROM events QUALIFY prev IS NOT NULL),
+    train AS (SELECT * FROM tr WHERE user_id % 2 = 0),
+    tc AS (SELECT prev, typ, CAST(COUNT(*) AS BIGINT) AS c
+      FROM train GROUP BY 1, 2),
+    mx AS (SELECT prev, MAX(c) AS cmax FROM tc GROUP BY 1),
+    pred AS (SELECT tc.prev, MIN(tc.typ) AS pred
+      FROM tc JOIN mx ON tc.prev = mx.prev AND tc.c = mx.cmax
+      GROUP BY 1),
+    bp AS (SELECT typ AS base_pred FROM (
+      SELECT typ, COUNT(*) AS c FROM train GROUP BY 1
+      ORDER BY c DESC, typ LIMIT 1))
+    SELECT e.prev, p.pred, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      CAST(SUM(CASE WHEN e.typ = p.pred THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      ${fpTruncSql(
+        "CAST(SUM(CASE WHEN e.typ = p.pred THEN 1 ELSE 0 END)" +
+          " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 9)} AS accuracy,
+      ${fpTruncSql(
+        "CAST(SUM(CASE WHEN e.typ = (SELECT base_pred FROM bp)" +
+          " THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+        9)} AS baseline_accuracy
+    FROM tr e JOIN pred p ON e.prev = p.prev
+    WHERE e.user_id % 2 != 0
+    GROUP BY e.prev, p.pred ORDER BY e.prev"""))
+
   // --- q314: SPRT SEQUENTIAL A/B TEST — q131/q179 test at a FIXED
   //     horizon; Wald's sequential probability ratio test is what a
   //     live experiment actually runs: accumulate the log-likelihood
@@ -2955,5 +3037,5 @@ object Events extends Q.Module {
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
-    q261, q262, q283, q301, q302, q308, q314)
+    q261, q262, q283, q301, q302, q308, q314, q315)
 }

@@ -2601,9 +2601,74 @@ object TextAnalysis extends Q.Module {
         9)} AS attrition
     FROM f GROUP BY source ORDER BY source"""))
 
+
+  // --- q316: CHARACTER-BIGRAM ENTROPY (compressibility proxy) — the
+  //     cheap stand-in for "gzip ratio" quality filters: boilerplate
+  //     and template spam have LOW byte-level entropy, natural prose
+  //     sits near the language's ceiling. Per-source Shannon entropy
+  //     of the character-bigram distribution, plus the normalized
+  //     form H/ln(V_observed) ∈ (0, 1]. The bigram alphabet is
+  //     BOUNDED (≤ alphabet², here ≤ 27² over [a-z ]), which is what
+  //     makes the per-source entropy fold exact-order-deterministic
+  //     at ANY corpus size — the fold runs over ≤729 bigram-sorted
+  //     cells, never corpus rows (contrast q303's same trick with the
+  //     top-64 cap). One HOF bigram explode → (source, bigram)
+  //     map-combined aggregate is the only corpus-sized work.
+  private lazy val q316 = Q(
+    "q316_char_entropy",
+    "✦ quality: per-source char-bigram entropy + normalized compressibility proxy",
+    (s, d) => {
+      val bg = docs(s, d)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), length(col("text")) - 1),
+            i => col("text").substr(i, lit(2)))).as("bg"))
+        .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("c"))
+      def fsum(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (acc, x) => acc + x)
+      bg.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          array_sort(collect_list(struct(col("bg"), col("c")))).as("arr"))
+        .select(col("source"), col("n_bigrams"), col("n_distinct"),
+          fpTrunc(-fsum(transform(col("arr"), x =>
+            (x.getField("c").cast("double")
+              / col("n_bigrams").cast("double"))
+              * log(x.getField("c").cast("double")
+                / col("n_bigrams").cast("double")))), 9)
+            .as("entropy_nats"),
+          fpTrunc(-fsum(transform(col("arr"), x =>
+            (x.getField("c").cast("double")
+              / col("n_bigrams").cast("double"))
+              * log(x.getField("c").cast("double")
+                / col("n_bigrams").cast("double"))))
+            / log(col("n_distinct").cast("double")), 9)
+            .as("normalized_entropy"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH bg AS (
+      SELECT source, substring(text, i, 2) AS bg
+      FROM documents,
+        LATERAL (SELECT unnest(generate_series(1, len(text) - 1)) AS i)),
+    g AS (SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2),
+    l AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        list(c ORDER BY bg) AS cs
+      FROM g GROUP BY 1),
+    e AS (SELECT source, n_bigrams, n_distinct,
+        -list_sum(list_transform(cs, x ->
+          (CAST(x AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+          * ln(CAST(x AS DOUBLE) / CAST(n_bigrams AS DOUBLE)))) AS h
+      FROM l)
+    SELECT source, n_bigrams, n_distinct,
+      ${fpTruncSql("h", 9)} AS entropy_nats,
+      ${fpTruncSql("h / ln(CAST(n_distinct AS DOUBLE))", 9)}
+        AS normalized_entropy
+    FROM e ORDER BY source"""))
+
   def defs: Seq[Q] =
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
       q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292,
-      q293, q294, q298, q299, q303, q306)
+      q293, q294, q298, q299, q303, q306, q316)
 }
