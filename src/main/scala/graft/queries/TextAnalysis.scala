@@ -2602,6 +2602,83 @@ object TextAnalysis extends Q.Module {
     FROM f GROUP BY source ORDER BY source"""))
 
 
+  // --- q318: DATASET CARD — the one-row datasheet a corpus release
+  //     ships with (Datasheets-for-Datasets style): sizes, language/
+  //     source breadth, the dominant language and its share, token
+  //     mass, and the exact p50/p90 length quantiles. Nothing here is
+  //     new machinery — the point is the COMPOSITION: every field
+  //     rides the same one corpus pass + collapsed-frame readouts
+  //     (length quantiles via the q296 distinct-value order statistic,
+  //     top-lang via max on a composite count·K+idx key over the
+  //     5-row lang frame), so the whole card costs one scan at 100 TB.
+  private lazy val q318 = Q(
+    "q318_dataset_card",
+    "✦ governance: one-row dataset card — sizes, breadth, top-lang share, exact length quantiles",
+    (s, d) => {
+      val base = docs(s, d).select(col("source"), col("lang"),
+        col("n_chars"), size(split(col("text"), " ")).cast("long")
+          .as("n_words"))
+      val main = base.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"))
+      val langTop = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lang")).limit(1)
+        .select(col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+      val g = base.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g.withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(main.select(col("n_docs"))))
+      def qtile(p: Int) = cum
+        .filter(col("cum") * 100 >= col("n_docs") * p)
+        .agg(min(col("n_chars")).as(s"p${p}_chars"))
+      main.crossJoin(broadcast(langTop))
+        .crossJoin(broadcast(qtile(50))).crossJoin(broadcast(qtile(90)))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("n_chars_total"),
+          col("top_lang"),
+          fpTrunc(col("top_lang_docs").cast("double")
+            / col("n_docs").cast("double"), 9).as("top_lang_share"),
+          fpTrunc(col("n_tokens").cast("double")
+            / col("n_docs").cast("double"), 9).as("tokens_per_doc"),
+          col("p50_chars"), col("p90_chars"))
+    },
+    Some(s"""WITH base AS (
+      SELECT source, lang, n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      FROM base),
+    lt AS (SELECT lang AS top_lang, CAST(c AS BIGINT) AS top_lang_docs
+      FROM (SELECT lang, COUNT(*) AS c FROM base GROUP BY 1
+        ORDER BY c DESC, lang LIMIT 1)),
+    g AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1),
+    cum AS (SELECT n_chars,
+        SUM(c) OVER (ORDER BY n_chars
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        (SELECT n_docs FROM m) AS n_docs
+      FROM g)
+    SELECT n_docs, n_sources, n_langs, n_tokens, n_chars_total,
+      top_lang,
+      ${fpTruncSql(
+        "CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)",
+        9)} AS top_lang_share,
+      ${fpTruncSql(
+        "CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)",
+        9)} AS tokens_per_doc,
+      (SELECT CAST(MIN(n_chars) AS BIGINT) FROM cum
+        WHERE cum * 100 >= n_docs * 50) AS p50_chars,
+      (SELECT CAST(MIN(n_chars) AS BIGINT) FROM cum
+        WHERE cum * 100 >= n_docs * 90) AS p90_chars
+    FROM m, lt"""))
+
   // --- q316: CHARACTER-BIGRAM ENTROPY (compressibility proxy) — the
   //     cheap stand-in for "gzip ratio" quality filters: boilerplate
   //     and template spam have LOW byte-level entropy, natural prose
@@ -2670,5 +2747,5 @@ object TextAnalysis extends Q.Module {
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
       q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292,
-      q293, q294, q298, q299, q303, q306, q316)
+      q293, q294, q298, q299, q303, q306, q316, q318)
 }

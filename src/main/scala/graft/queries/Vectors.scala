@@ -1851,8 +1851,79 @@ object Vectors extends Q.Module {
           " AS DOUBLE) / CAST(dep AS DOUBLE)))", 9)} AS rbo
     FROM ls ORDER BY pid"""))
 
+  // --- q317: UNCERTAINTY SAMPLING (margin-based active learning) —
+  //     where to SPEND a labeling budget: the vectors most ambiguous
+  //     under the current model, measured as the margin between the
+  //     best and second-best k-means cluster distances (q214's
+  //     IDENTICAL model — shared kmeansLloyd body, so the audit scores
+  //     the clustering that actually shipped). Everything stays in
+  //     q214's integer units: both mins come from the SAME composite
+  //     d²·8+cid key (the second-best is the min key strictly above
+  //     the best — deterministic even under distance ties), the margin
+  //     is an exact BIGINT difference of d² values, and the pick is a
+  //     TakeOrderedAndProject bottom-20 (map-side top-k, never a
+  //     global sort).
+  private val q317 = Q(
+    "q317_uncertainty_sampling",
+    "✦ active learning: 20 most ambiguous vectors by best-vs-second centroid margin",
+    (s, d) => {
+      val (ve, cent, _) = kmeansLloyd(s, d)
+      val keys = ve.join(broadcast(cent), Seq("dim"))
+        .withColumn("dd",
+          (col("xu") - col("cu")) * (col("xu") - col("cu")))
+        .groupBy(col("vec_id"), col("cid")).agg(sum(col("dd")).as("d2"))
+        .select(col("vec_id"), (col("d2") * 8 + col("cid")).as("key"))
+      val m1 = keys.groupBy(col("vec_id")).agg(min(col("key")).as("k1"))
+      val m2 = keys.join(m1, Seq("vec_id"))
+        .filter(col("key") > col("k1"))
+        .groupBy(col("vec_id"), col("k1")).agg(min(col("key")).as("k2"))
+      m2.select(col("vec_id"),
+          pmod(col("k1"), lit(8L)).as("cid"),
+          expr("k1 div 8").as("d2_best"),
+          expr("k2 div 8").as("d2_second"),
+          (expr("k2 div 8") - expr("k1 div 8")).as("margin"))
+        .orderBy(col("margin"), col("vec_id"))
+        .limit(20)
+    },
+    Some {
+      def a(i: Int, c: String) = s"""a$i AS (
+        SELECT vec_id, CAST(MIN(d2 * 8 + cid) % 8 AS BIGINT) AS cid FROM (
+          SELECT ve.vec_id, c.cid,
+            CAST(SUM((ve.xu - c.cu) * (ve.xu - c.cu)) AS BIGINT) AS d2
+          FROM ve JOIN $c c ON ve.dim = c.dim GROUP BY 1, 2)
+        GROUP BY 1)"""
+      def u(i: Int) = s"""c$i AS (
+        SELECT a.cid, ve.dim,
+          CAST(FLOOR(CAST(SUM(ve.xu) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+        FROM ve JOIN a$i a ON ve.vec_id = a.vec_id GROUP BY 1, 2)"""
+      s"""WITH ve AS (
+        SELECT vec_id, g.i AS dim,
+          CAST(FLOOR(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+            AS xu
+        FROM embeddings,
+          (SELECT unnest(generate_series(0, 63)) AS i) g),
+      c0 AS (SELECT vec_id AS cid, dim, xu AS cu FROM ve WHERE vec_id < 4),
+      ${a(1, "c0")}, ${u(1)},
+      ${a(2, "c1")}, ${u(2)},
+      ${a(3, "c2")}, ${u(3)},
+      keys AS (SELECT ve.vec_id,
+          CAST(SUM((ve.xu - c.cu) * (ve.xu - c.cu)) * 8 + c.cid AS BIGINT)
+            AS key
+        FROM ve JOIN c3 c ON ve.dim = c.dim
+        GROUP BY ve.vec_id, c.cid),
+      m1 AS (SELECT vec_id, MIN(key) AS k1 FROM keys GROUP BY 1),
+      m2 AS (SELECT k.vec_id, m1.k1, MIN(k.key) AS k2
+        FROM keys k JOIN m1 ON k.vec_id = m1.vec_id
+        WHERE k.key > m1.k1 GROUP BY 1, 2)
+      SELECT vec_id, CAST(k1 % 8 AS BIGINT) AS cid,
+        CAST(k1 // 8 AS BIGINT) AS d2_best,
+        CAST(k2 // 8 AS BIGINT) AS d2_second,
+        CAST(k2 // 8 - k1 // 8 AS BIGINT) AS margin
+      FROM m2 ORDER BY margin, vec_id LIMIT 20"""
+    })
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
       q214, q215, q236, q265, q269, q274, q277, q286, q287, q290, q304,
-      q305, q311)
+      q305, q311, q317)
 }
