@@ -2803,6 +2803,74 @@ object Events extends Q.Module {
       (SELECT design_effect FROM de) AS design_effect
     FROM a0 ORDER BY event_type"""))
 
+  // --- q319: GINI MEAN DIFFERENCE (robust dispersion) — the scale
+  //     companion to q308's HL location and q191's MAD: mean absolute
+  //     pairwise difference of daily revenue, WITHOUT materializing a
+  //     single pair. The sorted-order identity
+  //       Σ_{i<j} |x_i − x_j| = Σ_v c(v)·(v·cnt_<(v) − sum_<(v))
+  //     turns the O(n²) pair sum into two running windows over the
+  //     DISTINCT-VALUE collapse (q296's shape) — exact BIGINT cents
+  //     end to end, and the only divisions are the final readouts
+  //     (GMD, and the relative-dispersion Gini-style ratio
+  //     GMD/(2·mean) that q202 computes for revenue shares). The spec
+  //     certifies the identity against the literal all-pairs sum.
+  private val q319 = Q(
+    "q319_gini_mean_difference",
+    "✦ robust stats: exact Gini mean difference of daily revenue via the sorted-order identity",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 86400000000").as("dd"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("dd")).agg(sum(col("cents")).as("rev"))
+      val g = daily.groupBy(col("rev")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("rev"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val parts = g
+        .withColumn("cnt_lt", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("sum_lt", coalesce(sum(col("rev") * col("c")).over(w),
+          lit(0L)))
+      parts.agg(sum(col("c")).as("n_days"),
+          sum(col("rev") * col("c")).as("rev_total"),
+          sum(col("c") * (col("rev") * col("cnt_lt") - col("sum_lt")))
+            .as("pair_abs_sum"))
+        .select(col("n_days"), col("rev_total"), col("pair_abs_sum"),
+          fpTrunc(col("pair_abs_sum").cast("double") * 2.0
+            / (col("n_days") * (col("n_days") - 1)).cast("double"), 9)
+            .as("gmd_cents"),
+          fpTrunc(col("pair_abs_sum").cast("double")
+            / ((col("n_days") - 1).cast("double")
+              * col("rev_total").cast("double")), 9).as("gini_ratio"))
+    },
+    Some(s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    g AS (SELECT rev, CAST(COUNT(*) AS BIGINT) AS c
+      FROM daily GROUP BY 1),
+    parts AS (SELECT rev, c,
+        COALESCE(SUM(c) OVER (ORDER BY rev
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cnt_lt,
+        COALESCE(SUM(rev * c) OVER (ORDER BY rev
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS sum_lt
+      FROM g),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_days,
+        CAST(SUM(rev * c) AS BIGINT) AS rev_total,
+        CAST(SUM(c * (rev * cnt_lt - sum_lt)) AS BIGINT)
+          AS pair_abs_sum
+      FROM parts)
+    SELECT n_days, rev_total, pair_abs_sum,
+      ${fpTruncSql(
+        "CAST(pair_abs_sum AS DOUBLE) * 2.0" +
+          " / CAST(n_days * (n_days - 1) AS DOUBLE)", 9)} AS gmd_cents,
+      ${fpTruncSql(
+        "CAST(pair_abs_sum AS DOUBLE) / (CAST(n_days - 1 AS DOUBLE)" +
+          " * CAST(rev_total AS DOUBLE))", 9)} AS gini_ratio
+    FROM t"""))
+
   // --- q315: MARKOV NEXT-EVENT PREDICTOR EVALUATION — q186 ESTIMATES
   //     the transition matrix; this closes the loop the way an ML
   //     pipeline must: TRAIN the argmax next-event predictor on the
@@ -3037,5 +3105,5 @@ object Events extends Q.Module {
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
-    q261, q262, q283, q301, q302, q308, q314, q315)
+    q261, q262, q283, q301, q302, q308, q314, q315, q319)
 }

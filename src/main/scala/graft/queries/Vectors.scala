@@ -1922,8 +1922,74 @@ object Vectors extends Q.Module {
       FROM m2 ORDER BY margin, vec_id LIMIT 20"""
     })
 
+  // --- q320: kNN HUBNESS AUDIT — the curse-of-dimensionality
+  //     diagnostic for every retrieval path here (q44/q57/q74/q277):
+  //     in high dimensions a few "hub" vectors appear in EVERYONE's
+  //     top-k while antihubs appear in no one's, silently skewing
+  //     dedup and RAG retrieval. Measured as the IN-DEGREE distribution
+  //     of the probe→top-10 graph (q287's decimated probe set): the
+  //     in-degree histogram, the max/mean hub ratio (cleared to the
+  //     exact integer max·n_candidates vs total-edges compare), and
+  //     the share of candidates never retrieved. Skewness-free
+  //     integers end to end; one broadcast-probe scan, one in-degree
+  //     aggregate over edges, histogram over the collapsed degree
+  //     frame.
+  private val q320 = Q(
+    "q320_knn_hubness",
+    "✦ similarity audit: in-degree hubness of the probe→top-10 retrieval graph",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("score").desc, col("cid"))
+      val edges = broadcast(probes).join(cands, col("pid") =!= col("cid"))
+        .select(col("pid"), col("cid"),
+          graft.functions.CosineSimilarity
+            .cosineSim(col("pe"), col("ce")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val indeg = edges.groupBy(col("cid")).agg(count(lit(1)).as("deg"))
+      val nCand = e.agg(count(lit(1)).as("n_candidates"))
+      val stats = indeg.agg(count(lit(1)).as("n_retrieved"),
+        sum(col("deg")).as("n_edges"), max(col("deg")).as("max_deg"))
+      val hist = indeg.groupBy(col("deg")).agg(count(lit(1)).as("n_vecs"))
+      hist.crossJoin(broadcast(stats)).crossJoin(broadcast(nCand))
+        .select(col("deg"), col("n_vecs"), col("n_edges"), col("max_deg"),
+          (col("n_candidates") - col("n_retrieved"))
+            .as("n_never_retrieved"),
+          graft.dsl.fpTrunc(col("max_deg").cast("double")
+            * col("n_candidates").cast("double")
+            / col("n_edges").cast("double"), 9).as("hub_ratio"))
+        .orderBy(col("deg"))
+    },
+    Some(s"""WITH nb AS (
+      SELECT p.vec_id AS pid, c.vec_id AS cid,
+        ROW_NUMBER() OVER (PARTITION BY p.vec_id
+          ORDER BY ${cosineSql("p.embedding", "c.embedding")} DESC,
+            c.vec_id) AS rank
+      FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+      WHERE p.vec_id % 5 = 0),
+    ind AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM nb WHERE rank <= 10 GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+        CAST(SUM(deg) AS BIGINT) AS n_edges,
+        CAST(MAX(deg) AS BIGINT) AS max_deg FROM ind),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM embeddings),
+    hist AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM ind GROUP BY 1)
+    SELECT deg, n_vecs, n_edges, max_deg,
+      CAST(n_candidates - n_retrieved AS BIGINT) AS n_never_retrieved,
+      ${graft.dsl.fpTruncSql(
+        "CAST(max_deg AS DOUBLE) * CAST(n_candidates AS DOUBLE)" +
+          " / CAST(n_edges AS DOUBLE)", 9)} AS hub_ratio
+    FROM hist, st, nc ORDER BY deg"""))
+
   def defs: Seq[Q] =
     Seq(q41, q42, q43, q44, q45, q57, q95, q117, q129, q170, q180, q188,
       q214, q215, q236, q265, q269, q274, q277, q286, q287, q290, q304,
-      q305, q311, q317)
+      q305, q311, q317, q320)
 }
