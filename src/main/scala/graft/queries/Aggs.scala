@@ -2974,6 +2974,64 @@ object Aggs extends Q.Module {
     WHERE NOT b.cal
     GROUP BY b.source, yh.n_cal, yh.yhat ORDER BY b.source"""))
 
+  // --- q322: PARTIAL CORRELATION (confounding audit) — the question
+  //     behind every "quality correlates with X" claim: does the
+  //     relationship survive controlling for LENGTH? r(words, distinct
+  //     | chars) from the first-order formula
+  //       r_xy.z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)),
+  //     where all three pairwise correlations come from the repo's
+  //     decimal-exact moment helpers (dcov/dvar — exact decimal sums,
+  //     IEEE-identical doubles after), so the whole chain is one
+  //     map-combined aggregate pass and deterministic arithmetic on
+  //     top. The raw r_xy rides along: the GAP between raw and partial
+  //     is the confounding mass the audit exists to expose.
+  private val q322 = Q(
+    "q322_partial_correlation",
+    "✦ stats: partial correlation r(words, distinct | chars) from exact moment sums",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(
+        size(split(col("text"), " ")).cast("double").as("x"),
+        size(array_distinct(split(col("text"), " "))).cast("double")
+          .as("y"),
+        col("n_chars").cast("double").as("z"))
+      def r(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        dcov(a, b) / sqrt(dvar(a) * dvar(b))
+      base.agg(count(lit(1)).as("n"),
+          r(col("x"), col("y")).as("r_xy"),
+          r(col("x"), col("z")).as("r_xz"),
+          r(col("y"), col("z")).as("r_yz"))
+        .select(col("n"),
+          fpTrunc(col("r_xy"), 9).as("r_raw"),
+          fpTrunc(col("r_xz"), 9).as("r_xz"),
+          fpTrunc(col("r_yz"), 9).as("r_yz"),
+          fpTrunc((col("r_xy") - col("r_xz") * col("r_yz"))
+            / sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
+              * (lit(1.0) - col("r_yz") * col("r_yz"))), 9)
+            .as("r_partial"))
+    },
+    Some {
+      def rSql(a: String, b: String) =
+        s"(${dcovSql(a, b)} / SQRT(${dvarSql(a)} * ${dvarSql(b)}))"
+      s"""WITH base AS (
+        SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            AS y,
+          CAST(n_chars AS DOUBLE) AS z
+        FROM documents),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          ${rSql("x", "y")} AS r_xy,
+          ${rSql("x", "z")} AS r_xz,
+          ${rSql("y", "z")} AS r_yz
+        FROM base)
+      SELECT n, ${fpTruncSql("r_xy", 9)} AS r_raw,
+        ${fpTruncSql("r_xz", 9)} AS r_xz,
+        ${fpTruncSql("r_yz", 9)} AS r_yz,
+        ${fpTruncSql(
+          "(r_xy - r_xz * r_yz) / SQRT((1.0 - r_xz * r_xz)" +
+            " * (1.0 - r_yz * r_yz))", 9)} AS r_partial
+      FROM m"""
+    })
+
   // --- q310: JOIN-SIZE ESTIMATION AUDIT (CMS inner product vs exact)
   //     — the cardinality estimate a cost-based planner needs BEFORE
   //     running a fact-fact join: |A⋈B| = Σ_k cA(k)·cB(k), estimated
@@ -3106,5 +3164,5 @@ object Aggs extends Q.Module {
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
     q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
-    q249, q257, q272, q273, q288, q295, q296, q300, q307, q310)
+    q249, q257, q272, q273, q288, q295, q296, q300, q307, q310, q322)
 }

@@ -1026,6 +1026,65 @@ object Scale extends Q.Module {
     FROM ms, mb
     ORDER BY scheme"""))
 
+  // --- q321: PACKING-EFFICIENCY AUDIT — the context-length decision
+  //     every pretraining run makes, priced from the data: for ctx ∈
+  //     {256, 512, 1024}, compare the two packing regimes — CONCAT
+  //     (documents flow across sequence boundaries; waste is only the
+  //     final tail, bins = ⌈N/ctx⌉) vs PADDED (each document is
+  //     chunked to ≤ ctx and its last chunk pads; bins =
+  //     Σ⌈len/ctx⌉, waste = ctx·bins − N). Both are exact per-doc
+  //     integer arithmetic (one corpus pass computes all three ctx
+  //     columns as conditional sums — no per-ctx rescan), and the
+  //     utilization readouts are the only divisions. The padded-regime
+  //     waste GROWS with ctx while concat waste is ≤ ctx − 1 total —
+  //     the economics that justify sequence packing (q104) at all.
+  private val q321 = Q(
+    "q321_packing_efficiency",
+    "✦ training economics: concat vs padded packing waste across ctx ∈ {256, 512, 1024}",
+    (s, d) => {
+      val lens = Tables.fanOut(Tables.documents(s, d))
+        .select(size(split(col("text"), " ")).cast("long").as("len"))
+      val agg = lens.agg(
+        count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"),
+        sum(expr("(len + 255) div 256")).as("bins_pad_256"),
+        sum(expr("(len + 511) div 512")).as("bins_pad_512"),
+        sum(expr("(len + 1023) div 1024")).as("bins_pad_1024"))
+      def regime(ctx: Int) = {
+        val bp = col(s"bins_pad_$ctx")
+        Seq(
+          expr(s"(n_tokens + ${ctx - 1}) div $ctx").as(s"bins_concat_$ctx"),
+          bp.as(s"bins_padded_$ctx"),
+          (bp * ctx - col("n_tokens")).as(s"waste_padded_$ctx"),
+          fpTrunc(col("n_tokens").cast("double")
+            / (bp * ctx).cast("double"), 9).as(s"util_padded_$ctx"))
+      }
+      agg.select(col("n_docs") +: col("n_tokens") +:
+        (regime(256) ++ regime(512) ++ regime(1024)): _*)
+    },
+    Some {
+      def r(ctx: Int) =
+        s"""CAST((n_tokens + ${ctx - 1}) // $ctx AS BIGINT)
+          AS bins_concat_$ctx,
+        bins_pad_$ctx AS bins_padded_$ctx,
+        CAST(bins_pad_$ctx * $ctx - n_tokens AS BIGINT)
+          AS waste_padded_$ctx,
+        ${fpTruncSql(
+          s"CAST(n_tokens AS DOUBLE)" +
+            s" / CAST(bins_pad_$ctx * $ctx AS DOUBLE)",
+          9)} AS util_padded_$ctx"""
+      s"""WITH l AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        FROM documents),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len) AS BIGINT) AS n_tokens,
+          CAST(SUM((len + 255) // 256) AS BIGINT) AS bins_pad_256,
+          CAST(SUM((len + 511) // 512) AS BIGINT) AS bins_pad_512,
+          CAST(SUM((len + 1023) // 1024) AS BIGINT) AS bins_pad_1024
+        FROM l)
+      SELECT n_docs, n_tokens, ${r(256)}, ${r(512)}, ${r(1024)}
+      FROM a"""
+    })
+
   def defs: Seq[Q] = Seq(q73, q74, q75, q92, q104, q109, q135, q164, q165,
-    q185, q219, q233, q270, q281, q282)
+    q185, q219, q233, q270, q281, q282, q321)
 }
