@@ -2803,6 +2803,149 @@ object Events extends Q.Module {
       (SELECT design_effect FROM de) AS design_effect
     FROM a0 ORDER BY event_type"""))
 
+  // --- q323: QUANTILE TREATMENT EFFECT — A/B readouts that stop at
+  //     the mean (q131/q179/q314) miss effects that live in the tail:
+  //     a variant that fattens big purchases moves p90 long before it
+  //     moves the average. QTE = per-variant exact quantile difference
+  //     at p50 and p90 (variant = the user-parity split), each
+  //     quantile the q296 distinct-value order statistic over the
+  //     per-variant cents collapse — windows over collapsed rows only,
+  //     all integer cents, and the mean difference (dsum decimal-
+  //     exact) rides along so the tail-vs-center contrast is explicit.
+  private val q323 = Q(
+    "q323_quantile_treatment_effect",
+    "✦ experimentation: exact p50/p90 quantile treatment effects vs the mean effect",
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).cast("long").as("variant"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val g = base.groupBy(col("variant"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val n = base.groupBy(col("variant")).agg(count(lit(1)).as("n"),
+        dsum(col("cents").cast("double")).as("sum_cents"))
+      val wCum = Window.partitionBy(col("variant")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g.withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(n), Seq("variant"))
+      def qtile(p: Int) = cum
+        .filter(col("cum") * 100 >= col("n") * p)
+        .groupBy(col("variant")).agg(min(col("cents")).as(s"p$p"))
+      val per = n.join(qtile(50), Seq("variant"))
+        .join(qtile(90), Seq("variant"))
+        .select(col("variant"), col("n"), col("p50"), col("p90"),
+          (col("sum_cents") / col("n").cast("double")).as("mean_cents"))
+      val a = per.filter(col("variant") === 0)
+        .select(col("n").as("n_a"), col("p50").as("p50_a"),
+          col("p90").as("p90_a"), col("mean_cents").as("mean_a"))
+      val b = per.filter(col("variant") === 1)
+        .select(col("n").as("n_b"), col("p50").as("p50_b"),
+          col("p90").as("p90_b"), col("mean_cents").as("mean_b"))
+      a.crossJoin(broadcast(b))
+        .select(col("n_a"), col("n_b"),
+          col("p50_a"), col("p50_b"),
+          (col("p50_b") - col("p50_a")).as("qte_p50"),
+          col("p90_a"), col("p90_b"),
+          (col("p90_b") - col("p90_a")).as("qte_p90"),
+          fpTrunc(col("mean_b") - col("mean_a"), 9).as("ate_mean"))
+    },
+    Some(s"""WITH base AS (
+      SELECT user_id % 2 AS variant,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    g AS (SELECT variant, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2),
+    n AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+        ${dsumSql("CAST(cents AS DOUBLE)")} AS sum_cents
+      FROM base GROUP BY 1),
+    cum AS (SELECT g.variant, cents,
+        SUM(c) OVER (PARTITION BY g.variant ORDER BY cents
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        n.n, n.sum_cents
+      FROM g JOIN n ON g.variant = n.variant),
+    p50 AS (SELECT variant, CAST(MIN(cents) AS BIGINT) AS p50
+      FROM cum WHERE cum * 100 >= n * 50 GROUP BY 1),
+    p90 AS (SELECT variant, CAST(MIN(cents) AS BIGINT) AS p90
+      FROM cum WHERE cum * 100 >= n * 90 GROUP BY 1),
+    per AS (SELECT n.variant, n.n, p50.p50, p90.p90,
+        n.sum_cents / CAST(n.n AS DOUBLE) AS mean_cents
+      FROM n JOIN p50 ON n.variant = p50.variant
+      JOIN p90 ON n.variant = p90.variant)
+    SELECT a.n AS n_a, b.n AS n_b,
+      a.p50 AS p50_a, b.p50 AS p50_b,
+      CAST(b.p50 - a.p50 AS BIGINT) AS qte_p50,
+      a.p90 AS p90_a, b.p90 AS p90_b,
+      CAST(b.p90 - a.p90 AS BIGINT) AS qte_p90,
+      ${fpTruncSql("b.mean_cents - a.mean_cents", 9)} AS ate_mean
+    FROM per a, per b WHERE a.variant = 0 AND b.variant = 1"""))
+
+  // --- q324: MAXIMUM DRAWDOWN — the worst peak-to-trough decline of
+  //     the cumulative daily revenue curve, the risk statistic every
+  //     monitoring dashboard wants next to q283's changepoints: with
+  //     peak_t = running max of the cumulative sum, drawdown_t =
+  //     peak_t − cum_t, and the readout is the max drawdown, the day
+  //     it bottomed, and the peak it fell from. Both running
+  //     aggregates are windows over the ~90-row DAY frame (q283's
+  //     CUSUM discipline — the corpus-sized work is one map-combined
+  //     day aggregate); everything is exact integer cents, the one
+  //     fpTrunc is the relative-drawdown ratio. Argmax-of-the-walk is
+  //     the deterministic composite min (drawdown DESC → earliest dd).
+  private val q324 = Q(
+    "q324_max_drawdown",
+    "✦ monitoring: maximum drawdown of cumulative daily revenue — integer walk, exact argmax",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 86400000000").as("dd"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .groupBy(col("dd")).agg(sum(col("cents")).as("rev"))
+      val wCum = Window.orderBy(col("dd"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val walk = daily
+        .withColumn("cum", sum(col("rev")).over(wCum))
+        .withColumn("peak", max(col("cum")).over(wCum))
+        .withColumn("drawdown", col("peak") - col("cum"))
+      walk.agg(count(lit(1)).as("n_days"),
+          max(col("cum")).as("final_cum"),
+          max(col("drawdown")).as("max_drawdown"))
+        // argmax leg: largest drawdown, earliest day on ties — a
+        // TakeOrderedAndProject over the day frame.
+        .crossJoin(broadcast(
+          walk.select(col("dd"), col("peak"), col("drawdown"))
+            .orderBy(col("drawdown").desc, col("dd")).limit(1)
+            .select(col("dd").as("trough_day"),
+              col("peak").as("peak_cents"))))
+        .select(col("n_days"), col("final_cum"), col("max_drawdown"),
+          col("trough_day"), col("peak_cents"),
+          fpTrunc(col("max_drawdown").cast("double")
+            / col("peak_cents").cast("double"), 9).as("max_dd_ratio"))
+    },
+    Some(s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS dd,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+          AS BIGINT) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    walk0 AS (SELECT dd,
+        SUM(rev) OVER (ORDER BY dd
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM daily),
+    walk AS (SELECT dd, cum,
+        MAX(cum) OVER (ORDER BY dd
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM walk0),
+    w2 AS (SELECT dd, cum, peak, peak - cum AS drawdown FROM walk),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(MAX(cum) AS BIGINT) AS final_cum,
+        CAST(MAX(drawdown) AS BIGINT) AS max_drawdown FROM w2),
+    arg AS (SELECT dd AS trough_day, CAST(peak AS BIGINT) AS peak_cents
+      FROM w2 ORDER BY drawdown DESC, dd LIMIT 1)
+    SELECT n_days, final_cum, max_drawdown, trough_day, peak_cents,
+      ${fpTruncSql(
+        "CAST(max_drawdown AS DOUBLE) / CAST(peak_cents AS DOUBLE)",
+        9)} AS max_dd_ratio
+    FROM t, arg"""))
+
   // --- q319: GINI MEAN DIFFERENCE (robust dispersion) — the scale
   //     companion to q308's HL location and q191's MAD: mean absolute
   //     pairwise difference of daily revenue, WITHOUT materializing a
@@ -3105,5 +3248,5 @@ object Events extends Q.Module {
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
-    q261, q262, q283, q301, q302, q308, q314, q315, q319)
+    q261, q262, q283, q301, q302, q308, q314, q315, q319, q323, q324)
 }

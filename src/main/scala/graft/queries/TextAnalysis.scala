@@ -2602,6 +2602,74 @@ object TextAnalysis extends Q.Module {
     FROM f GROUP BY source ORDER BY source"""))
 
 
+  // --- q325: CROSS-LANGUAGE VOCABULARY OVERLAP — the contamination
+  //     sanity check for language labels: if two langs' TOP-50
+  //     vocabularies overlap heavily, either the langid is mislabeling
+  //     or the corpus is code-switched — both poison per-lang mixture
+  //     weights (q141). Per-lang top-50 by collection frequency (rank
+  //     window over the collapsed lang×word count frame, ties broken
+  //     lexicographically), then the pairwise Jaccard matrix via ONE
+  //     self-join on word over the ≤ 50·#langs signature frame —
+  //     bounded work after the single corpus token pass, exact
+  //     integers until the fpTrunc ratio.
+  private lazy val q325 = Q(
+    "q325_lang_vocab_overlap",
+    "✦ corpus audit: pairwise Jaccard of per-lang top-50 vocabularies",
+    (s, d) => {
+      val counts = docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("word"))
+      val top = counts.withColumn("r", row_number().over(w))
+        .filter(col("r") <= 50).select(col("lang"), col("word"))
+        .persist()
+      // top persist: both self-join sides + sizes — harness-owned.
+      val sz = top.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val inter = top.select(col("lang").as("lang_a"), col("word"))
+        .join(top.select(col("lang").as("lang_b"), col("word")),
+          Seq("word"))
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sz.select(col("lang").as("lang_a"),
+          col("n").as("na"))), Seq("lang_a"))
+        .join(broadcast(sz.select(col("lang").as("lang_b"),
+          col("n").as("nb"))), Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"),
+          fpTrunc(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")).cast("double"), 9)
+            .as("jacc"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    },
+    Some(s"""WITH counts AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      GROUP BY 1, 2),
+    top AS (SELECT lang, word FROM (
+      SELECT lang, word,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, word)
+          AS r
+      FROM counts) WHERE r <= 50),
+    sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM top GROUP BY 1),
+    inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        CAST(COUNT(*) AS BIGINT) AS inter
+      FROM top a JOIN top b USING (word)
+      WHERE a.lang < b.lang GROUP BY 1, 2)
+    SELECT lang_a, lang_b, inter,
+      CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+      ${fpTruncSql(
+        "CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)",
+        9)} AS jacc
+    FROM inter
+    JOIN sz sa ON inter.lang_a = sa.lang
+    JOIN sz sb ON inter.lang_b = sb.lang
+    ORDER BY lang_a, lang_b"""))
+
   // --- q318: DATASET CARD — the one-row datasheet a corpus release
   //     ships with (Datasheets-for-Datasets style): sizes, language/
   //     source breadth, the dominant language and its share, token
@@ -2747,5 +2815,5 @@ object TextAnalysis extends Q.Module {
     Seq(q51, q52, q53, q54, q91, q94, q97, q101, q102, q103, q110, q111, q113,
       q114, q116, q134, q136, q140, q141, q149, q154, q155, q157, q161, q162,
       q171, q173, q183, q210, q223, q278, q279, q280, q284, q285, q289, q292,
-      q293, q294, q298, q299, q303, q306, q316, q318)
+      q293, q294, q298, q299, q303, q306, q316, q318, q325)
 }
