@@ -2974,6 +2974,99 @@ object Aggs extends Q.Module {
     WHERE NOT b.cal
     GROUP BY b.source, yh.n_cal, yh.yhat ORDER BY b.source"""))
 
+  // --- q326: ROC CURVE POINTS — q288 gives the area; operating a
+  //     quality gate needs the CURVE: at each score-decile threshold,
+  //     the exact TPR/FPR/precision of "keep documents with score ≥ t"
+  //     against the weak label. Thresholds are the q296 order
+  //     statistics (deciles of the score distribution — data-driven,
+  //     not magic numbers), and every rate is a ratio of exact BIGINT
+  //     conditional counts off ONE corpus pass joined against the
+  //     broadcast 9-row threshold frame. Youden's J (TPR − FPR) rides
+  //     along — its argmax row is the gate a pipeline would actually
+  //     deploy.
+  private val q326 = Q(
+    "q326_roc_curve",
+    "✦ ML eval: exact ROC/precision points at score-decile thresholds + Youden's J",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val g = base.groupBy(col("score"))
+        .agg(count(lit(1)).as("c"))
+      val tot = base.agg(count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"))
+      val wCum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g.withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(tot))
+      val thresholds = cum
+        .withColumn("dec", explode(sequence(lit(1L), lit(9L))))
+        .filter(col("cum") * 10 >= col("n") * col("dec"))
+        .groupBy(col("dec")).agg(min(col("score")).as("t"))
+      base.crossJoin(broadcast(thresholds))
+        .groupBy(col("dec"), col("t"))
+        .agg(
+          sum(when(col("score") >= col("t") && col("y") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("t") && col("y") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") < col("t") && col("y") === 1, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("score") < col("t") && col("y") === 0, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("dec"), col("t"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          fpTrunc(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double"), 9).as("tpr"),
+          fpTrunc(col("fp").cast("double")
+            / (col("fp") + col("tn")).cast("double"), 9).as("fpr"),
+          fpTrunc(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"), 9).as("precision"),
+          fpTrunc(col("tp").cast("double")
+            / (col("tp") + col("fn")).cast("double")
+            - col("fp").cast("double")
+            / (col("fp") + col("tn")).cast("double"), 9).as("youden_j"))
+        .orderBy(col("dec"))
+    },
+    Some(s"""WITH base AS (
+      SELECT n_chars AS score,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents),
+    g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    cum AS (SELECT score,
+        SUM(c) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        (SELECT n FROM tot) AS n
+      FROM g),
+    th AS (SELECT dec, CAST(MIN(score) AS BIGINT) AS t FROM (
+      SELECT score, cum, n, unnest(generate_series(1, 9)) AS dec
+      FROM cum) WHERE cum * 10 >= n * dec GROUP BY 1),
+    cf AS (SELECT th.dec, th.t,
+        CAST(SUM(CASE WHEN score >= t AND y = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN score >= t AND y = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN score < t AND y = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN score < t AND y = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS tn
+      FROM base, th GROUP BY 1, 2)
+    SELECT dec, t, tp, fp, fn, tn,
+      ${fpTruncSql(
+        "CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)", 9)} AS tpr,
+      ${fpTruncSql(
+        "CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)", 9)} AS fpr,
+      ${fpTruncSql(
+        "CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)", 9)}
+        AS precision,
+      ${fpTruncSql(
+        "CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)" +
+          " - CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)",
+        9)} AS youden_j
+    FROM cf ORDER BY dec"""))
+
   // --- q322: PARTIAL CORRELATION (confounding audit) — the question
   //     behind every "quality correlates with X" claim: does the
   //     relationship survive controlling for LENGTH? r(words, distinct
@@ -3164,5 +3257,6 @@ object Aggs extends Q.Module {
     q33, q34, q79, q107, q121, q122, q126, q130, q131, q132, q138, q150,
     q153, q160, q174, q175, q176, q177, q178, q179, q181, q184, q187, q189,
     q191, q193, q195, q196, q199, q202, q205, q207, q222, q240, q241, q245,
-    q249, q257, q272, q273, q288, q295, q296, q300, q307, q310, q322)
+    q249, q257, q272, q273, q288, q295, q296, q300, q307, q310, q322,
+    q326)
 }

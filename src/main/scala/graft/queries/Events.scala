@@ -2803,6 +2803,58 @@ object Events extends Q.Module {
       (SELECT design_effect FROM de) AS design_effect
     FROM a0 ORDER BY event_type"""))
 
+  // --- q327: HILL TAIL-INDEX ESTIMATOR — "how heavy is the tail?"
+  //     asked properly: the Hill estimator α̂ = k / Σ_{i≤k} ln(x_(i)/
+  //     x_(k+1)) over the top-k order statistics of purchase amounts —
+  //     the number that says whether means/variances of the revenue
+  //     distribution even exist (α ≤ 2 ⇒ infinite variance), which
+  //     decides between q27's moment statistics and the robust family
+  //     (q191/q308/q319). Shape: the ONLY corpus-sized step is the
+  //     top-(k+1) TakeOrderedAndProject (map-side top-k per partition,
+  //     k = 100); the log-ratio fold runs over the collected 101-row
+  //     array in rank order (bounded, deterministic). Integer cents in,
+  //     one ln per rank, one division out.
+  private val q327 = Q(
+    "q327_hill_tail_index",
+    "✦ robust stats: Hill tail-index over the top-100 purchase order statistics",
+    (s, d) => {
+      val k = 100
+      val top = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+        .orderBy(col("cents").desc).limit(k + 1)
+      def fsum(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
+      top.agg(count(lit(1)).as("n_top"),
+          min(col("cents")).as("x_k1"),
+          max(col("cents")).as("x_max"),
+          array_sort(collect_list(col("cents"))).as("xs"))
+        .select(col("n_top"), col("x_k1"), col("x_max"),
+          fsum(transform(slice(col("xs"), 2, k),
+            x => log(x.cast("double") / col("x_k1").cast("double"))))
+            .as("log_sum"))
+        .select(col("n_top"), col("x_k1"), col("x_max"),
+          fpTrunc(col("log_sum"), 9).as("log_sum"),
+          fpTrunc(lit(k.toDouble) / col("log_sum"), 9).as("hill_alpha"))
+    },
+    Some(s"""WITH top AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY cents DESC LIMIT 101),
+    l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+        CAST(MIN(cents) AS BIGINT) AS x_k1,
+        CAST(MAX(cents) AS BIGINT) AS x_max,
+        list(cents ORDER BY cents) AS xs
+      FROM top),
+    m AS (SELECT n_top, x_k1, x_max,
+        list_sum(list_transform(xs[2:101], x ->
+          ln(CAST(x AS DOUBLE) / CAST(x_k1 AS DOUBLE)))) AS log_sum
+      FROM l)
+    SELECT n_top, x_k1, x_max,
+      ${fpTruncSql("log_sum", 9)} AS log_sum,
+      ${fpTruncSql("100.0 / log_sum", 9)} AS hill_alpha
+    FROM m"""))
+
   // --- q323: QUANTILE TREATMENT EFFECT — A/B readouts that stop at
   //     the mean (q131/q179/q314) miss effects that live in the tail:
   //     a variant that fattens big purchases moves p90 long before it
@@ -3248,5 +3300,6 @@ object Events extends Q.Module {
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
-    q261, q262, q283, q301, q302, q308, q314, q315, q319, q323, q324)
+    q261, q262, q283, q301, q302, q308, q314, q315, q319, q323, q324,
+    q327)
 }
