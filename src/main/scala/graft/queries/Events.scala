@@ -2803,6 +2803,84 @@ object Events extends Q.Module {
       (SELECT design_effect FROM de) AS design_effect
     FROM a0 ORDER BY event_type"""))
 
+  // --- q328: POWER ANALYSIS / SAMPLE-SIZE PLANNER — the question
+  //     asked BEFORE q131/q179/q314 ever run: how many users per arm
+  //     to detect a 10% relative DROP in the MEASURED baseline
+  //     conversion rate (α = 0.05 two-sided, power = 0.80 — the
+  //     guardrail framing, valid at ANY baseline: a +10% lift target
+  //     is undefined once p₁ > 1/1.1, which the sf0.001 fixture's
+  //     near-universal conversion actually hits)? The
+  //     two-proportion closed form
+  //       n = (z_{α/2} + z_β)² · (p₁q₁ + p₂q₂) / (p₂ − p₁)²
+  //     with the z constants as exact double literals (1.959964,
+  //     0.841621 — spelled identically on both engines; no inverse-CDF
+  //     at runtime). p₁ is measured from the corpus (users with ≥ 1
+  //     purchase / users — one map-combined aggregate), p₂ = 1.1·p₁;
+  //     the readout includes the measured baseline, the MDE, the
+  //     required n per arm (ceil), and how many FIXTURE-days of
+  //     traffic that buys at the observed users/day rate — the planner
+  //     row an experimentation platform prints.
+  private val q328 = Q(
+    "q328_power_analysis",
+    "✦ experimentation: two-proportion sample-size planner on the measured baseline rate",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      val base = users.agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      val days = ev.select(expr("(ts div 1000) div 86400000000").as("dd"))
+        .agg(countDistinct(col("dd")).as("n_days"))
+      base.crossJoin(broadcast(days))
+        .withColumn("p1", col("n_converted").cast("double")
+          / col("n_users").cast("double"))
+        .withColumn("p2", col("p1") * 0.9)
+        .withColumn("n_per_arm",
+          ceil((lit(1.959964) + lit(0.841621))
+            * (lit(1.959964) + lit(0.841621))
+            * (col("p1") * (lit(1.0) - col("p1"))
+              + col("p2") * (lit(1.0) - col("p2")))
+            / ((col("p2") - col("p1")) * (col("p2") - col("p1"))))
+            .cast("long"))
+        .select(col("n_users"), col("n_converted"), col("n_days"),
+          fpTrunc(col("p1"), 9).as("baseline_rate"),
+          fpTrunc(col("p1") - col("p2"), 9).as("mde_abs"),
+          col("n_per_arm"),
+          // both arms, at the observed unique-users-per-day rate.
+          ceil(col("n_per_arm").cast("double") * 2.0
+            / (col("n_users").cast("double")
+              / col("n_days").cast("double"))).cast("long")
+            .as("days_to_power"))
+    },
+    Some(s"""WITH u AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS converted
+      FROM events GROUP BY 1),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(converted) AS BIGINT) AS n_converted FROM u),
+    dy AS (SELECT CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000)
+        AS BIGINT) AS n_days FROM events),
+    c AS (SELECT n_users, n_converted, n_days,
+        CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1,
+        CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) * 0.9
+          AS p2
+      FROM b, dy),
+    r AS (SELECT *,
+        CAST(CEIL((1.959964 + 0.841621) * (1.959964 + 0.841621)
+          * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+          / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+      FROM c)
+    SELECT n_users, n_converted, n_days,
+      ${fpTruncSql("p1", 9)} AS baseline_rate,
+      ${fpTruncSql("p1 - p2", 9)} AS mde_abs,
+      n_per_arm,
+      CAST(CEIL(CAST(n_per_arm AS DOUBLE) * 2.0
+        / (CAST(n_users AS DOUBLE) / CAST(n_days AS DOUBLE)))
+        AS BIGINT) AS days_to_power
+    FROM r"""))
+
   // --- q327: HILL TAIL-INDEX ESTIMATOR — "how heavy is the tail?"
   //     asked properly: the Hill estimator α̂ = k / Σ_{i≤k} ln(x_(i)/
   //     x_(k+1)) over the top-k order statistics of purchase amounts —
@@ -3301,5 +3379,5 @@ object Events extends Q.Module {
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
     q261, q262, q283, q301, q302, q308, q314, q315, q319, q323, q324,
-    q327)
+    q327, q328)
 }
