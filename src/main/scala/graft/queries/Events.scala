@@ -2803,6 +2803,59 @@ object Events extends Q.Module {
       (SELECT design_effect FROM de) AS design_effect
     FROM a0 ORDER BY event_type"""))
 
+  // --- q329: DISCRETE-TIME CHURN HAZARD — q128's retention matrix
+  //     says how many survive; the HAZARD says when they leave:
+  //     h(w) = users whose LAST activity falls in tenure-week w
+  //            / users still active at the start of week w,
+  //     the per-week conditional churn probability that feeds survival
+  //     models (and is exactly 1 − the Kaplan–Meier factor q255
+  //     estimates from the other direction). Shape: ONE corpus pass to
+  //     per-user (first day, last day) — the only corpus-sized work —
+  //     then tenure weeks, a collapsed week frame, and the at-risk
+  //     denominator as a REVERSED running sum (suffix sum over the
+  //     ≤ #weeks frame: at-risk(w) = Σ_{v ≥ w} churned(v), since every
+  //     user churns in exactly one tenure week — the conservation the
+  //     spec asserts). Exact integers until the fpTrunc hazard.
+  private val q329 = Q(
+    "q329_churn_hazard",
+    "✦ lifecycle: discrete-time churn hazard by tenure week — suffix-sum at-risk, exact ratios",
+    (s, d) => {
+      val spans = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("dd"))
+        .groupBy(col("user_id"))
+        .agg(min(col("dd")).as("first_dd"), max(col("dd")).as("last_dd"))
+        .select(expr("(last_dd - first_dd) div 7").as("week"))
+      val g = spans.groupBy(col("week")).agg(count(lit(1)).as("churned"))
+      val wSuf = Window.orderBy(col("week"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      g.withColumn("at_risk", sum(col("churned")).over(wSuf))
+        .select(col("week"), col("churned"), col("at_risk"),
+          fpTrunc(col("churned").cast("double")
+            / col("at_risk").cast("double"), 9).as("hazard"),
+          fpTrunc(lit(1.0) - col("churned").cast("double")
+            / col("at_risk").cast("double"), 9).as("km_factor"))
+        .orderBy(col("week"))
+    },
+    Some(s"""WITH spans AS (
+      SELECT (MAX(epoch_us(ts) // 86400000000)
+        - MIN(epoch_us(ts) // 86400000000)) // 7 AS week
+      FROM events GROUP BY user_id),
+    g AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS churned
+      FROM spans GROUP BY 1),
+    sfx AS (SELECT week, churned,
+        SUM(churned) OVER (ORDER BY week
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+      FROM g)
+    SELECT week, churned, CAST(at_risk AS BIGINT) AS at_risk,
+      ${fpTruncSql(
+        "CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE)",
+        9)} AS hazard,
+      ${fpTruncSql(
+        "1.0 - CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE)",
+        9)} AS km_factor
+    FROM sfx ORDER BY week"""))
+
   // --- q328: POWER ANALYSIS / SAMPLE-SIZE PLANNER — the question
   //     asked BEFORE q131/q179/q314 ever run: how many users per arm
   //     to detect a 10% relative DROP in the MEASURED baseline
@@ -3379,5 +3432,5 @@ object Events extends Q.Module {
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
     q261, q262, q283, q301, q302, q308, q314, q315, q319, q323, q324,
-    q327, q328)
+    q327, q328, q329)
 }
