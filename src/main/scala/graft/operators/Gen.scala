@@ -18,6 +18,18 @@ import org.apache.spark.storage.StorageLevel
   * eviction spills instead of dropping, so a released ancestor is never
   * recomputed through.
   *
+  * Cost disclosure: `df.rdd` persists DESERIALIZED external `Row`
+  * objects — every generation pays a toExternal conversion on write and
+  * a toInternal conversion (in `createDataFrame`) on every downstream
+  * read, and the cache is larger than `localCheckpoint`'s serialized
+  * InternalRow blocks. That tax is accepted deliberately: the frames cut
+  * here are node-sized (|V| rows, a few columns), orders of magnitude
+  * smaller than the edge frames the loops scan, and no public API
+  * surfaces an InternalRow-level persisted handle (`localCheckpoint`
+  * hides its RDD, which is the whole problem). If a generation frame
+  * ever approaches data size, cut it with reliable `checkpoint()` to a
+  * checkpoint dir instead — serialized, released by deleting the dir.
+  *
   * The caller's contract: hold the handle, `unpersist(blocking = false)`
   * it the moment the NEXT generation is materialized, and leave the
   * final generation's cache live (the returned result scans it; the

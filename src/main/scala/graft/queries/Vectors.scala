@@ -1259,8 +1259,8 @@ object Vectors extends Q.Module {
           .select(col("sub"), col("cid"), col("dim"),
             floor(col("ss").cast("double") / col("n").cast("double"))
               .as("cu"))
-      // Init is data-deterministic: vec 0..15's subvectors seed each
-      // subspace's 4 centroids (cid = vec_id).
+      // Init is data-deterministic: vec 0..15's subvectors seed the 16
+      // centroids of each subspace (cid = vec_id, matching k = 16).
       var cent = ve.filter(col("vec_id") < 16)
         .select(col("sub"), col("vec_id").as("cid"), col("dim"),
           col("xu").as("cu"))
@@ -1724,8 +1724,14 @@ object Vectors extends Q.Module {
             x.getField("rel").cast("double")
               / log(x.getField("rank").cast("double") + 1.0)))
             .as("dcg_nats"),
-          fsum(transform(sequence(lit(1L), col("n_ideal")), i =>
-            lit(1.0) / log(i.cast("double") + 1.0))).as("idcg_nats"))
+          // n_ideal = 0 guard (a probe whose label class is a singleton):
+          // Spark's sequence(1, 0) counts DOWN to [1, 0] (the q275/q280/
+          // q289 rule), which would fold in 1/ln(1) = +Inf, while DuckDB's
+          // generate_series(1, 0) is empty → NULL. NULL on both engines is
+          // the agreed degenerate value (ndcg divides into NULL too).
+          when(col("n_ideal") >= 1,
+            fsum(transform(sequence(lit(1L), col("n_ideal")), i =>
+              lit(1.0) / log(i.cast("double") + 1.0)))).as("idcg_nats"))
         .select(col("pid"), col("plab"), col("n_rel_at10"), col("n_ideal"),
           graft.dsl.fpTrunc(col("dcg_nats"), 9).as("dcg_nats"),
           graft.dsl.fpTrunc(col("idcg_nats"), 9).as("idcg_nats"),
@@ -1753,9 +1759,10 @@ object Vectors extends Q.Module {
       FROM nb WHERE rank <= 10 GROUP BY 1, 2),
     fin AS (SELECT pid, ag.plab, n_rel_at10,
         LEAST(10, lt.n_lab - 1) AS n_ideal, dcg,
-        list_sum(list_transform(generate_series(1,
-            LEAST(10, lt.n_lab - 1)),
-          i -> 1.0 / ln(CAST(i AS DOUBLE) + 1.0))) AS idcg
+        CASE WHEN LEAST(10, lt.n_lab - 1) >= 1 THEN
+          list_sum(list_transform(generate_series(1,
+              LEAST(10, lt.n_lab - 1)),
+            i -> 1.0 / ln(CAST(i AS DOUBLE) + 1.0))) END AS idcg
       FROM ag JOIN lt ON ag.plab = lt.plab)
     SELECT pid, plab, n_rel_at10, CAST(n_ideal AS BIGINT) AS n_ideal,
       ${graft.dsl.fpTruncSql("dcg", 9)} AS dcg_nats,
