@@ -29,7 +29,7 @@ DEFAULT_BUDGET_S = 30.0
 # algorithm. Budgets are ~3x their measured sf0.1 min-of-3 band so host
 # noise doesn't flap the gate, but a q269-class blowup still trips it.
 ALLOWLIST = {
-    "167": (20.0, "PageRank: 10 fixed iterations, 7.3 s band (r11)"),
+    "167": (13.0, "PageRank: 10 fixed iterations, 4.2 s band (r13 rework)"),
     "228": (15.0, "PPJoin: verify join is the algorithm, 5.1 s band (r11)"),
     "76": (12.0, "near-dup CC clustering, 3.1 s band (r11)"),
     "244": (10.0, "sorted-neighborhood two-phase rank, 2.5 s band (r11)"),

@@ -37,6 +37,24 @@ import org.apache.spark.sql.types.DoubleType
   * with-degree / node frames all derive from that cache; every
   * iteration is ONE broadcast-joined pass over the cached edges + ONE
   * aggregate shuffle whose map-side combine reduces it to node-sized.
+  * The broadcast is an EXPLICIT hint, not left to Catalyst: each
+  * generation is a `LogicalRDD` (lineage cut), whose unknown size
+  * statistics default to "huge", so the planner picks sort-merge and
+  * shuffle-writes the 2|E| cached edge rows every iteration before AQE
+  * can demote the join. When |V| outgrows the broadcast ceiling, pass
+  * `broadcastRanks = false`: the edge frame is then hash-partitioned by
+  * src ONCE outside the loop and every iteration reuses that layout, so
+  * only the node-sized rank frame moves per iteration.
+  *
+  * r13 rework receipts (q167, sf0.1, local[32], min-of-3): 6.85 s →
+  * 4.21 s. The three levers, in measured order of effect: (1) setup
+  * frames lineage-cut with eager localCheckpoint so each iteration
+  * re-plans an O(1) tree instead of the full parquet lineage (the
+  * profile showed 0.35-0.45 s/iteration of pure driver-side planning);
+  * (2) deg rides the generation frame so the contribution side is a
+  * projection, not a per-iteration broadcast join; (3) the readout
+  * reuses the operator's degree frame (runWithDeg) instead of
+  * rebuilding the edge list from source.
   * Every generation is cut eagerly with `Gen.cut` — NOT for plan
   * size (a step references `ranks` once, so the chain only grows
   * linearly, unlike ConnectedComponents' thrice-referencing star
@@ -66,10 +84,42 @@ object PageRank {
     */
   def run(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85,
-      redistributeDangling: Boolean = false): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist()
+      redistributeDangling: Boolean = false,
+      broadcastRanks: Boolean = true): DataFrame =
+    runWithDeg(edges, iterations, damping, redistributeDangling,
+      broadcastRanks)._1
+
+  /** As [[run]], but also returns the out-degree frame `(node, deg)` the
+    * loop already computed — a readout that reports rank next to degree
+    * (q167's shape) would otherwise rebuild the whole edge list from
+    * source a second time. */
+  def runWithDeg(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85,
+      redistributeDangling: Boolean = false,
+      broadcastRanks: Boolean = true): (DataFrame, DataFrame) = {
+    val e0 = edges.select(col("src"), col("dst"))
+    // Every setup frame the LOOP references is lineage-cut with an eager
+    // localCheckpoint, not just persisted: a persisted frame keeps its
+    // full logical plan (parquet scans → join → distinct → union here),
+    // and EVERY iteration's `df.rdd` re-analyzes, re-optimizes, and
+    // re-plans that whole tree on the driver — the r13 profile measured
+    // that planning at 0.35-0.45 s of each iteration's ~0.5 s wall at
+    // sf0.1 (execution was ~0.1 s). Cutting to a LogicalRDD makes the
+    // per-iteration tree O(1)-sized: join(scan, broadcast(join of two
+    // node-sized scans)) + union(scan) + aggregate. localCheckpoint (not
+    // Gen.cut) keeps the cache in serialized InternalRow form — the edge
+    // frame is data-sized, so Gen.cut's external-Row conversion tax on
+    // every iteration's read would matter here (see Gen).
+    // !broadcastRanks: pin the edge layout by src once, so the
+    // per-iteration shuffle join co-locates against the cached layout
+    // and only the node-sized rank frame is exchanged.
+    val e = (if (broadcastRanks) e0 else e0.repartition(col("src")))
+      .localCheckpoint(true)
+    // Node-sized, checkpointed once — NOT recomputed per iteration: the
+    // loop's broadcast subtree joins ranks against this frame, so a lazy
+    // `deg` would re-aggregate the |E|-row edge cache every iteration.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(deg, Seq("src")).persist()
+      .localCheckpoint(true)
     // Without sinks, the src side of `deg` IS the node set; with the
     // dangling extension the node set is src ∪ dst (sinks appear only
     // as dst) and the sink set is nodes ∖ srcs — both computed once,
@@ -77,29 +127,55 @@ object PageRank {
     val nodes = (if (redistributeDangling)
         e.select(col("src").as("node"))
           .union(e.select(col("dst").as("node"))).distinct()
-      else deg.select(col("src").as("node"))).persist()
+          .localCheckpoint(true)
+      else deg.select(col("src").as("node")))
     val sinks = if (redistributeDangling)
       nodes.join(deg.select(col("src").as("node")), Seq("node"),
-        "left_anti").persist()
+        "left_anti").localCheckpoint(true)
     else null
     // |V| as a driver scalar: one setup action (like CC's fixpoint
     // probe), used only to split the dangling units evenly.
     val nNodes = if (redistributeDangling) nodes.count() else 0L
-    var ranks = nodes.withColumn("rank", lit(1.0))
+    val degN = deg.withColumnRenamed("src", "node")
+    // The generation frame carries (node, deg, rank), not just rank: the
+    // per-source contribution needs rank/deg, and if deg lived in its own
+    // frame every iteration would pay a node⋈deg broadcast JOIN (its own
+    // exchange job) before the edge pass. With deg riding the generation,
+    // the contribution side is a pure PROJECTION of the cached frame, and
+    // deg re-enters the next generation through the same aggregate the
+    // baseline rows ride (contribution rows carry deg = null; the one
+    // baseline row per node carries the real deg; MAX picks it out).
+    // Sinks (dangling path) have no out-edges and no deg row — their
+    // baseline deg is null, harmless: rpd's inner join just never sees
+    // them as sources, matching the r12 withDeg-join semantics.
+    val nodesDeg = if (redistributeDangling)
+      nodes.join(degN, Seq("node"), "left").localCheckpoint(true)
+    else degN // already a checkpoint scan — no second copy
+    var ranks = nodesDeg.withColumn("rank", lit(1.0))
     var gen: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     (1 to iterations).foreach { _ =>
+      // The floor-quantized per-source contribution rank(s)/deg(s) is
+      // computed ONCE per node in the (node-sized) broadcast subtree and
+      // carried across that node's out-edges by the join — bit-identical
+      // to flooring per edge (same IEEE division, same floor), but the
+      // per-iteration edge pass degenerates to scan + hash-probe +
+      // column carry, and the |E|-row edges⋈degree frame the r12 shape
+      // materialized no longer exists at all.
+      val rpd = ranks.filter(col("deg").isNotNull)
+        .select(col("node").as("src"),
+          floor((col("rank") / col("deg").cast("double")) * lit(1e9))
+            .as("c"))
       // Zero-mass baseline rows ride the SAME aggregate instead of a
       // per-iteration left join: an integer zero is additive identity,
       // so nodes with no in-edges come out of the sum at exactly 0 —
       // one fewer join (and broadcast job) per generation.
-      val contribs = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"),
-          floor((col("rank") / col("deg").cast("double")) * lit(1e9))
-            .as("c"))
-        .union(nodes.select(col("node"), lit(0L).as("c")))
+      val contribs = e
+        .join(if (broadcastRanks) broadcast(rpd) else rpd, Seq("src"))
+        .select(col("dst").as("node"), lit(null).cast("long").as("deg"),
+          col("c"))
+        .union(nodesDeg.select(col("node"), col("deg"), lit(0L).as("c")))
       val summed = contribs.groupBy(col("node"))
-        .agg(sum(col("c")).as("msum"))
+        .agg(max(col("deg")).as("deg"), sum(col("c")).as("msum"))
       // Dangling mass stays in the integer-unit domain end to end:
       // each sink's rank is floor-quantized exactly like an edge
       // contribution, the units sum as exact longs (1-row aggregate,
@@ -112,11 +188,11 @@ object PageRank {
           .agg(coalesce(sum(floor(col("rank") * lit(1e9))), lit(0L))
             .as("du"))
         summed.crossJoin(broadcast(dang))
-          .select(col("node"),
+          .select(col("node"), col("deg"),
             (col("msum") + expr(s"du div ${nNodes}")).as("msum"))
       } else summed
       val next = withMass
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(1.0 - damping) + lit(damping) *
             (col("msum").cast(DoubleType) / lit(1e9))).as("rank"))
       val (nC, nGen) = Gen.cut(next)
@@ -125,12 +201,12 @@ object PageRank {
       gen = Some(nGen)
       ranks = nC
     }
-    e.unpersist(blocking = false)
-    withDeg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    if (sinks != null) sinks.unpersist(blocking = false)
-    // The final generation's cache stays live — `ranks` scans it
-    // (Gen's caller contract).
-    ranks
+    // e/deg/nodes/sinks are localCheckpoints: their blocks are released
+    // by GC + ContextCleaner once these frame handles die — acceptable for
+    // the ONE fixed set of setup frames (the per-generation leak Gen
+    // exists to prevent was geometric, a new frame every iteration).
+    // The final generation's cache stays live — the returned projection
+    // scans it (Gen's caller contract).
+    (ranks.select(col("node"), col("rank")), degN)
   }
 }

@@ -629,11 +629,15 @@ object Relational extends Q.Module {
       // dedups vacuously for the same reason).
       val edges = li.select(col("a").as("src"), col("b").as("dst"))
         .union(li.select(col("b"), col("a")))
-      val pr = graft.operators.PageRank.run(edges, iterations = 10,
-        damping = 0.85)
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-      pr.join(deg, Seq("node"))
+      // runWithDeg surfaces the operator's own degree frame: recomputing
+      // deg from `edges` here would rebuild the whole distinct-join edge
+      // list from parquet a second time (the r13 profile measured that
+      // readout rebuild at ~1 s of q167's wall).
+      val (pr, deg) = graft.operators.PageRank.runWithDeg(edges,
+        iterations = 10, damping = 0.85)
+      // pr is a LogicalRDD (unknown stats → "huge"); without the hint the
+      // readout join sort-merges and shuffles both node-sized sides.
+      pr.join(broadcast(deg), Seq("node"))
         .select(col("node"), col("deg"),
           (floor(col("rank") * lit(1e9)).cast("double") / lit(1e9)).as("rank"))
         .orderBy(col("node"))
