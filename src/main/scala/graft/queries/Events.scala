@@ -3427,10 +3427,88 @@ object Events extends Q.Module {
         9)} AS mean_cents
     FROM med, mn"""))
 
+  // --- q330: WATERMARKED TUMBLING AGGREGATE off readStream (ST1+ST4 in
+  //     true streaming form, oracle-gated — the q163 trick applied to the
+  //     one §2.9 surface that had no oracle-shaped row). Unlike q163's
+  //     interval join (which emits in-batch), an APPEND-mode aggregate
+  //     emits a window only once the watermark passes its end, so the
+  //     streamed result is the batch aggregate CUT at the final watermark
+  //     max(etime) − 10 min — and that cut is itself SQL-expressible, so
+  //     the oracle checks the watermark semantics, not just the sums:
+  //     AvailableNow runs the data batch, then a no-data batch in which
+  //     the advanced watermark flushes every closed window; the windows
+  //     still open at end-of-stream (the last 10 minutes) stay in state
+  //     and are exactly the rows the oracle's WHERE we <= wm removes.
+  //     The value total is decimal-exact (dsum inside windowedCounts) —
+  //     a double sum would vary with micro-batch row order. Memory sink =
+  //     test-harness shape (q108/q163 precedent); production swaps
+  //     parquet/kafka.
+  private val q330 = Q(
+    "q330_stream_watermark_tumbling",
+    "ST1+ST4 ✦ readStream: append-mode watermarked tumbling agg == batch cut at final watermark",
+    (s, d) => {
+      val table = "q330_wm_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      Sinks.once(s"q330_$d") {
+        val ev = graft.streaming.EventStream.fromEventsDir(s, d).toDF()
+        val wc = graft.streaming.EventStream.windowedCounts(
+          ev, window_ = "10 minutes", watermark = "10 minutes")
+        graft.streaming.EventStream.runToMemory(wc, table,
+          org.apache.spark.sql.streaming.OutputMode.Append)
+      }
+      s.table(table)
+        .select(col("ws").cast("timestamp_ntz").as("ws"),
+          col("we").cast("timestamp_ntz").as("we"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+    Some(s"""WITH wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTES AS w FROM events),
+      agg AS (SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+        time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS we,
+        event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+      FROM events GROUP BY 1, 2, 3)
+    SELECT agg.* FROM agg, wm WHERE agg.we <= wm.w
+    ORDER BY ws, event_type"""))
+
+  // --- q331: STREAM-STATIC BROADCAST ENRICHMENT off readStream (the
+  //     streaming twin of the J3 broadcast join, oracle-gated): every
+  //     micro-batch left-joins the broadcast customer dimension — no
+  //     state, no watermark, so the one-batch AvailableNow result IS the
+  //     batch left join row-for-row. Unmatched users (the events fixture
+  //     deliberately spans more user_ids than customers) keep null
+  //     segment — the left-join indicator the oracle checks. Row-level
+  //     output; deterministic order needs every column (events has no
+  //     unique key exposed through Ev).
+  private val q331 = Q(
+    "q331_stream_static_enrich",
+    "J3+ST ✦ readStream: stream-static broadcast dimension enrichment (left join per micro-batch)",
+    (s, d) => {
+      val table = "q331_enrich_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      Sinks.once(s"q331_$d") {
+        val ev = graft.streaming.EventStream.fromEventsDir(s, d).toDF()
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val joined = graft.streaming.EventStream.enrich(
+          ev, dim, "user_id", "c_custkey")
+        graft.streaming.EventStream.runToMemory(joined, table,
+          org.apache.spark.sql.streaming.OutputMode.Append)
+      }
+      s.table(table)
+        .select(col("user_id"),
+          col("etime").cast("timestamp_ntz").as("etime"),
+          col("event_type"), col("value"),
+          col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("user_id"), col("etime"), col("event_type"),
+          col("value"), col("c_custkey"))
+    },
+    Some("""SELECT e.user_id, e.ts AS etime, e.event_type, e.value,
+      c.c_custkey, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY user_id, etime, event_type, value, c_custkey"""))
+
   def defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q89, q90, q93, q98,
     q106, q108, q125, q127, q128, q139, q146, q158, q159, q163, q168, q172,
     q186, q192, q198, q200, q201, q203, q204, q208, q211, q213, q216, q217,
     q227, q229, q237, q238, q239, q247, q250, q251, q252, q254, q255, q256,
     q261, q262, q283, q301, q302, q308, q314, q315, q319, q323, q324,
-    q327, q328, q329)
+    q327, q328, q329, q330, q331)
 }

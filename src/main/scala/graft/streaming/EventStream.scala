@@ -58,14 +58,19 @@ object EventStream {
   }
 
   /** ST1/ST4: watermarked tumbling-window counts — late data beyond the
-    * watermark is dropped, state is bounded. */
+    * watermark is dropped, state is bounded. The value total is a
+    * decimal-exact sum (graft.dsl.dsum): a double sum's result depends
+    * on partial-aggregation order, which in a streaming aggregate also
+    * varies with how rows split across micro-batches — decimal addition
+    * is associative, so the streamed total equals the batch oracle's
+    * bit-for-bit (the q330 hash gate). */
   def windowedCounts(events: DataFrame,
       window_ : String = "10 minutes",
       watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("etime", watermark)
       .groupBy(window(col("etime"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.dsl.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"), col("total_value"))
 
