@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S9 — partitioned JDBC ingest (`dd.read_sql_table`'s Spark shape).
+  *
+  * The sandbox has no database and no JDBC driver jar (offline resolver),
+  * so the IO leg is untestable-by-construction here; what IS pure and
+  * testable is the part that decides whether a 100 TB table ingests in
+  * parallel or through one connection: the range→predicate split
+  * planner. `columnPartition` reproduces the documented semantics of
+  * Spark's own `spark.read.jdbc(url, table, column, lower, upper,
+  * numPartitions, props)` splitter:
+  *
+  *   - stride = upper/n − lower/n (integer division FIRST — matching the
+  *     engine's overflow-safe form, so bounds near Long.Max don't wrap)
+  *   - the FIRST stride is unbounded below and adopts the NULLs
+  *     (`col < b OR col IS NULL`) — a lower bound is a split hint, not a
+  *     filter; rows below it must still arrive
+  *   - the LAST stride is unbounded above, for the same reason
+  *   - middle strides are half-open `[b_i, b_{i+1})` — adjacent strides
+  *     share no row, the union covers every value
+  *   - a range narrower than the requested parallelism clamps the split
+  *     count to the range width (an empty stride would hold a connection
+  *     open for zero rows)
+  *   - one partition → no predicate at all (full-table single scan)
+  *
+  * Scale notes for the real call: pick `column` indexed and roughly
+  * uniform (a surrogate key, an epoch column); numPartitions bounds the
+  * CONNECTION COUNT the database sees, so size it to what the source
+  * survives, not to the cluster's core count; skewed keys make stride
+  * splits uneven — pre-compute quantile bounds and pass them as custom
+  * predicates instead (the `predicates` overload below).
+  */
+object Jdbc {
+
+  /** Pure split planner: WHERE-clause predicate per partition.
+    * `None` = no predicate (scan everything) — only for n = 1.
+    */
+  def columnPartition(column: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int): Seq[Option[String]] = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    require(lowerBound <= upperBound,
+      s"lowerBound $lowerBound must be <= upperBound $upperBound")
+    // Clamp: never more strides than distinct boundary gaps. The range
+    // width upper-lower can overflow Long for extreme bounds; the
+    // div-first stride below is overflow-safe, so clamp on the stride
+    // instead: stride 0 with n > 1 means the range is narrower than n.
+    val n: Int =
+      if (numPartitions == 1) 1
+      else {
+        val width = BigInt(upperBound) - BigInt(lowerBound)
+        if (width >= numPartitions) numPartitions
+        else math.max(1, width.toInt)
+      }
+    if (n == 1) return Seq(None)
+    val stride = upperBound / n - lowerBound / n
+    val bounds = (1 until n).map(i => lowerBound + stride * i)
+    (0 until n).map { i =>
+      val lb = if (i == 0) None else Some(s"$column >= ${bounds(i - 1)}")
+      val ub = if (i == n - 1) None else Some(s"$column < ${bounds(i)}")
+      (lb, ub) match {
+        case (None, Some(u))    => Some(s"$u OR $column IS NULL")
+        case (Some(l), None)    => Some(l)
+        case (Some(l), Some(u)) => Some(s"$l AND $u")
+        case (None, None)       => None // unreachable for n > 1
+      }
+    }
+  }
+
+  /** The documented IO call-site (UNTESTED here — needs a driver jar on
+    * the executor classpath and a reachable database; everything above
+    * this line is the tested logic). Production:
+    *
+    * {{{
+    * spark.read.format("jdbc")
+    *   .option("url", url).option("dbtable", table)
+    *   .option("user", user).option("password", password)
+    *   .option("partitionColumn", column)
+    *   .option("lowerBound", lower).option("upperBound", upper)
+    *   .option("numPartitions", n)
+    *   .option("fetchsize", 10000)   // cursor batch — the other perf dial
+    *   .load()
+    * }}}
+    *
+    * or, for skewed keys, quantile-bound predicates via
+    * `spark.read.jdbc(url, table, predicates, props)` where
+    * `predicates = columnPartition(...).map(_.getOrElse("1=1"))` built
+    * from pre-computed quantiles rather than min/max.
+    */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+      column: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, fetchSize: Int = 10000): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", column)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .option("fetchsize", fetchSize)
+      .load()
+}
