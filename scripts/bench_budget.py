@@ -25,6 +25,15 @@ import sys
 
 DEFAULT_BUDGET_S = 30.0
 
+# Total-wall ceiling (r12 verdict item 5): the driver's bench timeout is
+# real but unknown — r10/r11 both blacked out past it. The r12 driver run
+# recorded 150.3 s for 329 queries; local min-of-3 runs ~140 s, and the
+# driver environment has run up to ~3x slower than local on bad days. A
+# projected total past this line means the NEXT driver bench is at risk
+# even if every individual query is inside its own budget — creeping
+# totals fail loudly here instead of as a silent rc:124.
+TOTAL_BUDGET_S = 240.0
+
 # Deliberately heavy queries: iteration count or verify-join IS the
 # algorithm. Budgets are ~3x their measured sf0.1 min-of-3 band so host
 # noise doesn't flap the gate, but a q269-class blowup still trips it.
@@ -50,7 +59,13 @@ def main(path):
             bad.append(f"q{q}: {sec:.3f} s > budget {budget:.1f} s ({why})")
     total = sum(v for v in qs.values() if v >= 0)
     print(f"bench_budget: {len(qs)} queries, total {total:.1f} s "
-          f"(sf={rec.get('sf')}, runs={rec.get('runs')})")
+          f"(sf={rec.get('sf')}, runs={rec.get('runs')}), "
+          f"wall ceiling {TOTAL_BUDGET_S:.0f} s "
+          f"(headroom {TOTAL_BUDGET_S - total:+.1f} s)")
+    if total > TOTAL_BUDGET_S:
+        bad.append(f"TOTAL: {total:.1f} s > wall budget {TOTAL_BUDGET_S:.1f} s"
+                   " (driver bench timeout risk - trim the heavy tail before"
+                   " adding queries)")
     if bad:
         print("\n".join("OVER " + b for b in bad))
         return 1

@@ -453,4 +453,52 @@ class PlanEvidenceSpec extends SparkSuite {
     assert(!plan.contains("Window "), s"unexpected window:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"SMJ crept in:\n$plan")
   }
+
+  test("q207 fact-fact join runs adaptive and skew-split-eligible at scale") {
+    // q207's lineitem⋈orders is the registry's one DELIBERATE fact-fact
+    // shuffle join (neither side is a dimension at 100 TB). At fixture
+    // scale Catalyst broadcasts the orders side, so to pin the at-scale
+    // shape we disable the broadcast threshold: the join must then plan
+    // as a shuffle join INSIDE AdaptiveSparkPlan with skew-join handling
+    // on — the combination that lets AQE split a hot o_orderkey at
+    // runtime. A CartesianProduct or nested-loop here would be a bug at
+    // any scale.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      val df = SparkEntry.queries("q207_ship_lag_percentiles")(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan"),
+        s"fact-fact join not under AQE (no runtime skew split possible):\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join on the fact-fact edge:\n$plan")
+      assert(!plan.contains("CartesianProduct")
+        && !plan.contains("BroadcastNestedLoopJoin"),
+        s"fact-fact join degenerated to all-pairs:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // was unset before the test (optional conf, no default to restore)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("q228 PPJoin candidates come from equi prefix-token joins, never all-pairs") {
+    // The losslessness twin (all-pairs) lives in the SPEC only; the
+    // engine path must generate candidates exclusively through hash
+    // joins on prefix tokens. Any CartesianProduct / nested-loop join
+    // in the executed plan means the prefix filter silently degenerated
+    // to O(N²) — the exact failure PPJoin exists to prevent.
+    val plan = planOf("q228_prefix_filter_join")
+    assert(!plan.contains("CartesianProduct"),
+      s"prefix-filter join degenerated to a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no equi join found for candidate generation:\n$plan")
+  }
 }
