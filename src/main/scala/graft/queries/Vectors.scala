@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object Vectors extends Q.Module {
 
+  /** Probe BUDGET for the retrieval-audit family (q287/q305/q311/q320):
+    * the first 400 decimated ids (vec_id % 5 = 0 ∧ vec_id < 5·400). A
+    * probe set that is a corpus FRACTION makes probes×candidates
+    * quadratic in corpus size — the r13 sf1 scale sweep measured exactly
+    * that (q320 1.13 s → 48.2 s, q287 1.44 → 55.1, q305 0.92 → 49.2 at
+    * 10× data). These audits are statistical estimates (hubness,
+    * label-noise rate, NDCG, RBO): a fixed-size deterministic sample
+    * estimates them at ANY corpus size, which is the same bounded-probe
+    * contract q44 sets for exact kNN. At the three fixture SFs the cap
+    * is above every vec_id, so results are bit-identical to the
+    * pre-budget rows. */
+  private val ProbeBudget = 400L
+
   /** Sequential left-to-right double dot product of two float arrays. */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -1457,7 +1470,8 @@ object Vectors extends Q.Module {
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val probes = e.filter(col("vec_id") % 5 === 0)
+      val probes = e.filter(col("vec_id") % 5 === 0
+        && col("vec_id") < lit(5L * ProbeBudget))
         .select(col("vec_id").as("pid"), col("embedding").as("pe"),
           col("label").cast("long").as("plab"))
       val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
@@ -1490,7 +1504,7 @@ object Vectors extends Q.Module {
           ORDER BY ${cosineSql("p.embedding", "c.embedding")} DESC,
             c.vec_id) AS rank
       FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
-      WHERE p.vec_id % 5 = 0),
+      WHERE p.vec_id % 5 = 0 AND p.vec_id < 5 * ${ProbeBudget}),
     ag AS (SELECT pid, plab,
         CAST(SUM(CASE WHEN clab = plab THEN 1 ELSE 0 END) AS BIGINT)
           AS agree
@@ -1694,7 +1708,8 @@ object Vectors extends Q.Module {
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val probes = e.filter(col("vec_id") % 5 === 0)
+      val probes = e.filter(col("vec_id") % 5 === 0
+        && col("vec_id") < lit(5L * ProbeBudget))
         .select(col("vec_id").as("pid"), col("embedding").as("pe"),
           col("label").cast("long").as("plab"))
       val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
@@ -1746,7 +1761,7 @@ object Vectors extends Q.Module {
           ORDER BY ${cosineSql("p.embedding", "c.embedding")} DESC,
             c.vec_id) AS rank
       FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
-      WHERE p.vec_id % 5 = 0),
+      WHERE p.vec_id % 5 = 0 AND p.vec_id < 5 * ${ProbeBudget}),
     lt AS (SELECT CAST(label AS BIGINT) AS plab,
         CAST(COUNT(*) AS BIGINT) AS n_lab
       FROM embeddings GROUP BY 1),
@@ -1790,7 +1805,8 @@ object Vectors extends Q.Module {
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val probes = e.filter(col("vec_id") % 5 === 0)
+      val probes = e.filter(col("vec_id") % 5 === 0
+        && col("vec_id") < lit(5L * ProbeBudget))
         .select(col("vec_id").as("pid"), col("embedding").as("pe"))
       val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val qdot = aggregate(
@@ -1840,7 +1856,7 @@ object Vectors extends Q.Module {
           * FLOOR(CAST(c.embedding[k] AS DOUBLE) * 64))) AS BIGINT)
           AS sq
       FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
-      WHERE p.vec_id % 5 = 0),
+      WHERE p.vec_id % 5 = 0 AND p.vec_id < 5 * ${ProbeBudget}),
     rk AS (SELECT pid, cid,
         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sx DESC, cid) AS rx,
         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY sq DESC, cid) AS rq
@@ -1947,7 +1963,8 @@ object Vectors extends Q.Module {
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val e = Tables.embeddings(s, d)
-      val probes = e.filter(col("vec_id") % 5 === 0)
+      val probes = e.filter(col("vec_id") % 5 === 0
+        && col("vec_id") < lit(5L * ProbeBudget))
         .select(col("vec_id").as("pid"), col("embedding").as("pe"))
       val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("pid"))
@@ -1978,7 +1995,7 @@ object Vectors extends Q.Module {
           ORDER BY ${cosineSql("p.embedding", "c.embedding")} DESC,
             c.vec_id) AS rank
       FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
-      WHERE p.vec_id % 5 = 0),
+      WHERE p.vec_id % 5 = 0 AND p.vec_id < 5 * ${ProbeBudget}),
     ind AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS deg
       FROM nb WHERE rank <= 10 GROUP BY 1),
     st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_retrieved,

@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sf1 fixture builder (scale-proof harness, not product
+  * surface): 10× the sf0.1 fixture by key-shifted replication, so the
+  * heavy-tail queries can be measured one decade above bench scale and
+  * the sf0.1→sf1 scaling factor recorded in PLANS.md. The driver's own
+  * generator recipe is not available; replication preserves the join
+  * topology, key density (every id range stays 0..N−1-contiguous), and
+  * value distributions exactly, which is what cost-scaling measurements
+  * need.
+  *
+  * Replica-shift rules (replica i ∈ 0..9):
+  *   - fact keys shift by the table's sf0.1 cardinality: custkey +15000·i,
+  *     orderkey +150000·i, event_id +100000·i, user_id +1500·i,
+  *     doc_id +5000·i, vec_id +2000·i — FK edges stay valid within a
+  *     replica and never cross replicas.
+  *   - dimensions (region/nation/supplier/part) copy as-is: dims scale
+  *     sublinearly in any real warehouse, and keeping them fixed makes
+  *     the fact-side 10× the ONLY variable.
+  *   - document text for replica i > 0 is the same token multiset with
+  *     the words re-ordered by a per-(doc, replica) md5 sort key:
+  *     replica texts stop being near-duplicates of the originals (their
+  *     shingle sets diverge), so dedup queries scale with CORPUS SIZE
+  *     rather than with an artificial 10-deep duplicate-cluster
+  *     structure replication would otherwise inject — while the token
+  *     unigram statistics (vocab, Zipf, lengths) scale naturally.
+  *     Replica 0 keeps the original text byte-for-byte, so every
+  *     fixture-injected pattern the queries probe for still exists.
+  *   - embeddings for replica i > 0 get a deterministic ±5e-3 per-dim
+  *     nudge (vec_id- and dim-keyed), so kNN/ANN tie structure is not
+  *     10 identical copies of every vector.
+  *   - events keep their timestamps (10× user population, same busy
+  *     month — densifies windows the way real growth does) and write
+  *     `ts` as BIGINT nanos, the contract Tables.events normalizes to.
+  *
+  * Usage: sbt "runMain graft.tools.GenSf1 /root/testdata/sf0.1 /root/repo/tmp/sf1"
+  */
+object GenSf1 {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/root/repo/tmp/sf1")
+    val s = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    def reps(build: Int => DataFrame): DataFrame =
+      (0 until 10).map(build).reduce(_ unionByName _)
+
+    def write(name: String, df: DataFrame, files: Int): Unit = {
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+      System.err.println(s"[gensf1] $name: " +
+        s.read.parquet(s"$out/$name.parquet").count() + " rows")
+    }
+
+    // Dimensions: byte-for-byte copies.
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      write(t, s.read.parquet(s"$src/$t.parquet"), 2)
+    }
+
+    val cust = s.read.parquet(s"$src/customer.parquet")
+    write("customer", reps(i => cust
+      .withColumn("c_custkey", col("c_custkey") + lit(15000L * i))
+      .withColumn("c_name", when(lit(i) === 0, col("c_name"))
+        .otherwise(concat(col("c_name"), lit(s"#r$i"))))), 8)
+
+    val ord = s.read.parquet(s"$src/orders.parquet")
+    write("orders", reps(i => ord
+      .withColumn("o_orderkey", col("o_orderkey") + lit(150000L * i))
+      .withColumn("o_custkey", col("o_custkey") + lit(15000L * i))), 8)
+
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    write("lineitem", reps(i => li
+      .withColumn("l_orderkey", col("l_orderkey") + lit(150000L * i))), 16)
+
+    // events: ts normalized to the BIGINT-nanos contract before shifting.
+    val ev = graft.Tables.events(s, src)
+    write("events", reps(i => ev
+      .withColumn("event_id", col("event_id") + lit(100000L * i))
+      .withColumn("user_id", col("user_id") + lit(1500L * i))), 8)
+
+    val doc = s.read.parquet(s"$src/documents.parquet")
+    write("documents", reps { i =>
+      val shifted = doc.withColumn("doc_id", col("doc_id") + lit(5000L * i))
+      if (i == 0) shifted
+      else shifted
+        .withColumn("text", array_join(transform(
+          array_sort(transform(split(col("text"), " "), w =>
+            struct(md5(concat_ws(":", w, col("doc_id").cast("string"),
+              lit(i.toString))).as("k"), w.as("w")))),
+          x => x.getField("w")), " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, 8)
+
+    val emb = s.read.parquet(s"$src/embeddings.parquet")
+    write("embeddings", reps { i =>
+      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(2000L * i))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          (x + (pmod(col("vec_id") * lit(31L) + j.cast("long") * lit(17L)
+              + lit(i.toLong), lit(101L)).cast("float") - lit(50.0f))
+            * lit(1e-4f)).cast("float")))
+    }, 4)
+
+    System.err.println(s"[gensf1] done -> $out")
+  }
+}
