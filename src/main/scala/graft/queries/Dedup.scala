@@ -1506,11 +1506,18 @@ object Dedup extends Q.Module {
         conv(substring(md5(concat_ws(" ", slice(w, i, lit(3)))), 1, 8),
           16, 10).cast("long"))
       // ≥ 6 words ⇒ ≥ 4 3-gram hashes ⇒ ≥ 1 window of 4.
+      // `hs` MUST be materialized as a column before the window
+      // transform references it: an array-valued expression inlined
+      // inside a lambda is re-evaluated per element, turning the
+      // per-doc cost from L md5s into L² (the r13 sf1 sweep measured
+      // the inline shape at 124 s vs 2.6 s materialized — the whole
+      // q313 blowup). size(hs) − 3 ≡ size(w) − 5.
       val fps = corpus.filter(size(w) >= 6)
+        .withColumn("hs", hs)
         .select(col("doc_id"),
           explode(array_distinct(
-            transform(sequence(lit(1), size(w) - 5), j =>
-              array_min(slice(hs, j, lit(4)))))).as("fp"))
+            transform(sequence(lit(1), size(col("hs")) - 3), j =>
+              array_min(slice(col("hs"), j, lit(4)))))).as("fp"))
         .withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("fp"))))
         .filter(col("df") <= 50)

@@ -752,16 +752,39 @@ object Relational extends Q.Module {
   //     each triangle to all three corners via one explode. deg is
   //     node-sized → broadcast to the orientation join; the global
   //     count rides as a broadcast 1-row frame.
-  /** Blocked co-purchase edge list shared by q182/q194: users who
-    * purchased in the same (epoch-hour, $10 value-band) block, as
-    * distinct canonical (x < y) pairs — pair volume capped per block. */
+  /** Blocked co-purchase edge list shared by q182/q194/q225/q231: users
+    * who purchased in the same (epoch-hour, $10 value-band) block, as
+    * distinct canonical (x < y) pairs — pair volume capped per block.
+    *
+    * HOT-BLOCK CUTOFF (the q47 hot-shingle rule, graph edition): a block
+    * with more than 32 distinct purchasers in one hour+band is ambient
+    * coincidence, not pairwise signal — and, load-bearing at scale, its
+    * pair volume is c², so block size is the term that decides whether
+    * the graph build survives density growth. The r13 sf1 sweep measured
+    * exactly that failure: same month, 10× users → median block 2 → 20,
+    * pair volume 27.9k → 3.70M (132×), and the downstream wedge
+    * enumerations blew up with it (q231 0.29 s → 170.6 s, q313-class
+    * Σdeg² growth). With the cutoff, sf1 pair volume is 583k and the
+    * wedge count 108M — linear-in-corpus territory. At every fixture SF
+    * the max block is 12, so the cutoff changes NOTHING the oracles see;
+    * it exists for the density decade above. */
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
     val pe = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(expr("(ts div 1000) div 3600000000").as("h"),
         floor(col("value") / 10).as("b"), col("user_id").as("u"))
-    pe.as("a")
-      .join(pe.as("p2"),
+    // Distinct (h, b, u) first (map-side combinable; also shrinks the
+    // self-join input), then the block size rides a window over the
+    // SAME (h, b) hash layout the self-join shuffles on — one pass, no
+    // extra count-distinct join (the join form cost +0.6-1.5 s per
+    // graph query at sf0.1). Blocks are ≤32 rows post-filter, so the
+    // window partition is bounded by construction.
+    val peD = pe.distinct()
+    val peCool = peD.withColumn("c",
+        count(lit(1)).over(Window.partitionBy(col("h"), col("b"))))
+      .filter(col("c") <= 32).drop("c")
+    peCool.as("a")
+      .join(peCool.as("p2"),
         col("a.h") === col("p2.h") && col("a.b") === col("p2.b")
           && col("a.u") < col("p2.u"))
       .select(col("a.u").as("x"), col("p2.u").as("y"))
@@ -774,9 +797,13 @@ object Relational extends Q.Module {
       SELECT epoch_us(ts) // 3600000000 AS h, FLOOR(value / 10) AS b,
         user_id AS u
       FROM events WHERE event_type = 'purchase'),
+    cool AS (
+      SELECT h, b FROM pe GROUP BY 1, 2
+      HAVING COUNT(DISTINCT u) <= 32),
     pairs AS (
       SELECT DISTINCT a.u AS x, p2.u AS y
-      FROM pe a JOIN pe p2 ON a.h = p2.h AND a.b = p2.b AND a.u < p2.u)"""
+      FROM pe a JOIN cool USING (h, b) JOIN pe p2 USING (h, b)
+      WHERE a.u < p2.u)"""
 
   private val q182 = Q(
     "q182_triangle_count",
