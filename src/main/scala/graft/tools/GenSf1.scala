@@ -81,10 +81,30 @@ object GenSf1 {
       .withColumn("l_orderkey", col("l_orderkey") + lit(150000L * i))), 16)
 
     // events: ts normalized to the BIGINT-nanos contract before shifting.
+    // Written as ONE FILE named events.parquet (not a directory): the
+    // streaming source (EventStream.fromEventsDir) globs on the FILE
+    // name `events.parquet` inside the fixture dir, exactly like the
+    // driver's single-file fixture layout — a directory layout made the
+    // four readStream rows fail AnalysisException in the first sf1 run.
     val ev = graft.Tables.events(s, src)
-    write("events", reps(i => ev
+    val evAll = reps(i => ev
       .withColumn("event_id", col("event_id") + lit(100000L * i))
-      .withColumn("user_id", col("user_id") + lit(1500L * i))), 8)
+      .withColumn("user_id", col("user_id") + lit(1500L * i)))
+    val evTmp = s"$out/_events_tmp"
+    evAll.coalesce(1).write.mode("overwrite").parquet(evTmp)
+    val part = new java.io.File(evTmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("no part file written for events"))
+    val dst = new java.io.File(s"$out/events.parquet")
+    if (dst.exists()) { def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }; rm(dst) }
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rmDir(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmDir)); f.delete() }
+    rmDir(new java.io.File(evTmp))
+    System.err.println(s"[gensf1] events: " +
+      s.read.parquet(s"$out/events.parquet").count() + " rows (single file)")
 
     val doc = s.read.parquet(s"$src/documents.parquet")
     write("documents", reps { i =>
