@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * need.
   *
   * Replica-shift rules (replica i ∈ 0..9):
-  *   - fact keys shift by the table's sf0.1 cardinality: custkey +15000·i,
+  *   - fact keys shift by the table's OWN key-space width (max key + 1,
+  *     read from the source — at sf0.1 that is custkey +15000·i,
   *     orderkey +150000·i, event_id +100000·i, user_id +1500·i,
-  *     doc_id +5000·i, vec_id +2000·i — FK edges stay valid within a
-  *     replica and never cross replicas.
+  *     doc_id +5000·i, vec_id +2000·i) — FK edges stay valid within a
+  *     replica and never cross replicas, at ANY source SF
+  *     (GenSf1Spec drives the same path from sf0.001).
   *   - dimensions (region/nation/supplier/part) copy as-is: dims scale
   *     sublinearly in any real warehouse, and keeping them fixed makes
   *     the fact-side 10× the ONLY variable.
@@ -53,6 +55,19 @@ object GenSf1 {
     def reps(build: Int => DataFrame): DataFrame =
       (0 until 10).map(build).reduce(_ unionByName _)
 
+    // Key-space width per shifted key: max + 1 from the source (keys are
+    // 0-based contiguous in every fixture generation so far, but max+1 is
+    // correct even if they stop being).
+    def width(table: String, key: String): Long =
+      s.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(key))).head().getLong(0) + 1L
+    val wCust = width("customer", "c_custkey")
+    val wOrd = width("orders", "o_orderkey")
+    val wEvent = width("events", "event_id")
+    val wUser = width("events", "user_id")
+    val wDoc = width("documents", "doc_id")
+    val wVec = width("embeddings", "vec_id")
+
     def write(name: String, df: DataFrame, files: Int): Unit = {
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
@@ -67,18 +82,18 @@ object GenSf1 {
 
     val cust = s.read.parquet(s"$src/customer.parquet")
     write("customer", reps(i => cust
-      .withColumn("c_custkey", col("c_custkey") + lit(15000L * i))
+      .withColumn("c_custkey", col("c_custkey") + lit(wCust * i))
       .withColumn("c_name", when(lit(i) === 0, col("c_name"))
         .otherwise(concat(col("c_name"), lit(s"#r$i"))))), 8)
 
     val ord = s.read.parquet(s"$src/orders.parquet")
     write("orders", reps(i => ord
-      .withColumn("o_orderkey", col("o_orderkey") + lit(150000L * i))
-      .withColumn("o_custkey", col("o_custkey") + lit(15000L * i))), 8)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(wOrd * i))
+      .withColumn("o_custkey", col("o_custkey") + lit(wCust * i))), 8)
 
     val li = s.read.parquet(s"$src/lineitem.parquet")
     write("lineitem", reps(i => li
-      .withColumn("l_orderkey", col("l_orderkey") + lit(150000L * i))), 16)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(wOrd * i))), 16)
 
     // events: ts normalized to the BIGINT-nanos contract before shifting.
     // Written as ONE FILE named events.parquet (not a directory): the
@@ -88,8 +103,8 @@ object GenSf1 {
     // four readStream rows fail AnalysisException in the first sf1 run.
     val ev = graft.Tables.events(s, src)
     val evAll = reps(i => ev
-      .withColumn("event_id", col("event_id") + lit(100000L * i))
-      .withColumn("user_id", col("user_id") + lit(1500L * i)))
+      .withColumn("event_id", col("event_id") + lit(wEvent * i))
+      .withColumn("user_id", col("user_id") + lit(wUser * i)))
     val evTmp = s"$out/_events_tmp"
     evAll.coalesce(1).write.mode("overwrite").parquet(evTmp)
     val part = new java.io.File(evTmp).listFiles()
@@ -108,7 +123,7 @@ object GenSf1 {
 
     val doc = s.read.parquet(s"$src/documents.parquet")
     write("documents", reps { i =>
-      val shifted = doc.withColumn("doc_id", col("doc_id") + lit(5000L * i))
+      val shifted = doc.withColumn("doc_id", col("doc_id") + lit(wDoc * i))
       if (i == 0) shifted
       else shifted
         .withColumn("text", array_join(transform(
@@ -121,7 +136,7 @@ object GenSf1 {
 
     val emb = s.read.parquet(s"$src/embeddings.parquet")
     write("embeddings", reps { i =>
-      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(2000L * i))
+      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(wVec * i))
       if (i == 0) shifted
       else shifted.withColumn("embedding",
         transform(col("embedding"), (x, j) =>
