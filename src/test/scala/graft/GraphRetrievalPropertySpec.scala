@@ -158,6 +158,14 @@ class GraphRetrievalPropertySpec extends SparkSuite {
     val mass = nodes.map(rank).sum
     assert(math.abs(mass - nodes.size.toDouble) < 1e-4,
       s"mass $mass drifted from |V|=${nodes.size}")
+    // The big-|V| escape path (broadcastRanks = false: edges pinned by
+    // src, node-sized ranks shuffled per iteration) must be a pure
+    // EXECUTION-strategy swap: bit-identical ranks, same quantized walk.
+    val gotShuffle = graft.operators.PageRank.run(edges, iterations = 10,
+      damping = 0.85, broadcastRanks = false)
+      .as[(Long, Double)].collect().toMap
+    assert(gotShuffle == got,
+      "broadcastRanks=false diverged from the broadcast path")
   }
 
   test("PageRank dangling redistribution: arbitrary digraphs with sinks " +
