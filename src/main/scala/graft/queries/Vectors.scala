@@ -1454,8 +1454,10 @@ object Vectors extends Q.Module {
   //     exact-cosine nearest neighbors share its label? A vector whose
   //     neighborhood votes against it (agree ≤ 2 of 10) is a mislabel /
   //     outlier suspect. Probes are a DETERMINISTIC 1-in-5 decimation
-  //     (vec_id % 5 = 0 — the q152 hash-sample discipline: re-runnable,
-  //     oracle-reproducible), so the probe frame is bounded and
+  //     CAPPED at the fixed ProbeBudget (vec_id % 5 = 0 ∧ vec_id <
+  //     5·budget — the q152 hash-sample discipline plus the r13 rule
+  //     that a probe set must never be a corpus FRACTION, see
+  //     ProbeBudget), so the probe frame is bounded and
   //     broadcast; candidates stream through ONE corpus scan into the
   //     fused codegen'd cosine kernel (q44's plan: broadcast-hash join,
   //     no candidate shuffle). The only shuffle is the per-probe top-k
@@ -1699,7 +1701,8 @@ object Vectors extends Q.Module {
   //     textbook value, because the base cancels in the ratio). The
   //     ideal DCG caps at min(10, #relevant-in-corpus) — the honest
   //     denominator when a label class is thin. Probes are q287's
-  //     deterministic 1-in-5 decimation (bounded broadcast side);
+  //     deterministic 1-in-5 decimation capped at ProbeBudget
+  //     (bounded broadcast side);
   //     output stays per-probe — the grain that avoids a corpus-sized
   //     float mean (a label-level rollup would need q45's block fold).
   private val q305 = Q(
@@ -1797,7 +1800,8 @@ object Vectors extends Q.Module {
   //     every term an exact rational evaluated in one fixed-order
   //     bounded fold. The quantized leg re-ranks by Σ⌊64x⌋·⌊64y⌋ —
   //     exact BIGINT scores, deterministic ties by cid. Probes are the
-  //     q287 decimation; both rankings ride the same one-scan
+  //     budget-capped q287 decimation; both rankings ride the same
+  //     one-scan
   //     broadcast-probe plan.
   private val q311 = Q(
     "q311_rbo_quantization",
@@ -1950,7 +1954,7 @@ object Vectors extends Q.Module {
   //     in high dimensions a few "hub" vectors appear in EVERYONE's
   //     top-k while antihubs appear in no one's, silently skewing
   //     dedup and RAG retrieval. Measured as the IN-DEGREE distribution
-  //     of the probe→top-10 graph (q287's decimated probe set): the
+  //     of the probe→top-10 graph (q287's budget-capped probe set): the
   //     in-degree histogram, the max/mean hub ratio (cleared to the
   //     exact integer max·n_candidates vs total-edges compare), and
   //     the share of candidates never retrieved. Skewness-free
