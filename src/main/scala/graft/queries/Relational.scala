@@ -1611,10 +1611,21 @@ object Relational extends Q.Module {
     "q243_weighted_sssp",
     "✦ graph: multi-source weighted shortest distance (3 Bellman-Ford rounds, integer weights)",
     (s, d) => {
-      val pe = Tables.events(s, d)
+      val pe0 = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(expr("(ts div 1000) div 3600000000").as("h"),
           floor(col("value") / 10).as("b"), col("user_id").as("u"))
+      // The ≤32-distinct-purchaser hot-block cutoff (coPurchasePairs'
+      // rule — this query keeps event MULTIPLICITY for its weights, so
+      // it filters via the count-distinct join form rather than the
+      // window-over-distinct form). Without it the r13 sf10 sweep
+      // measured the inlined block self-join at ~250M pair rows
+      // (179 s); fixture-SF blocks max out at 12, so results are
+      // bit-identical there.
+      val cool = pe0.groupBy(col("h"), col("b"))
+        .agg(count_distinct(col("u")).as("c"))
+        .filter(col("c") <= 32).drop("c")
+      val pe = pe0.join(cool, Seq("h", "b"))
       val wpairs = pe.as("a")
         .join(pe.as("p2"),
           col("a.h") === col("p2.h") && col("a.b") === col("p2.b")
@@ -1649,10 +1660,13 @@ object Relational extends Q.Module {
           SELECT a.dst AS node, p.d + a.w AS d
           FROM d${i - 1} p JOIN adj a ON p.node = a.src)
         GROUP BY 1)"""
-      s"""WITH pe AS (
+      s"""WITH pe0 AS (
       SELECT epoch_us(ts) // 3600000000 AS h, FLOOR(value / 10) AS b,
         user_id AS u
       FROM events WHERE event_type = 'purchase'),
+    cool AS (SELECT h, b FROM pe0 GROUP BY 1, 2
+      HAVING COUNT(DISTINCT u) <= 32),
+    pe AS (SELECT pe0.* FROM pe0 JOIN cool USING (h, b)),
     wp AS (SELECT a.u AS x, p2.u AS y,
         GREATEST(CAST(1 AS BIGINT), 8 - COUNT(*)) AS w
       FROM pe a JOIN pe p2 ON a.h = p2.h AND a.b = p2.b AND a.u < p2.u
