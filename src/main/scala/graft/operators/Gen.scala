@@ -26,7 +26,9 @@ import org.apache.spark.storage.StorageLevel
   * here are node-sized (|V| rows, a few columns), orders of magnitude
   * smaller than the edge frames the loops scan, and no public API
   * surfaces an InternalRow-level persisted handle (`localCheckpoint`
-  * hides its RDD, which is the whole problem). If a generation frame
+  * hides its RDD, which is the whole problem — though for pure RELEASE,
+  * `releaseLocalCheckpoint` below recovers the handle from the plan's
+  * LogicalRDD leaf). If a generation frame
   * ever approaches data size, cut it with reliable `checkpoint()` to a
   * checkpoint dir instead — serialized, released by deleting the dir.
   *
@@ -42,4 +44,22 @@ private[operators] object Gen {
     val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
+
+  /** Deterministically release the persisted blocks behind a frame
+    * produced by `Dataset.localCheckpoint` (which hides its RDD — the
+    * reason `cut` exists). The checkpointed InternalRow RDD is
+    * recoverable from the frame's own plan: `localCheckpoint` leaves a
+    * `LogicalRDD` leaf whose `rdd` field IS the persisted handle, so a
+    * setup frame that had to stay in serialized InternalRow form (the
+    * data-sized edge caches — `cut`'s external-Row tax would bite
+    * there) can still be freed the moment its loop ends instead of
+    * lingering until GC + ContextCleaner run, which in a single
+    * 331-query bench JVM can be queries later. No-op on frames whose
+    * plan holds no LogicalRDD leaf. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

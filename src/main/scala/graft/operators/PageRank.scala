@@ -41,10 +41,13 @@ import org.apache.spark.sql.types.DoubleType
   * generation is a `LogicalRDD` (lineage cut), whose unknown size
   * statistics default to "huge", so the planner picks sort-merge and
   * shuffle-writes the 2|E| cached edge rows every iteration before AQE
-  * can demote the join. When |V| outgrows the broadcast ceiling, pass
-  * `broadcastRanks = false`: the edge frame is then hash-partitioned by
-  * src ONCE outside the loop and every iteration reuses that layout, so
-  * only the node-sized rank frame moves per iteration.
+  * can demote the join. When |V| outgrows the broadcast ceiling
+  * ([[PageRank.BroadcastRanksMaxNodes]]) the operator AUTO-SELECTS the
+  * shuffle escape (r14; override with `broadcastRanks = Some(b)`): the
+  * edge frame is hash-partitioned by src ONCE at its checkpoint write
+  * and every iteration reuses that layout, so only the node-sized rank
+  * frame moves per iteration. Both strategies are bit-identical
+  * (GraphRetrievalPropertySpec pins it).
   *
   * r13 rework receipts (q167, sf0.1, local[32], min-of-3): 6.85 s →
   * 4.21 s. The three levers, in measured order of effect: (1) setup
@@ -67,12 +70,30 @@ import org.apache.spark.sql.types.DoubleType
   * handle lets each superseded generation be RELEASED inside the loop
   * (the r12 hygiene rule — ContextCleaner frees nothing in a tight
   * driver loop; see Gen). It also means the
-  * returned frame no longer references the persisted edges (production
-  * swaps reliable `checkpoint()`; at a scale where ranks outgrow
-  * broadcast, pre-`repartition` the edge frame by src so the per-
-  * iteration shuffle joins co-locate and only ranks move).
+  * returned frame no longer references the persisted edges, so the
+  * data-sized setup checkpoints are released explicitly on exit
+  * (r14, via Gen.releaseLocalCheckpoint — production swaps reliable
+  * `checkpoint()` against a checkpoint dir, released by deleting it).
   */
 object PageRank {
+
+  /** Auto-select ceiling for the broadcast-rank strategy: above this
+    * many source nodes, each iteration's rank-side broadcast (a
+    * node-sized hash relation rebuilt 10×, held whole in every executor
+    * next to the data-sized edge cache) is what OOMs before anything
+    * else does — the r13 sf10 run (1.5M nodes, 120M cached edges)
+    * needed a 48 GB heap on the broadcast path and completes at the
+    * default 8 GB on the shuffle escape. At ~50-100 B/row of broadcast
+    * hash relation, 1M nodes ≈ 100 MB per iteration — the conventional
+    * upper edge of "broadcastable"; beyond it the src-pinned shuffle
+    * join moves the SAME node-sized frame per iteration without
+    * holding it resident everywhere. */
+  private[graft] val BroadcastRanksMaxNodes = 1000000L
+
+  /** The auto-select heuristic, surfaced for unit testing: broadcast
+    * iff the source-node count fits [[BroadcastRanksMaxNodes]]. */
+  private[graft] def chooseBroadcast(nSrcNodes: Long): Boolean =
+    nSrcNodes <= BroadcastRanksMaxNodes
 
   /** @param edges distinct (src, dst) pairs. With the default
     *              `redistributeDangling = false`, every node must appear
@@ -81,11 +102,17 @@ object PageRank {
     *              sink (out-degree-0) mass is redistributed uniformly,
     *              the standard dangling-node extension. Self-loops are
     *              legal.
+    * @param broadcastRanks None (default) auto-selects from the actual
+    *              node count ([[chooseBroadcast]] — the count is one
+    *              O(ms) action on the already-checkpointed degree
+    *              frame); Some(b) forces the strategy. Both strategies
+    *              produce BIT-IDENTICAL ranks (spec-proven) — this is
+    *              purely an execution-layout choice.
     */
   def run(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85,
       redistributeDangling: Boolean = false,
-      broadcastRanks: Boolean = true): DataFrame =
+      broadcastRanks: Option[Boolean] = None): DataFrame =
     runWithDeg(edges, iterations, damping, redistributeDangling,
       broadcastRanks)._1
 
@@ -96,7 +123,7 @@ object PageRank {
   def runWithDeg(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85,
       redistributeDangling: Boolean = false,
-      broadcastRanks: Boolean = true): (DataFrame, DataFrame) = {
+      broadcastRanks: Option[Boolean] = None): (DataFrame, DataFrame) = {
     val e0 = edges.select(col("src"), col("dst"))
     // Every setup frame the LOOP references is lineage-cut with an eager
     // localCheckpoint, not just persisted: a persisted frame keeps its
@@ -110,16 +137,32 @@ object PageRank {
     // Gen.cut) keeps the cache in serialized InternalRow form — the edge
     // frame is data-sized, so Gen.cut's external-Row conversion tax on
     // every iteration's read would matter here (see Gen).
-    // !broadcastRanks: pin the edge layout by src once, so the
-    // per-iteration shuffle join co-locates against the cached layout
-    // and only the node-sized rank frame is exchanged.
-    val e = (if (broadcastRanks) e0 else e0.repartition(col("src")))
-      .localCheckpoint(true)
+    val eRaw = e0.localCheckpoint(true)
     // Node-sized, checkpointed once — NOT recomputed per iteration: the
     // loop's broadcast subtree joins ranks against this frame, so a lazy
     // `deg` would re-aggregate the |E|-row edge cache every iteration.
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = eRaw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // Strategy resolution: an explicit caller choice wins; otherwise
+    // count the (already-cached, node-sized) degree frame and let the
+    // threshold decide — the operator picks the big-graph escape
+    // without a caller flag once |V| outgrows broadcast.
+    val bcast = broadcastRanks.getOrElse(chooseBroadcast(deg.count()))
+    // Shuffle strategy only: re-pin the cached edges by src ONCE, so the
+    // per-iteration shuffle join co-locates against the cached layout
+    // and only the node-sized rank frame is exchanged (localCheckpoint's
+    // LogicalRDD carries the physical plan's outputPartitioning, so the
+    // pin survives the lineage cut). The pin is deliberately NOT done on
+    // the broadcast path: an unconditional up-front repartition measured
+    // +1.3 s on q167's 4.2 s sf0.1 wall for a layout broadcast joins
+    // never use. The brief eRaw+pinned double-residency is shuffle-path
+    // only and MEMORY_AND_DISK-backed; eRaw is released the moment the
+    // pinned copy is materialized.
+    val e = if (bcast) eRaw else {
+      val pinned = eRaw.repartition(col("src")).localCheckpoint(true)
+      Gen.releaseLocalCheckpoint(eRaw)
+      pinned
+    }
     // Without sinks, the src side of `deg` IS the node set; with the
     // dangling extension the node set is src ∪ dst (sinks appear only
     // as dst) and the sink set is nodes ∖ srcs — both computed once,
@@ -170,7 +213,7 @@ object PageRank {
       // so nodes with no in-edges come out of the sum at exactly 0 —
       // one fewer join (and broadcast job) per generation.
       val contribs = e
-        .join(if (broadcastRanks) broadcast(rpd) else rpd, Seq("src"))
+        .join(if (bcast) broadcast(rpd) else rpd, Seq("src"))
         .select(col("dst").as("node"), lit(null).cast("long").as("deg"),
           col("c"))
         .union(nodesDeg.select(col("node"), col("deg"), lit(0L).as("c")))
@@ -201,12 +244,21 @@ object PageRank {
       gen = Some(nGen)
       ranks = nC
     }
-    // e/deg/nodes/sinks are localCheckpoints: their blocks are released
-    // by GC + ContextCleaner once these frame handles die — acceptable for
-    // the ONE fixed set of setup frames (the per-generation leak Gen
-    // exists to prevent was geometric, a new frame every iteration).
-    // The final generation's cache stays live — the returned projection
-    // scans it (Gen's caller contract).
+    // Release the setup checkpoints the loop is done with — above all
+    // `e`, the DATA-SIZED 2|E| edge cache, which in a long-lived JVM
+    // (the 331-query bench) would otherwise linger until GC +
+    // ContextCleaner get around to it (they rarely do between queries).
+    // `deg` stays live: the returned degN frame scans it. The final
+    // generation's cache also stays live — the returned ranks
+    // projection scans it (Gen's caller contract); both were eagerly
+    // materialized, so nothing released here is recomputed through.
+    Gen.releaseLocalCheckpoint(e)
+    if (redistributeDangling) {
+      Gen.releaseLocalCheckpoint(nodes)
+      Gen.releaseLocalCheckpoint(sinks)
+      Gen.releaseLocalCheckpoint(nodesDeg) // its own checkpoint here; when
+      // !redistributeDangling it aliases deg's scan and must NOT be freed
+    }
     (ranks.select(col("node"), col("rank")), degN)
   }
 }

@@ -13,7 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * numPartitions, props)` splitter:
   *
   *   - stride = upper/n − lower/n (integer division FIRST — matching the
-  *     engine's overflow-safe form, so bounds near Long.Max don't wrap)
+  *     engine's overflow-safe form, so bounds near Long.Max don't wrap;
+  *     one deliberate deviation: when that form truncates to stride 0 on
+  *     a small cross-zero range, the stride is re-derived from the exact
+  *     width so every partition keeps a distinct boundary — see the
+  *     inline note)
   *   - the FIRST stride is unbounded below and adopts the NULLs
   *     (`col < b OR col IS NULL`) — a lower bound is a split hint, not a
   *     filter; rows below it must still arrive
@@ -54,7 +58,19 @@ object Jdbc {
         else math.max(1, width.toInt)
       }
     if (n == 1) return Seq(None)
-    val stride = upperBound / n - lowerBound / n
+    // Truncate-toward-zero division makes the div-first form collapse to
+    // stride 0 when the range straddles zero with |lower|, |upper| < n
+    // (e.g. -5..6, n = 8: 6/8 − (-5)/8 = 0 − 0): every boundary would
+    // equal lowerBound, the middle partitions would get vacuous
+    // predicates, and all in-range rows would funnel into the last
+    // connection — coverage stays exactly-once but the parallelism is
+    // gone. Re-derive from the exact width in that case (floor division,
+    // overflow-safe via BigInt); the clamp above guarantees width >= n,
+    // so the re-derived stride is >= 1 and every boundary is distinct.
+    val strideRaw = upperBound / n - lowerBound / n
+    val stride =
+      if (strideRaw > 0) strideRaw
+      else ((BigInt(upperBound) - BigInt(lowerBound)) / n).toLong
     val bounds = (1 until n).map(i => lowerBound + stride * i)
     (0 until n).map { i =>
       val lb = if (i == 0) None else Some(s"$column >= ${bounds(i - 1)}")

@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * Replica-shift rules (replica i ∈ 0..9):
   *   - fact keys shift by the table's OWN key-space width (max key + 1,
   *     read from the source — at sf0.1 that is custkey +15000·i,
-  *     orderkey +150000·i, event_id +100000·i, user_id +1500·i,
-  *     doc_id +5000·i, vec_id +2000·i) — FK edges stay valid within a
-  *     replica and never cross replicas, at ANY source SF
-  *     (GenSf1Spec drives the same path from sf0.001).
+  *     orderkey +150000·i, event_id +100000·i, doc_id +5000·i,
+  *     vec_id +2000·i; user_id shifts by the CUSTOMER width +15000·i so
+  *     the user_id→c_custkey edge stays replica-local too) — FK edges
+  *     stay valid within a replica and never cross replicas, at ANY
+  *     source SF (GenSf1Spec drives the same path from sf0.001).
   *   - dimensions (region/nation/supplier/part) copy as-is: dims scale
   *     sublinearly in any real warehouse, and keeping them fixed makes
   *     the fact-side 10× the ONLY variable.
@@ -64,7 +65,6 @@ object GenSf1 {
     val wCust = width("customer", "c_custkey")
     val wOrd = width("orders", "o_orderkey")
     val wEvent = width("events", "event_id")
-    val wUser = width("events", "user_id")
     val wDoc = width("documents", "doc_id")
     val wVec = width("embeddings", "vec_id")
 
@@ -101,10 +101,18 @@ object GenSf1 {
     // name `events.parquet` inside the fixture dir, exactly like the
     // driver's single-file fixture layout — a directory layout made the
     // four readStream rows fail AnalysisException in the first sf1 run.
+    // user_id shifts by the CUSTOMER key-space width, not its own: the
+    // implicit user_id→c_custkey edge (q331's enrichment join, q169's
+    // allowlist check) must stay replica-preserved — a wUser shift would
+    // land every replica's users inside replica 0's customer key range,
+    // changing the user↔customer match topology between SFs and
+    // invalidating scaling conclusions for those joins. The resulting
+    // user_id gaps are harmless: no query relies on user-id contiguity,
+    // only on per-user grouping and the FK edge.
     val ev = graft.Tables.events(s, src)
     val evAll = reps(i => ev
       .withColumn("event_id", col("event_id") + lit(wEvent * i))
-      .withColumn("user_id", col("user_id") + lit(wUser * i)))
+      .withColumn("user_id", col("user_id") + lit(wCust * i)))
     val evTmp = s"$out/_events_tmp"
     evAll.coalesce(1).write.mode("overwrite").parquet(evTmp)
     val part = new java.io.File(evTmp).listFiles()

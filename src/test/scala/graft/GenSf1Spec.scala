@@ -89,6 +89,17 @@ class GenSf1Spec extends SparkSuite {
       assert(spark.read.parquet(s"$out/events.parquet")
         .schema("ts").dataType ==
         org.apache.spark.sql.types.LongType, "events ts lost nanos contract")
+
+      // The implicit user_id→c_custkey edge is replica-preserved:
+      // user_id shifts by the CUSTOMER width, so every event's replica
+      // index agrees between its event_id and its user_id (a wUser
+      // shift would put replica-i users inside replica 0's customer
+      // range and change the user↔customer join topology across SFs).
+      val wCustS = src("customer")
+      val wEventS = src("events")
+      assert(spark.read.parquet(s"$out/events.parquet")
+        .filter(expr(s"event_id div $wEventS != user_id div $wCustS"))
+        .count() == 0, "events replica index disagrees between event_id and user_id")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

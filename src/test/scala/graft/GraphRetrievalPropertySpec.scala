@@ -162,10 +162,18 @@ class GraphRetrievalPropertySpec extends SparkSuite {
     // src, node-sized ranks shuffled per iteration) must be a pure
     // EXECUTION-strategy swap: bit-identical ranks, same quantized walk.
     val gotShuffle = graft.operators.PageRank.run(edges, iterations = 10,
-      damping = 0.85, broadcastRanks = false)
+      damping = 0.85, broadcastRanks = Some(false))
       .as[(Long, Double)].collect().toMap
     assert(gotShuffle == got,
       "broadcastRanks=false diverged from the broadcast path")
+    // Auto-select threshold logic (r14): the operator flips to the
+    // shuffle escape exactly when the source-node count outgrows the
+    // broadcast ceiling — no caller flag needed at scale.
+    val lim = graft.operators.PageRank.BroadcastRanksMaxNodes
+    assert(graft.operators.PageRank.chooseBroadcast(1L))
+    assert(graft.operators.PageRank.chooseBroadcast(lim))
+    assert(!graft.operators.PageRank.chooseBroadcast(lim + 1))
+    assert(!graft.operators.PageRank.chooseBroadcast(Long.MaxValue))
   }
 
   test("PageRank dangling redistribution: arbitrary digraphs with sinks " +

@@ -88,6 +88,32 @@ class JdbcSplitSpec extends AnyFunSuite {
     assert(bounds == bounds.sorted)
   }
 
+  test("small cross-zero range keeps distinct boundaries (no stride-0 funnel)") {
+    // -5..6 with n=8: width 11 >= 8 so the clamp doesn't fire, but the
+    // div-first stride truncates to 0 (6/8 − (-5)/8 = 0). The planner
+    // must re-derive stride 1 so each partition gets a distinct boundary
+    // instead of funnelling every in-range row into the last connection.
+    val got = Jdbc.columnPartition("id", -5, 6, 8)
+    assert(got.size == 8)
+    val bounds = got.flatten.flatMap(_.stripSuffix(" OR id IS NULL")
+      .split(" AND ").map(_.split(" ").last.toLong)).distinct
+    assert(bounds == bounds.sorted && bounds.size == 7,
+      s"boundaries must be 7 distinct increasing values, got $bounds in $got")
+    coverageExactlyOnce("id", -5, 6, 8,
+      Seq(None, Some(-6), Some(-5), Some(-1), Some(0), Some(1), Some(5),
+        Some(6), Some(7), Some(Long.MinValue), Some(Long.MaxValue)))
+    // Each middle partition is non-vacuous: lower bound strictly below
+    // its upper bound.
+    got.flatten.foreach { p =>
+      val core = p.stripSuffix(" OR id IS NULL")
+      core.split(" AND ").toSeq match {
+        case Seq(s"id >= $l", s"id < $u") =>
+          assert(l.toLong < u.toLong, s"vacuous middle stride: $p")
+        case _ => ()
+      }
+    }
+  }
+
   test("planner rejects inverted bounds and non-positive partition counts") {
     intercept[IllegalArgumentException](Jdbc.columnPartition("id", 10, 5, 2))
     intercept[IllegalArgumentException](Jdbc.columnPartition("id", 0, 10, 0))
