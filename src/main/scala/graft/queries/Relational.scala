@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.dsl._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -756,54 +756,106 @@ object Relational extends Q.Module {
     * who purchased in the same (epoch-hour, $10 value-band) block, as
     * distinct canonical (x < y) pairs — pair volume capped per block.
     *
-    * HOT-BLOCK CUTOFF (the q47 hot-shingle rule, graph edition): a block
-    * with more than 32 distinct purchasers in one hour+band is ambient
-    * coincidence, not pairwise signal — and, load-bearing at scale, its
-    * pair volume is c², so block size is the term that decides whether
-    * the graph build survives density growth. The r13 sf1 sweep measured
-    * exactly that failure: same month, 10× users → median block 2 → 20,
-    * pair volume 27.9k → 3.70M (132×), and the downstream wedge
-    * enumerations blew up with it (q231 0.29 s → 170.6 s, q313-class
-    * Σdeg² growth). With the cutoff, sf1 pair volume is 583k and the
-    * wedge count 108M — linear-in-corpus territory. At every fixture SF
-    * the max block is 12, so the cutoff changes NOTHING the oracles see;
-    * it exists for the density decade above. */
-  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
-    val pe = Tables.events(s, d)
+    * HOT-BLOCK CUTOFF with DENSITY-ADAPTIVE REFINEMENT (r14): a block
+    * with more than 32 distinct purchasers in one hour+band carries c²
+    * pair volume — block size is the term that decides whether the
+    * graph build survives density growth (the r13 sf1 sweep measured
+    * the failure: same month, 10× users → median block 2 → 20, pair
+    * volume 27.9k → 3.70M (132×), q231 0.29 s → 170.6 s). r13 DROPPED
+    * hot blocks outright — cost-safe but signal-lossy once density
+    * makes most blocks hot (at sf10 the median block is ~200 users and
+    * the graph went near-empty). r14 instead RE-BLOCKS a hot hour at
+    * MINUTE granularity: within a >32-user (hour, band) block, users
+    * sharing the same (minute, band) are still strong pairwise signal
+    * at bounded cost (≤32² per minute); only minutes that are
+    * THEMSELVES hot are dropped — the terminal ambient-coincidence
+    * verdict. At every fixture SF the max hour block is 12, so neither
+    * level changes anything the oracles see; the refinement exists for
+    * the density decades above (see blockedCoPurchasePairs for the
+    * plan shape). */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    blockedCoPurchasePairs(Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(expr("(ts div 1000) div 3600000000").as("h"),
-        floor(col("value") / 10).as("b"), col("user_id").as("u"))
-    // Distinct (h, b, u) first (map-side combinable; also shrinks the
-    // self-join input), then the block size rides a window over the
-    // SAME (h, b) hash layout the self-join shuffles on — one pass, no
-    // extra count-distinct join (the join form cost +0.6-1.5 s per
-    // graph query at sf0.1). Blocks are ≤32 rows post-filter, so the
-    // window partition is bounded by construction.
-    val peD = pe.distinct()
-    val peCool = peD.withColumn("c",
-        count(lit(1)).over(Window.partitionBy(col("h"), col("b"))))
-      .filter(col("c") <= 32).drop("c")
-    peCool.as("a")
-      .join(peCool.as("p2"),
-        col("a.h") === col("p2.h") && col("a.b") === col("p2.b")
-          && col("a.u") < col("p2.u"))
-      .select(col("a.u").as("x"), col("p2.u").as("y"))
+        expr("(ts div 1000) div 60000000").as("m"),
+        floor(col("value") / 10).as("b"),
+        col("user_id").cast("long").as("u")))
+
+  /** Canonical pair list (x < y struct array) over the distinct values
+    * of a bounded array — callers guard size(a) <= cap, so the nested
+    * transform is ≤ cap² structs. Value-based (y > x), so collect_set
+    * element order cannot affect the output pair SET. */
+  private def pairsOf(a: Column): Column =
+    flatten(transform(a, x =>
+      transform(filter(a, y => y > x), y =>
+        struct(x.as("x"), y.as("y")))))
+
+  private val emptyPairs: Column =
+    array().cast("array<struct<x:bigint,y:bigint>>")
+
+  /** The two-level blocked pair builder. Input contract: (h, b, m, u)
+    * rows (hour block, value band, minute, long user id), duplicates
+    * allowed. Plan shape — THREE exchanges, no self-join, no
+    * corpus-sized window:
+    *   1. groupBy (h, b, m) collect_set(u): minute-grain distinct user
+    *      sets (map-side combinable). Sets are CLAMPED to 33 elements —
+    *      semantics-preserving, because a >32-user minute never emits
+    *      pairs at either level (its own size gate fails, and it forces
+    *      the hour union past 32), so WHICH 33 survive is unobservable;
+    *      the clamp is what bounds every downstream array.
+    *   2. groupBy (h, b) collect_list(struct(m, us)): one row per hour
+    *      block (≤60 minute entries × ≤33 users each). The hour-level
+    *      distinct-user union and BOTH pair generations are per-row
+    *      array expressions evaluated ONCE per block (the q313 rule —
+    *      never re-evaluate a composite array per element).
+    *   3. explode + distinct on (x, y): the canonical edge set.
+    * The r13 form (distinct + count window + self-join) cost one more
+    * exchange plus the join; folding the pair generation into the
+    * block row is both the r14 refinement vehicle and the fixture-SF
+    * shave (-0.3-0.6 s per graph query at sf0.1). */
+  private[graft] def blockedCoPurchasePairs(pe: DataFrame): DataFrame = {
+    val mb = pe.groupBy(col("h"), col("b"), col("m"))
+      .agg(slice(collect_set(col("u")), 1, 33).as("us"))
+    val hb = mb.groupBy(col("h"), col("b"))
+      .agg(collect_list(struct(col("m"), col("us"))).as("mus"))
+      .withColumn("hus",
+        array_distinct(flatten(transform(col("mus"), _.getField("us")))))
+    hb.select(explode(
+        when(size(col("hus")) <= 32, pairsOf(col("hus")))
+          .otherwise(flatten(transform(col("mus"), mu =>
+            when(size(mu.getField("us")) <= 32, pairsOf(mu.getField("us")))
+              .otherwise(emptyPairs))))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
       .distinct()
   }
 
-  /** Shared oracle CTE prefix producing the same `pairs` frame. */
+  /** Shared oracle CTE prefix producing the same `pairs` frame (the
+    * two-level semantics spelled relationally — DuckDB needs no clamp:
+    * the size gates make the >32 cases drop out identically). */
   private val coPurchasePairsSql: String =
     """pe AS (
-      SELECT epoch_us(ts) // 3600000000 AS h, FLOOR(value / 10) AS b,
-        user_id AS u
+      SELECT epoch_us(ts) // 3600000000 AS h,
+        epoch_us(ts) // 60000000 AS m,
+        FLOOR(value / 10) AS b, user_id AS u
       FROM events WHERE event_type = 'purchase'),
-    cool AS (
-      SELECT h, b FROM pe GROUP BY 1, 2
-      HAVING COUNT(DISTINCT u) <= 32),
+    hblk AS (
+      SELECT h, b, COUNT(DISTINCT u) AS c FROM pe GROUP BY 1, 2),
+    mblk AS (
+      SELECT h, b, m, COUNT(DISTINCT u) AS c FROM pe GROUP BY 1, 2, 3),
     pairs AS (
-      SELECT DISTINCT a.u AS x, p2.u AS y
-      FROM pe a JOIN cool USING (h, b) JOIN pe p2 USING (h, b)
-      WHERE a.u < p2.u)"""
+      SELECT DISTINCT x, y FROM (
+        SELECT a.u AS x, p2.u AS y
+        FROM pe a
+        JOIN hblk ON a.h = hblk.h AND a.b = hblk.b
+        JOIN pe p2 ON a.h = p2.h AND a.b = p2.b
+        WHERE hblk.c <= 32 AND a.u < p2.u
+        UNION ALL
+        SELECT a.u, p2.u
+        FROM pe a
+        JOIN hblk ON a.h = hblk.h AND a.b = hblk.b
+        JOIN mblk ON a.h = mblk.h AND a.b = mblk.b AND a.m = mblk.m
+        JOIN pe p2 ON a.h = p2.h AND a.b = p2.b AND a.m = p2.m
+        WHERE hblk.c > 32 AND mblk.c <= 32 AND a.u < p2.u))"""
 
   private val q182 = Q(
     "q182_triangle_count",
