@@ -170,6 +170,25 @@ object Scale extends Q.Module {
     assignCells(e, trained).select(col("vec_id"), col("embedding"), col("cid"), col("rn"))
   }
 
+  /** IVF cell map for the retrieval-audit family's at-scale shortlist
+    * (r14, Vectors.auditPairs): every vector's trained cell assignment
+    * ranked to `nprobe`, with the q74 per-cell cap sub-split applied —
+    * (vec_id, rn, cell, sub). rn = 1 rows are the (disjoint) cell
+    * membership; rn <= nprobe rows are the probe fan-out. Cells are
+    * disjoint and a probe only scans its own sub-cell of an overflowing
+    * cell, so per-probe candidate volume is bounded by nprobe·cellCap
+    * at ANY corpus size. The assignment frame is persisted (member and
+    * probe legs both scan it; harness-owned cache, like q74's). */
+  private[graft] def ivfProbeMap(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val asn = ivfAssigned(s, d).filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("rn"), col("cid")).persist()
+    val counts = cellCounts(asn.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid")))
+    subSplit(asn, counts, "vec_id")
+      .select(col("vec_id"), col("rn"), col("cid").as("cell"), col("sub"))
+  }
+
   /** DuckDB twin of ivfAssigned: CTEs q/c0/(a_i,x_i,s_i,c_i)*iters/asn —
     * same seeds, same quantized-mean updates, same fold-identical cosine
     * ranking; `asn` mirrors the returned frame. */
