@@ -680,6 +680,87 @@ object Extras extends Q.Module {
     WHERE 2 * s2 >= fa.s1
     ORDER BY lift DESC, ante, cons LIMIT 25"""))
 
+  // --- q332: RELATIVE-MINSUP FREQUENT TRIPLES — q226's A-priori with
+  //     the PRODUCTION threshold form: minsup = greatest(2, baskets
+  //     div 50000) at every level (L1/L2/L3), i.e. ~0.002% of baskets
+  //     with an absolute floor of 2. q226's fixed minsup = 2 makes the
+  //     ANSWER SET itself grow superlinearly once basket count grows
+  //     against a fixed item dimension (the r13 sf1 sweep measured
+  //     13.8× — output-sensitive by design, not a plan defect); a
+  //     relative threshold tracks the co-occurrence density, so both
+  //     the L1/L2 prunes and the answer set stay scale-stable — the
+  //     form a 100 TB basket-mining deployment actually runs. At every
+  //     fixture SF baskets div 50000 = 0, so the floor makes q332's
+  //     thresholds equal q226's and the oracle exercises the same
+  //     arithmetic; the relative term takes over exactly at the
+  //     density decades (sf1: minsup 29, sf10: 294) where q226's
+  //     absolute form blows up. The basket count rides as a broadcast
+  //     1-row frame into every threshold filter — no driver-side
+  //     action, no second scan (`no` derives from the same distinct
+  //     basket frame the mining uses).
+  private val q332 = Q(
+    "q332_frequent_triples_relative",
+    "✦ basket mining: A-priori triples with relative minsup (greatest(2, baskets div 50000))",
+    (s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val no = op.select(col("o")).distinct()
+        .agg(count(lit(1)).as("no"))
+      val ms = greatest(lit(2L), expr("no div 50000"))
+      val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
+        .crossJoin(broadcast(no)).filter(col("s1") >= ms)
+      val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
+      val l2 = pr.select(col("o"), col("p").as("pa")).as("a")
+        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("b"),
+          col("o") === col("o2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
+        .crossJoin(broadcast(no)).filter(col("s2") >= ms)
+        .select(col("pa"), col("pb"))
+      val cand = pr.select(col("o"), col("p").as("pa")).as("x")
+        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("y"),
+          col("o") === col("o2") && col("pa") < col("pb"))
+        .join(pr.select(col("o").as("o3"), col("p").as("pc")).as("z"),
+          col("o") === col("o3") && col("pb") < col("pc"))
+        .select(col("o"), col("pa"), col("pb"), col("pc"))
+        .join(broadcast(l2), Seq("pa", "pb"), "semi")
+        .join(broadcast(l2.select(col("pa"), col("pb").as("pc"))),
+          Seq("pa", "pc"), "semi")
+        .join(broadcast(l2.select(col("pa").as("pb"), col("pb").as("pc"))),
+          Seq("pb", "pc"), "semi")
+      cand.groupBy(col("pa"), col("pb"), col("pc"))
+        .agg(count(lit(1)).as("sup"))
+        .crossJoin(broadcast(no))
+        .filter(col("sup") >= ms)
+        .select(col("pa"), col("pb"), col("pc"), col("sup"),
+          ms.cast("long").as("minsup"))
+        .orderBy(col("sup").desc, col("pa"), col("pb"), col("pc"))
+        .limit(20)
+    },
+    Some("""WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    no AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS no FROM op),
+    ms AS (SELECT GREATEST(CAST(2 AS BIGINT), no // 50000) AS ms FROM no),
+    f1 AS (SELECT p FROM op GROUP BY p
+      HAVING COUNT(*) >= (SELECT ms FROM ms)),
+    pr AS (SELECT op.o, op.p FROM op JOIN f1 USING (p)),
+    l2 AS (SELECT a.p AS pa, b.p AS pb
+      FROM pr a JOIN pr b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT ms FROM ms)),
+    cand AS (
+      SELECT x.o, x.p AS pa, y.p AS pb, z.p AS pc
+      FROM pr x
+      JOIN pr y ON x.o = y.o AND x.p < y.p
+      JOIN pr z ON x.o = z.o AND y.p < z.p
+      JOIN l2 ab ON ab.pa = x.p AND ab.pb = y.p
+      JOIN l2 ac ON ac.pa = x.p AND ac.pb = z.p
+      JOIN l2 bc ON bc.pa = y.p AND bc.pb = z.p)
+    SELECT pa, pb, pc, CAST(COUNT(*) AS BIGINT) AS sup,
+      (SELECT ms FROM ms) AS minsup
+    FROM cand GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= (SELECT ms FROM ms)
+    ORDER BY sup DESC, pa, pb, pc LIMIT 20"""))
+
   // --- q276: RECIPROCAL-RANK-FUSION hybrid retrieval — the standard
   //     way production search stacks (and RAG data pipelines) combine a
   //     LEXICAL ranker with a SEMANTIC one without score calibration:
@@ -836,5 +917,5 @@ object Extras extends Q.Module {
 
   def defs: Seq[Q] =
     Seq(q64, q65, q66, q67, q68, q69, q70, q71, q82, q83, q100, q166, q190,
-      q224, q226, q230, q276, q291)
+      q224, q226, q230, q276, q291, q332)
 }
