@@ -90,6 +90,14 @@ object PageRank {
     * holding it resident everywhere. */
   private[graft] val BroadcastRanksMaxNodes = 1000000L
 
+  /** The cheaper, earlier auto-select signal: above this many cached
+    * edge rows the DEFAULT deserialized checkpoint (~64 B/UnsafeRow)
+    * crosses ~2 GB of the 8 GB unified pool and even the degree
+    * aggregate over it starts fighting storage for execution pages —
+    * the shuffle escape (disk-pinned edges) is chosen from the free
+    * block-count alone, before any aggregate touches the cache. */
+  private[graft] val EdgeCacheMaxRows = 32000000L
+
   /** The auto-select heuristic, surfaced for unit testing: broadcast
     * iff the source-node count fits [[BroadcastRanksMaxNodes]]. */
   private[graft] def chooseBroadcast(nSrcNodes: Long): Boolean =
@@ -138,31 +146,55 @@ object PageRank {
     // frame is data-sized, so Gen.cut's external-Row conversion tax on
     // every iteration's read would matter here (see Gen).
     val eRaw = e0.localCheckpoint(true)
-    // Node-sized, checkpointed once — NOT recomputed per iteration: the
-    // loop's broadcast subtree joins ranks against this frame, so a lazy
-    // `deg` would re-aggregate the |E|-row edge cache every iteration.
-    val deg = eRaw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    // Strategy resolution: an explicit caller choice wins; otherwise
-    // count the (already-cached, node-sized) degree frame and let the
-    // threshold decide — the operator picks the big-graph escape
-    // without a caller flag once |V| outgrows broadcast.
-    val bcast = broadcastRanks.getOrElse(chooseBroadcast(deg.count()))
-    // Shuffle strategy only: re-pin the cached edges by src ONCE, so the
-    // per-iteration shuffle join co-locates against the cached layout
-    // and only the node-sized rank frame is exchanged (localCheckpoint's
-    // LogicalRDD carries the physical plan's outputPartitioning, so the
-    // pin survives the lineage cut). The pin is deliberately NOT done on
-    // the broadcast path: an unconditional up-front repartition measured
-    // +1.3 s on q167's 4.2 s sf0.1 wall for a layout broadcast joins
-    // never use. The brief eRaw+pinned double-residency is shuffle-path
-    // only and MEMORY_AND_DISK-backed; eRaw is released the moment the
-    // pinned copy is materialized.
-    val e = if (bcast) eRaw else {
-      val pinned = eRaw.repartition(col("src")).localCheckpoint(true)
+    // STRATEGY RESOLUTION (r14, two signals, both O(driver) cheap):
+    //  1. The cached edge-row count — free off the materialized blocks,
+    //     no aggregate. A data-huge edge cache forces the shuffle escape
+    //     before anything AGGREGATES over it: at sf10 (117M edges) the
+    //     default deserialized cache is ~7.5 GB of an 8 GB unified pool
+    //     and the degree aggregate dies with AGGREGATE_OUT_OF_MEMORY
+    //     (measured live by tools/ProfEdge) — so above
+    //     [[EdgeCacheMaxRows]] the decision is made from the count alone
+    //     and deg is computed only AFTER the cache moves to disk.
+    //  2. Otherwise the node count (deg.count(), safe over a small
+    //     cache) against [[BroadcastRanksMaxNodes]]: rank-side broadcast
+    //     is the regime's other memory term.
+    // SHUFFLE PATH LAYOUT: the edges re-pin by src ONCE into a DISK_ONLY
+    // checkpoint — serialized ~24 B/row streamed through the block
+    // writer (MEMORY_AND_DISK_SER instead heap-OOMs building whole
+    // blocks in the MemoryStore), OS page cache serves the 10
+    // per-iteration re-reads, and the executor heap stays free for
+    // execution; localCheckpoint's LogicalRDD carries the physical
+    // plan's outputPartitioning, so the pin survives the lineage cut
+    // and each iteration exchanges only the node-sized rank frame.
+    // The pin derives from the eRaw cache (one read + one shuffle —
+    // rebuilding from the source lineage measured +40 s of redundant
+    // join/distinct at sf10), with eRaw released the moment the pinned
+    // copy is materialized. The BROADCAST path deliberately keeps the
+    // deserialized default unpinned: an unconditional repartition
+    // measured +1.3 s and DISK_ONLY +1.2 s on q167's 4.2 s sf0.1 wall,
+    // for layouts broadcast joins never use.
+    val nEdgeRows = eRaw.count()
+    val diskLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    def pinToDisk(): DataFrame = {
+      val pinned = eRaw.repartition(col("src"))
+        .localCheckpoint(true, diskLevel)
       Gen.releaseLocalCheckpoint(eRaw)
       pinned
     }
+    // Node-sized degree frame, checkpointed once — NOT recomputed per
+    // iteration (the loop's broadcast subtree joins ranks against it).
+    def degOf(frame: DataFrame): DataFrame =
+      frame.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+    val (e, deg, bcast) =
+      if (broadcastRanks.contains(true)) (eRaw, degOf(eRaw), true)
+      else if (broadcastRanks.contains(false) || nEdgeRows > EdgeCacheMaxRows) {
+        val pinned = pinToDisk(); (pinned, degOf(pinned), false)
+      } else {
+        val dg = degOf(eRaw)
+        if (chooseBroadcast(dg.count())) (eRaw, dg, true)
+        else (pinToDisk(), dg, false)
+      }
     // Without sinks, the src side of `deg` IS the node set; with the
     // dangling extension the node set is src ∪ dst (sinks appear only
     // as dst) and the sink set is nodes ∖ srcs — both computed once,
@@ -212,8 +244,14 @@ object PageRank {
       // per-iteration left join: an integer zero is additive identity,
       // so nodes with no in-edges come out of the sum at exactly 0 —
       // one fewer join (and broadcast job) per generation.
+      // Shuffle strategy: hint shuffle_hash on the node-sized rank side —
+      // a plain SMJ would SORT the data-sized edge cache every iteration
+      // (the checkpoint pins partitioning, not ordering), while a
+      // ShuffledHashJoin builds the hash relation from the ~|V|-row rank
+      // partition and streams the co-located edges through it.
       val contribs = e
-        .join(if (bcast) broadcast(rpd) else rpd, Seq("src"))
+        .join(if (bcast) broadcast(rpd) else rpd.hint("shuffle_hash"),
+          Seq("src"))
         .select(col("dst").as("node"), lit(null).cast("long").as("deg"),
           col("c"))
         .union(nodesDeg.select(col("node"), col("deg"), lit(0L).as("c")))
