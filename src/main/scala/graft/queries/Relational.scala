@@ -764,15 +764,14 @@ object Relational extends Q.Module {
     * volume 27.9k → 3.70M (132×), q231 0.29 s → 170.6 s). r13 DROPPED
     * hot blocks outright — cost-safe but signal-lossy once density
     * makes most blocks hot (at sf10 the median block is ~200 users and
-    * the graph went near-empty). r14 instead RE-BLOCKS a hot hour at
-    * MINUTE granularity: within a >32-user (hour, band) block, users
-    * sharing the same (minute, band) are still strong pairwise signal
-    * at bounded cost (≤32² per minute); only minutes that are
-    * THEMSELVES hot are dropped — the terminal ambient-coincidence
-    * verdict. At every fixture SF the max hour block is 12, so neither
-    * level changes anything the oracles see; the refinement exists for
-    * the density decades above (see blockedCoPurchasePairs for the
-    * plan shape). */
+    * the graph went near-empty). r14 instead refines in a LADDER:
+    * a >32-user (hour, band) block re-blocks at MINUTE granularity
+    * (same-minute purchases are still strong pairwise signal at ≤32²
+    * cost), and a minute that is ITSELF hot falls to deterministic
+    * ~32-user hash sub-buckets — sampled pairs at c·32 cost instead of
+    * either c² or zero. At every fixture SF the max hour block is 12,
+    * so no level changes anything the oracles see; the ladder exists
+    * for the density decades above (see blockedCoPurchasePairs). */
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame =
     blockedCoPurchasePairs(Tables.events(s, d)
       .filter(col("event_type") === "purchase")
@@ -790,50 +789,68 @@ object Relational extends Q.Module {
       transform(filter(a, y => y > x), y =>
         struct(x.as("x"), y.as("y")))))
 
-  private val emptyPairs: Column =
-    array().cast("array<struct<x:bigint,y:bigint>>")
 
-  /** The two-level blocked pair builder. Input contract: (h, b, m, u)
-    * rows (hour block, value band, minute, long user id), duplicates
-    * allowed. Plan shape — THREE exchanges, no self-join, no
-    * corpus-sized window:
-    *   1. groupBy (h, b, m) collect_set(u): minute-grain distinct user
-    *      sets (map-side combinable). Sets are CLAMPED to 33 elements —
-    *      semantics-preserving, because a >32-user minute never emits
-    *      pairs at either level (its own size gate fails, and it forces
-    *      the hour union past 32), so WHICH 33 survive is unobservable;
-    *      the clamp is what bounds every downstream array.
-    *   2. groupBy (h, b) collect_list(struct(m, us)): one row per hour
-    *      block (≤60 minute entries × ≤33 users each). The hour-level
-    *      distinct-user union and BOTH pair generations are per-row
-    *      array expressions evaluated ONCE per block (the q313 rule —
-    *      never re-evaluate a composite array per element).
-    *   3. explode + distinct on (x, y): the canonical edge set.
-    * The r13 form (distinct + count window + self-join) cost one more
-    * exchange plus the join; folding the pair generation into the
-    * block row is both the r14 refinement vehicle and the fixture-SF
-    * shave (-0.3-0.6 s per graph query at sf0.1). */
+  /** Per-minute distinct-user sets larger than this truncate to the
+    * 1056 (= 33·32) SMALLEST user ids — deterministic (id-sorted), and
+    * the terminal hash sub-split below emits at most
+    * ceil(1056/32)·C(32,2) ≈ 16k pairs from such a block either way,
+    * so the truncation is a documented sampling bound, not a results
+    * lottery. Any truncation also proves the hour union > 32, so the
+    * hour-level gate stays exact. */
+  private val MinuteSetCap = 1056
+
+  /** The blocked pair builder: a three-level refinement ladder over
+    * (h, b, m, u) rows (hour block, value band, minute, long user id;
+    * duplicates allowed):
+    *   - hour block ≤ 32 distinct users → all pairs at hour grain;
+    *   - hot hour, minute ≤ 32        → all pairs at minute grain;
+    *   - hot minute                    → deterministic hash sub-buckets
+    *     of ~32 users (dsl.hashMod2L — the subSplit/ivfCellCap trade:
+    *     pairs within a bucket only, cost c·32 instead of c², recall
+    *     sampled rather than zero). The terminal level exists because a
+    *     replica-degenerate density (the sf10 fixture: copies share
+    *     identical ts AND value) defeats every attribute-based key —
+    *     minute and fine-value blocks stay hot together — yet dropping
+    *     such blocks outright left the sf10 graph EMPTY (r14 measured
+    *     pairs = 0 with the two-level form).
+    * Plan shape — THREE exchanges, no self-join, no corpus-sized
+    * window: groupBy (h, b, m) collect_set (map-side combinable,
+    * id-sorted, capped), groupBy (h, b) collect_list of minute sets
+    * (one row per hour block; the hour union and every pair generation
+    * are per-row array expressions evaluated ONCE per block — the q313
+    * rule), then explode + distinct on (x, y). The r13 form (distinct +
+    * count window + self-join) cost one more exchange plus the join. */
   private[graft] def blockedCoPurchasePairs(pe: DataFrame): DataFrame = {
     val mb = pe.groupBy(col("h"), col("b"), col("m"))
-      .agg(slice(collect_set(col("u")), 1, 33).as("us"))
+      .agg(slice(array_sort(collect_set(col("u"))), 1, MinuteSetCap).as("us"))
     val hb = mb.groupBy(col("h"), col("b"))
       .agg(collect_list(struct(col("m"), col("us"))).as("mus"))
       .withColumn("hus",
         array_distinct(flatten(transform(col("mus"), _.getField("us")))))
+    def bucketPairs(us: Column): Column = {
+      // nsub = ceil(|us|/32): exact under double division (2^5 divisor).
+      val nsub = floor((size(us) + lit(31)).cast("double") / lit(32.0))
+        .cast("long")
+      flatten(transform(sequence(lit(0L), nsub - 1), bkt =>
+        pairsOf(filter(us, u => graft.dsl.hashMod2L(u, nsub) === bkt))))
+    }
     hb.select(explode(
         when(size(col("hus")) <= 32, pairsOf(col("hus")))
           .otherwise(flatten(transform(col("mus"), mu =>
             when(size(mu.getField("us")) <= 32, pairsOf(mu.getField("us")))
-              .otherwise(emptyPairs))))).as("p"))
+              .otherwise(bucketPairs(mu.getField("us"))))))).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
       .distinct()
   }
 
-  /** Shared oracle CTE prefix producing the same `pairs` frame (the
-    * two-level semantics spelled relationally — DuckDB needs no clamp:
-    * the size gates make the >32 cases drop out identically). */
-  private val coPurchasePairsSql: String =
-    """pe AS (
+  /** Shared oracle CTE prefix producing the same `pairs` frame — the
+    * three-level ladder spelled relationally: the size gates make the
+    * level selection identical, and the terminal leg mirrors the
+    * id-sorted 1056-user truncation + hashMod2L sub-buckets exactly
+    * (so the oracle match holds at ANY scale, hot or not). */
+  private val coPurchasePairsSql: String = {
+    val nsub = s"(LEAST(mk.c, $MinuteSetCap) + 31) // 32"
+    s"""pe AS (
       SELECT epoch_us(ts) // 3600000000 AS h,
         epoch_us(ts) // 60000000 AS m,
         FLOOR(value / 10) AS b, user_id AS u
@@ -842,6 +859,15 @@ object Relational extends Q.Module {
       SELECT h, b, COUNT(DISTINCT u) AS c FROM pe GROUP BY 1, 2),
     mblk AS (
       SELECT h, b, m, COUNT(DISTINCT u) AS c FROM pe GROUP BY 1, 2, 3),
+    mkept AS (
+      SELECT h, b, m, u,
+        ${graft.dsl.hashMod2LSql("u", nsub)} AS bkt
+      FROM (
+        SELECT h, b, m, u,
+          ROW_NUMBER() OVER (PARTITION BY h, b, m ORDER BY u) AS rk,
+          COUNT(*) OVER (PARTITION BY h, b, m) AS c
+        FROM (SELECT DISTINCT h, b, m, u FROM pe)) mk
+      WHERE rk <= $MinuteSetCap),
     pairs AS (
       SELECT DISTINCT x, y FROM (
         SELECT a.u AS x, p2.u AS y
@@ -855,7 +881,16 @@ object Relational extends Q.Module {
         JOIN hblk ON a.h = hblk.h AND a.b = hblk.b
         JOIN mblk ON a.h = mblk.h AND a.b = mblk.b AND a.m = mblk.m
         JOIN pe p2 ON a.h = p2.h AND a.b = p2.b AND a.m = p2.m
-        WHERE hblk.c > 32 AND mblk.c <= 32 AND a.u < p2.u))"""
+        WHERE hblk.c > 32 AND mblk.c <= 32 AND a.u < p2.u
+        UNION ALL
+        SELECT a.u, p2.u
+        FROM mkept a
+        JOIN hblk ON a.h = hblk.h AND a.b = hblk.b
+        JOIN mblk ON a.h = mblk.h AND a.b = mblk.b AND a.m = mblk.m
+        JOIN mkept p2 ON a.h = p2.h AND a.b = p2.b AND a.m = p2.m
+          AND a.bkt = p2.bkt
+        WHERE hblk.c > 32 AND mblk.c > 32 AND a.u < p2.u))"""
+  }
 
   private val q182 = Q(
     "q182_triangle_count",

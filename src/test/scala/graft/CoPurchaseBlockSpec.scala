@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 import scala.util.Random
 
 /** The density-adaptive co-purchase block builder (r14): a >32-user
-  * (hour, band) block is RE-BLOCKED at minute granularity instead of
-  * dropped, and only still-hot minutes are dropped. These tests pin
-  * (a) that the refined key only activates above the cutoff — a cool
-  * hour block pairs users ACROSS minutes exactly as before, (b) the
-  * refinement semantics on hot blocks, (c) the clamp's invisibility,
-  * and (d) agreement with a naive JVM replica on random inputs.
+  * (hour, band) block is re-blocked at minute granularity; a minute
+  * that is itself hot falls to deterministic ~32-user hash sub-buckets
+  * (the subSplit trade — sampled pairs at c·32 cost instead of c² or
+  * zero). These tests pin (a) that the refined key only activates
+  * above the cutoff — a cool hour block pairs users ACROSS minutes
+  * exactly as before, (b) the minute-level semantics on hot blocks,
+  * (c) the terminal hash sub-split (no cross-bucket pair, non-empty),
+  * (d) the 1056-user id-sorted truncation, and (e) agreement with a
+  * naive JVM replica on random inputs.
   */
 class CoPurchaseBlockSpec extends SparkSuite {
+
+  private val Cap = 1056
 
   private def pairsDf(rows: Seq[(Long, Long, Long, Long)]) = {
     import spark.implicits._
@@ -21,10 +26,16 @@ class CoPurchaseBlockSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
   }
 
-  /** Naive replica of the two-level semantics. */
+  /** JVM replica of dsl.hashMod2L for non-negative long ids. */
+  private def hashMod(u: Long, m: Long): Long =
+    (u % 2147483647L) * 2654435761L % 2147483647L * 2654435761L % m
+
+  /** Naive replica of the three-level ladder. */
   private def replica(rows: Seq[(Long, Long, Long, Long)]): Set[(Long, Long)] = {
-    def allPairs(us: Set[Long]): Set[(Long, Long)] =
-      for (x <- us; y <- us if x < y) yield (x, y)
+    def allPairs(us: Iterable[Long]): Set[(Long, Long)] = {
+      val s = us.toSet
+      for (x <- s; y <- s if x < y) yield (x, y)
+    }
     // .values before flatMap: flatMapping a Map with a tuple-producing
     // function rebuilds a Map and silently dedups pairs by their first
     // element.
@@ -33,7 +44,13 @@ class CoPurchaseBlockSpec extends SparkSuite {
       if (hourUsers.size <= 32) allPairs(hourUsers)
       else blk.groupBy(_._3).values.flatMap { mblk =>
         val mu = mblk.map(_._4).toSet
-        if (mu.size <= 32) allPairs(mu) else Set.empty[(Long, Long)]
+        if (mu.size <= 32) allPairs(mu)
+        else {
+          val kept = mu.toSeq.sorted.take(Cap)
+          val nsub = (kept.size + 31) / 32
+          kept.groupBy(u => hashMod(u, nsub.toLong)).values
+            .flatMap(allPairs)
+        }
       }
     }.toSet
   }
@@ -51,11 +68,12 @@ class CoPurchaseBlockSpec extends SparkSuite {
     assert(got == want, s"$got != $want")
   }
 
-  test("hot hour block re-blocks at minute granularity; hot minutes drop") {
-    // Hour block with 40 distinct users (> 32): minute 60 holds users
-    // 0..9 (cool -> pairs), minute 61 holds users 100..134 (35 users,
-    // hot minute -> dropped), minute 62 holds users 10..14 (cool ->
-    // pairs). No cross-minute pair may survive.
+  test("hot hour block re-blocks at minute granularity; hot minute hash-buckets") {
+    // Hour block with 50 distinct users (> 32): minute 60 holds users
+    // 0..9 (cool -> all pairs), minute 61 holds users 100..134 (35
+    // users, hot minute -> 2 hash buckets, pairs within a bucket only),
+    // minute 62 holds users 10..14 (cool -> all pairs). No cross-minute
+    // pair may survive.
     val rows =
       (0L until 10L).map(u => (7L, 2L, 60L, u)) ++
       (100L until 135L).map(u => (7L, 2L, 61L, u)) ++
@@ -63,40 +81,49 @@ class CoPurchaseBlockSpec extends SparkSuite {
     val got = pairsDf(rows)
     val want = replica(rows)
     assert(want.nonEmpty && got == want, s"got ${got.size}, want ${want.size}")
-    // Refinement really happened: pairs exist, but none cross minutes
-    // and none involve the hot minute's users.
     assert(got.contains((0L, 9L)) && got.contains((10L, 14L)))
-    assert(!got.exists { case (x, y) => x < 10L && y >= 10L },
+    assert(!got.exists { case (x, y) => x < 15L && y >= 15L },
       "cross-minute pair leaked out of a hot hour block")
-    assert(!got.exists { case (x, y) => x >= 100L || y >= 100L },
-      "hot minute emitted pairs")
+    // The hot minute emits SOME pairs (non-empty sampling) but never a
+    // cross-bucket one, so strictly fewer than all C(35,2) pairs.
+    val hot = got.filter { case (x, y) => x >= 100L && y >= 100L }
+    assert(hot.nonEmpty, "hot minute emitted nothing - terminal level dead")
+    assert(hot.size < 35 * 34 / 2, "hot minute emitted ALL pairs - no bucketing")
+    val nsub = (35 + 31) / 32
+    hot.foreach { case (x, y) =>
+      assert(hashMod(x, nsub.toLong) == hashMod(y, nsub.toLong),
+        s"cross-bucket pair ($x, $y)")
+    }
   }
 
-  test("clamp is unobservable: a >33-user minute changes nothing it shouldn't") {
-    // One hot minute (40 users — the collect_set clamp truncates it to
-    // 33) next to a cool minute in the same hour block: result must be
-    // exactly the cool minute's pairs, as if no clamp existed.
+  test("minute sets beyond 1056 users truncate to the smallest ids, deterministically") {
+    // One minute with 1100 users: the builder keeps the 1056 smallest
+    // ids and hash-buckets those; users 5000.. (the 44 largest) must
+    // never appear. Replica mirrors the truncation exactly.
     val rows =
-      (200L until 240L).map(u => (9L, 1L, 120L, u)) ++
-      Seq[(Long, Long, Long, Long)]((9L, 1L, 121L, 1L), (9L, 1L, 121L, 2L))
+      (0L until 1056L).map(u => (9L, 1L, 120L, u)) ++
+      (5000L until 5044L).map(u => (9L, 1L, 120L, u))
     val got = pairsDf(rows)
-    assert(got == Set((1L, 2L)), s"clamp leaked: $got")
+    val want = replica(rows)
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(got.nonEmpty && !got.exists { case (x, y) => x >= 5000L || y >= 5000L },
+      "truncated user leaked into pairs")
   }
 
   test("random inputs match the naive JVM replica") {
     val rng = new Random(42)
-    (1 to 3).foreach { _ =>
-      val rows = (0 until 800).map { _ =>
-        val h = rng.nextInt(4).toLong
+    (1 to 3).foreach { round =>
+      val rows = (0 until 1200).map { _ =>
+        val h = rng.nextInt(3).toLong
         val b = rng.nextInt(2).toLong
-        val m = h * 60 + rng.nextInt(4).toLong // few minutes -> hot blocks occur
-        val u = rng.nextInt(60).toLong
+        val m = h * 60 + rng.nextInt(3).toLong // few minutes -> hot blocks + hot minutes
+        val u = rng.nextInt(90).toLong
         (h, b, m, u)
       }
       val got = pairsDf(rows)
       val want = replica(rows)
       assert(got == want,
-        s"mismatch: got-want=${(got -- want).take(5)} want-got=${(want -- got).take(5)}")
+        s"round $round mismatch: got-want=${(got -- want).take(5)} want-got=${(want -- got).take(5)}")
     }
   }
 }
