@@ -1581,6 +1581,11 @@ object Aggs extends Q.Module {
           .withColumn("cumend", col("boff") + sum(col("cnt")).over(wIn))
           .select(col(v), col("cnt"), col("cumend"))
       }
+      // NOT persisted, unlike q196's histogram: q191's vc is ~150k rows
+      // of near-unique cents, and caching it measured 2.2 -> 4.2 s at
+      // sf0.1 (the InMemoryRelation scan under the two window legs costs
+      // more than the re-run corpus aggregates it saves — exchange reuse
+      // already dedups the identical aggregate subtrees here).
       val vc = Tables.orders(s, d)
         .select((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long").as("cents"))
@@ -1771,8 +1776,11 @@ object Aggs extends Q.Module {
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"),
         col("l_quantity").cast("long").as("w"))
+      // persist: the weight histogram feeds three legs (off, cum, tot) —
+      // the q191 rule; histogram-sized, harness-released.
       val vc = li.groupBy(col("g"), col("cents")).agg(sum(col("w")).as("wt"))
         .withColumn("block", expr("cents div 1048576"))
+        .persist()
       val wB = Window.partitionBy(col("g")).orderBy(col("block"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val off = vc.groupBy(col("g"), col("block"))

@@ -367,10 +367,15 @@ object Dedup extends Q.Module {
     "q49_dedup_simhash",
     "✦ SimHash: 64-bit weighted fingerprint, 4x16 bands, hamming <= 3",
     (s, d) => {
+      // persist: both sides of the band self-join scan the SAME banded
+      // frame, and without the cache each side re-runs the whole
+      // fingerprint pipeline (word explode + two corpus aggregates) —
+      // Catalyst has no cross-side subplan reuse for differently-aliased
+      // scans. Harness-owned cache (Verify/Bench clearCache), q74's rule.
       val banded = simhashBanded(simhashFp(
         Tables.fanOut(Tables.documents(s, d))
           .select(col("doc_id"), col("text")), "text", width = 64),
-        bands = 4, bits = 16)
+        bands = 4, bits = 16).persist()
       // Filter BEFORE distinct: bit_count is a one-instruction projection
       // per banded pair, so applying the hamming cutoff first shrinks the
       // distinct's shuffle to the (tiny) survivor set instead of deduping
