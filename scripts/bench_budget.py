@@ -26,23 +26,28 @@ import sys
 DEFAULT_BUDGET_S = 30.0
 
 # Total-wall ceiling (r12 verdict item 5): the driver's bench timeout is
-# real but unknown — r10/r11 both blacked out past it. The r12 driver run
-# recorded 150.3 s for 329 queries; local min-of-3 runs ~140 s, and the
-# driver environment has run up to ~3x slower than local on bad days. A
-# projected total past this line means the NEXT driver bench is at risk
-# even if every individual query is inside its own budget — creeping
-# totals fail loudly here instead of as a silent rc:124.
+# real but unknown — r10/r11 both blacked out past it. The r13 driver run
+# recorded 167.5 s for 331 queries; the r14 local full run measured
+# 169.6 s for 332 on a host a same-session identical-code A/B showed
+# running ~24% slower than the r13 session (host-adjusted ≈ 137 s).
+# The driver environment has run up to ~3x slower than local on bad
+# days. A projected total past this line means the NEXT driver bench is
+# at risk even if every individual query is inside its own budget —
+# creeping totals fail loudly here instead of as a silent rc:124.
 TOTAL_BUDGET_S = 240.0
 
 # Deliberately heavy queries: iteration count or verify-join IS the
 # algorithm. Budgets are ~3x their measured sf0.1 min-of-3 band so host
 # noise doesn't flap the gate, but a q269-class blowup still trips it.
+# Bands refreshed r14 from the full in-fleet local run (the r13 driver
+# map was not retained; the r13 driver quoted q167 4.38 / q228 4.97,
+# consistent with these after the +24% host factor).
 ALLOWLIST = {
-    "167": (13.0, "PageRank: 10 fixed iterations, 4.2 s band (r13 rework)"),
-    "228": (15.0, "PPJoin: verify join is the algorithm, 5.1 s band (r11)"),
-    "76": (12.0, "near-dup CC clustering, 3.1 s band (r11)"),
-    "244": (10.0, "sorted-neighborhood two-phase rank, 2.5 s band (r11)"),
-    "269": (12.0, "DBSCAN: grid eps-join + CC, ~2-4 s band (r12 fix)"),
+    "167": (15.0, "PageRank: 10 fixed iterations, 4.9 s band (r14 in-fleet)"),
+    "228": (15.0, "PPJoin: verify join is the algorithm, 5.2 s band (r14 in-fleet)"),
+    "76": (12.0, "near-dup CC clustering, 3.6 s band (r14 in-fleet)"),
+    "244": (10.0, "sorted-neighborhood two-phase rank, 2.3 s band (r14 in-fleet)"),
+    "269": (12.0, "DBSCAN: grid eps-join + CC, 3.9 s band (r14 in-fleet)"),
 }
 
 
