@@ -310,6 +310,112 @@ object Dedup extends Q.Module {
     fp.select(col("doc_id"), col("fp"), explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bandval", expr(s"shiftrightunsigned(fp, b * $bits) & ${(1L << bits) - 1}"))
 
+  /** Band-bucket size cap for the edit-distance candidate kernels
+    * (q78/q84): tools/ProfBuckets measured the fixture maxima at 8/6/32
+    * (sf0.001/0.01/0.1) — 64 is provably inactive at every fixture SF —
+    * while the replica-correlated decades blow past it (sf1 max 810,
+    * sf10 max 8,223 with Σc² = 5.2e9 candidate pairs, the 558 s r13
+    * tail). */
+  private val BandBucketCap = 64
+
+  /** Candidate (da, db) pairs for the edit-distance kernels with the
+    * HOT-BUCKET SUB-SPLIT (r14 — the "recall-preserving hot-bucket
+    * design" the r13 sf10 ledger named): a band bucket larger than
+    * `cap` splits into ceil(c/cap) deterministic sub-buckets and
+    * candidates join on (b, bandval, sub), bounding in-bucket pair
+    * volume at ~c·cap instead of c².
+    *
+    * TWO channels, unioned:
+    *
+    *  - BAND channel: sub-bucket key = hashMod2L(doc_id). A doc-id key
+    *    splits a hot bucket EVENLY no matter how correlated its
+    *    members are — the r14 probe of the tempting alternative (key on
+    *    the fingerprint's low half so identical fps always co-bucket)
+    *    showed WHY this matters: simhash bits of near-identical docs
+    *    correlate by design, so any fp-derived key keeps exactly the
+    *    hot mass together and the c² volume survives (measured: q84
+    *    failed outright and q78 ran 140 s at sf10 under the fplo key,
+    *    vs 18-22 s under the doc-id key).
+    *  - IDENTICAL-FINGERPRINT channel: doc pairs sharing the FULL fp,
+    *    sub-split by the same arithmetic over the fp group. This
+    *    restores the "distance-0 pairs always survive" guarantee the
+    *    uncapped pigeonhole gave (and a doc-id band split alone makes
+    *    probabilistic): identical heads ⇒ identical fp ⇒ same group,
+    *    and any group ≤ cap emits ALL its pairs regardless of how hot
+    *    the band buckets are. Groups beyond cap fall back to sampled
+    *    pairs — at that multiplicity the right operator is exact dedup
+    *    (q46), not a near-dup kernel.
+    *
+    * At every fixture SF both caps are inactive (ProfBuckets: max
+    * bucket 32 ≤ 64 at sf0.1, 8 below; sf1/sf10 maxima 810/8,223 are
+    * the decades the cap exists for), and an identical fp implies the
+    * same bucket in every band with nsub = 1, so the fp channel is
+    * then a SUBSET of the band channel — fixture results are
+    * bit-identical to the uncapped r13 form by construction. The
+    * bucket-count frame is bounded by the band-value space
+    * (≤ bands·2^bits rows) — broadcast; the fp-group sizing rides a
+    * window over the fp hash layout (groups are echo/twin-sized in
+    * practice). The banded frame is persisted: the counts plus the
+    * join sides of both channels would otherwise re-run the
+    * fingerprint pipeline repeatedly (q49's measured lesson;
+    * harness-owned cache). */
+  private[graft] def simhashCandidates(fp: DataFrame, bands: Int = 4,
+      bits: Int = 16, cap: Int = BandBucketCap): DataFrame = {
+    val banded = simhashBanded(fp, bands, bits).persist()
+    val counts = banded.groupBy(col("b"), col("bandval"))
+      .agg(count(lit(1)).as("c"))
+    val bandedC = banded.join(broadcast(counts), Seq("b", "bandval"))
+      .withColumn("sub", graft.dsl.hashMod2L(col("doc_id"),
+        expr(s"(c + ${cap - 1}) div $cap")))
+      .drop("c")
+    val bandCand = bandedC
+      .select(col("doc_id").as("da"), col("b"), col("bandval"), col("sub"))
+      .join(bandedC.select(col("doc_id").as("db"), col("b"), col("bandval"),
+        col("sub")), Seq("b", "bandval", "sub"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+    val fpSub = banded.filter(col("b") === 0)
+      .select(col("doc_id"), col("fp"))
+      .withColumn("c", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .withColumn("sub", graft.dsl.hashMod2L(col("doc_id"),
+        expr(s"(c + ${cap - 1}) div $cap")))
+      .drop("c")
+    val fpCand = fpSub.select(col("doc_id").as("da"), col("fp"), col("sub"))
+      .join(fpSub.select(col("doc_id").as("db"), col("fp"), col("sub")),
+        Seq("fp", "sub"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+    bandCand.unionByName(fpCand).distinct()
+  }
+
+  /** DuckDB twin of [[simhashCandidates]], appended after
+    * [[simhashSql]]'s CTEs (`fp` is doc-grain fplo/fphi, `banded` the
+    * band rows): mirrors the count + hashMod2L sub-split arithmetic of
+    * BOTH channels exactly, so the oracle match holds at ANY scale. */
+  private def simhashCandSql(cap: Int = BandBucketCap): String =
+    s"""bcnt AS (SELECT b, bandval, CAST(COUNT(*) AS BIGINT) AS c
+      FROM banded GROUP BY 1, 2),
+    bandedc AS (SELECT banded.doc_id, banded.b, banded.bandval,
+        ${graft.dsl.hashMod2LSql("banded.doc_id",
+          s"(c + ${cap - 1}) // $cap")} AS sub
+      FROM banded JOIN bcnt USING (b, bandval)),
+    fcnt AS (SELECT fplo, fphi, CAST(COUNT(*) AS BIGINT) AS c
+      FROM fp GROUP BY 1, 2),
+    fsub AS (SELECT fp.doc_id, fp.fplo, fp.fphi,
+        ${graft.dsl.hashMod2LSql("fp.doc_id",
+          s"(c + ${cap - 1}) // $cap")} AS sub
+      FROM fp JOIN fcnt USING (fplo, fphi)),
+    cand AS (
+      SELECT DISTINCT da, db FROM (
+        SELECT a.doc_id da, b.doc_id db
+        FROM bandedc a JOIN bandedc b USING(b, bandval, sub)
+        WHERE a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM fsub a JOIN fsub b USING(fplo, fphi, sub)
+        WHERE a.doc_id < b.doc_id))"""
+
   /** DuckDB twin of the 64-bit simhashFp + simhashBanded: CTEs
     * wc/bits/fp/banded over `src`'s (doc_id, `headExpr`) rows.
     *
@@ -498,13 +604,8 @@ object Dedup extends Q.Module {
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("head")))
         .persist()
-      val banded = simhashBanded(simhashFp(corpus, "head", width = 64),
+      val cand = simhashCandidates(simhashFp(corpus, "head", width = 64),
         bands = 4, bits = 16)
-      val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
-        .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
-          Seq("b", "bandval"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
       cand
         .join(corpus.select(col("doc_id").as("da"), col("head").as("ha")), Seq("da"))
         .join(corpus.select(col("doc_id").as("db"), col("head").as("hb")), Seq("db"))
@@ -519,9 +620,7 @@ object Dedup extends Q.Module {
       SELECT doc_id + 10000, substr(text, 1, 40)
       FROM documents WHERE doc_id % 10 = 0),
     ${simhashSql("corpus", "head")},
-    cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-             FROM banded a JOIN banded b USING(b, bandval)
-             WHERE a.doc_id < b.doc_id)
+    ${simhashCandSql()}
     SELECT cand.da AS da, cand.db AS db,
       CAST(levenshtein(x.head, y.head) AS INT) AS lev
     FROM cand
@@ -549,13 +648,8 @@ object Dedup extends Q.Module {
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("head")))
         .persist()
-      val banded = simhashBanded(simhashFp(corpus, "head", width = 64),
+      val cand = simhashCandidates(simhashFp(corpus, "head", width = 64),
         bands = 4, bits = 16)
-      val cand = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
-        .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
-          Seq("b", "bandval"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db")).distinct()
       cand
         .join(corpus.select(col("doc_id").as("da"), col("head").as("ha")), Seq("da"))
         .join(corpus.select(col("doc_id").as("db"), col("head").as("hb")), Seq("db"))
@@ -570,9 +664,7 @@ object Dedup extends Q.Module {
       SELECT doc_id + 10000, substr(text, 1, 24)
       FROM documents WHERE doc_id % 10 = 0),
     ${simhashSql("corpus", "head")},
-    cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db
-             FROM banded a JOIN banded b USING(b, bandval)
-             WHERE a.doc_id < b.doc_id)
+    ${simhashCandSql()}
     SELECT cand.da AS da, cand.db AS db,
       CAST(levenshtein(x.head, y.head) AS INT) AS lev
     FROM cand

@@ -99,4 +99,51 @@ class SimhashWidthSpec extends SparkSuite {
       assert(cand.contains((id, id + 10000)), s"missing exact-dup pair for $id")
     }
   }
+
+  test("capped candidate kernel == uncapped below the cap (fixture invisibility)") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("head")))
+    val fp = graft.queries.Dedup.simhashFp(corpus, "head", width = 64)
+    val banded = graft.queries.Dedup.simhashBanded(fp, bands = 4, bits = 16)
+    val uncapped = banded.select(col("doc_id").as("da"), col("b"), col("bandval"))
+      .join(banded.select(col("doc_id").as("db"), col("b"), col("bandval")),
+        Seq("b", "bandval"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val capped = graft.queries.Dedup.simhashCandidates(fp, bands = 4, bits = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == uncapped,
+      s"capped kernel diverged below the cap: ${capped.size} vs ${uncapped.size}")
+  }
+
+  test("hot-bucket sub-split: identical-fp families <= cap keep ALL pairs; cross-family pairs sample") {
+    import spark.implicits._
+    // Injected fingerprints: family A (40 docs, fp = X) and family B
+    // (50 docs, fp = X with bits 16..63 flipped) share band 0's bucket
+    // (90 members > cap 64 -> the sub-split fires) and no other band.
+    // The identical-fp channel must emit every within-family pair (the
+    // distance-0 guarantee for groups <= cap); cross-family pairs exist
+    // only for doc ids hashing to the same sub-bucket (sampled, strictly
+    // fewer than all 40x50).
+    val x = 0x0000000000001234L
+    val y = x ^ 0xFFFFFFFFFFFF0000L
+    val rows = (0L until 40L).map(i => (i, x)) ++
+      (100L until 150L).map(i => (i, y))
+    val fp = rows.toDF("doc_id", "fp")
+    val cand = graft.queries.Dedup.simhashCandidates(fp, bands = 4, bits = 16)
+      .as[(Long, Long)].collect().toSet
+    val withinA = for (i <- 0L until 40L; j <- (i + 1) until 40L) yield (i, j)
+    val withinB = for (i <- 100L until 150L; j <- (i + 1) until 150L) yield (i, j)
+    withinA.foreach(p => assert(cand.contains(p), s"family-A pair $p lost"))
+    withinB.foreach(p => assert(cand.contains(p), s"family-B pair $p lost"))
+    val cross = cand.filter { case (a, b) => a < 100L && b >= 100L }
+    assert(cross.nonEmpty, "hot bucket emitted no cross-family candidates at all")
+    assert(cross.size < 40 * 50,
+      "hot bucket emitted ALL cross-family pairs - sub-split never fired")
+  }
 }
