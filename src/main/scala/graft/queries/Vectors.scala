@@ -299,12 +299,30 @@ object Vectors extends Q.Module {
               (shiftright(col("bucket"), 8 * b) % 256).as("bandval"))): _*)).as("band"))
         .select(col("vec_id"), col("band.b").as("b"), col("band.bandval").as("bandval"))
         .persist()
+      // HOT-BUCKET SUB-SPLIT (r14, the q78/q84 kernel's rule applied to
+      // the ANN side): a band bucket larger than 64 splits into
+      // ceil(c/64) deterministic hashMod2L(vec_id) sub-buckets and the
+      // pair join runs within (b, bandval, sub) — in-bucket volume c·64
+      // instead of c². 8-bit bands saturate at 256 buckets, so corpus
+      // growth makes EVERY bucket hot (sf10: ~780 avg, Σc² blew a 75 GB
+      // spill in r13's full run); sampling candidates is native to the
+      // LSH contract (recall is already probabilistic — the band-count
+      // dial), and the scale ladder past it is q74 IVF / q277 PQ. At
+      // every fixture SF the cap is inactive (bucket maxima 12/10/32),
+      // so fixture results are bit-identical; the oracle mirrors the
+      // count + hash arithmetic so the match holds at any scale.
+      val bcnt = eb.groupBy(col("b"), col("bandval"))
+        .agg(count(lit(1)).as("c"))
+      val ebc = eb.join(broadcast(bcnt), Seq("b", "bandval"))
+        .withColumn("sub", graft.dsl.hashMod2L(col("vec_id"),
+          expr("(c + 63) div 64")))
+        .drop("c")
       // Dedup candidate PAIRS before the rerank: a pair agreeing on both
       // bands must be scored once, and the distinct runs on 2 longs — the
       // embeddings join back in only for the surviving candidates.
-      val cand = eb.select(col("b"), col("bandval"), col("vec_id").as("da"))
-        .join(eb.select(col("b"), col("bandval"), col("vec_id").as("db")),
-          Seq("b", "bandval"))
+      val cand = ebc.select(col("b"), col("bandval"), col("sub"), col("vec_id").as("da"))
+        .join(ebc.select(col("b"), col("bandval"), col("sub"), col("vec_id").as("db")),
+          Seq("b", "bandval", "sub"))
         .filter(col("da") < col("db"))
         .select(col("da"), col("db")).distinct()
       cand
@@ -328,8 +346,13 @@ object Vectors extends Q.Module {
     bands AS (
       SELECT vec_id, b, (bucket // CAST(power(256, b) AS BIGINT)) % 256 AS bandval
       FROM sk, (SELECT unnest(generate_series(0, 3)) AS b)),
+    bcnt AS (SELECT b, bandval, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bands GROUP BY 1, 2),
+    bandsc AS (SELECT bands.vec_id, bands.b, bands.bandval,
+        ${graft.dsl.hashMod2LSql("bands.vec_id", "(c + 63) // 64")} AS sub
+      FROM bands JOIN bcnt USING (b, bandval)),
     cand AS (SELECT DISTINCT p.vec_id da, q.vec_id db
-             FROM bands p JOIN bands q USING(b, bandval)
+             FROM bandsc p JOIN bandsc q USING(b, bandval, sub)
              WHERE p.vec_id < q.vec_id)
     SELECT cand.da AS da, cand.db AS db,
       ${cosineSql("x.embedding", "y.embedding")} AS score
