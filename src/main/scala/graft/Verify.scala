@@ -16,6 +16,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Correctness runs always take the exact audit path: see
+    // Vectors.honorAuditAnnEnv. Warn so a confused local run is visible.
+    graft.queries.Vectors.honorAuditAnnEnv = false
+    if (sys.env.contains("SPARK_GRAFT_AUDIT_ANN"))
+      System.err.println("[verify] SPARK_GRAFT_AUDIT_ANN is set but " +
+        "ignored: oracle runs always use the exact audit path")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

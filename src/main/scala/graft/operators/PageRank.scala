@@ -132,6 +132,12 @@ object PageRank {
       damping: Double = 0.85,
       redistributeDangling: Boolean = false,
       broadcastRanks: Option[Boolean] = None): (DataFrame, DataFrame) = {
+    // iterations >= 1: the exit path releases nodesDeg's local-checkpoint
+    // blocks, and with zero iterations `ranks` would still be derived
+    // from nodesDeg — a lineage-truncated frame whose cache was just
+    // freed, i.e. a frame that fails on first scan. No caller passes
+    // < 1; fail fast rather than return a poisoned frame.
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e0 = edges.select(col("src"), col("dst"))
     // Every setup frame the LOOP references is lineage-cut with an eager
     // localCheckpoint, not just persisted: a persisted frame keeps its

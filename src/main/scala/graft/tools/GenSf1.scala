@@ -110,6 +110,16 @@ object GenSf1 {
     // user_id gaps are harmless: no query relies on user-id contiguity,
     // only on per-user grouping and the FK edge.
     val ev = graft.Tables.events(s, src)
+    // Fail fast if the source breaks the shift's precondition: the wCust
+    // shift keeps the user->customer edge replica-local ONLY while every
+    // source user_id sits below the customer key-space width. GenSf1Spec
+    // asserts this after generation, but a spec only guards test runs —
+    // a violating source here would silently produce cross-replica
+    // user/customer overlap, so the generator itself must refuse.
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0)
+    require(maxUser < wCust,
+      s"events.user_id max $maxUser >= customer width $wCust: " +
+        "the wCust shift would cross replica customer key ranges")
     val evAll = reps(i => ev
       .withColumn("event_id", col("event_id") + lit(wEvent * i))
       .withColumn("user_id", col("user_id") + lit(wCust * i)))
