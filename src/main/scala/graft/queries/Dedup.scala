@@ -351,7 +351,11 @@ object Dedup extends Q.Module {
     * the decades the cap exists for), and an identical fp implies the
     * same bucket in every band with nsub = 1, so the fp channel is
     * then a SUBSET of the band channel — fixture results are
-    * bit-identical to the uncapped r13 form by construction. The
+    * bit-identical to the uncapped r13 form by construction. Since r15
+    * the kernel USES that subset proof as a runtime gate: the fp
+    * channel (window + second self-join + union) only runs when some
+    * band bucket exceeds the cap, so fixture-scale plans pay zero
+    * premium for a guarantee that is vacuous there. The
     * bucket-count frame is bounded by the band-value space
     * (≤ bands·2^bits rows) — broadcast; the fp-group sizing rides a
     * window over the fp hash layout (groups are echo/twin-sized in
@@ -364,6 +368,21 @@ object Dedup extends Q.Module {
     val banded = simhashBanded(fp, bands, bits).persist()
     val counts = banded.groupBy(col("b"), col("bandval"))
       .agg(count(lit(1)).as("c"))
+    // Guarantee-channel gate (r14 verdict: the channel cost q78/q84 a
+    // measured +58% at fixture SFs where it provably adds nothing):
+    // when EVERY band bucket is <= cap, each fp group is <= cap too (a
+    // group shares all its band buckets, so group size <= min bucket
+    // size), both channels' nsub collapse to 1, and the fp channel is
+    // a SUBSET of the band channel — identical fp => identical bandval
+    // in every band => the pair is already in bandCand. Skipping it
+    // then cannot change the distinct result, so the ORACLE keeps both
+    // channels unconditionally (its fp leg is simply redundant below
+    // the cap) and the hash gate holds with no mode mirroring. The max
+    // rides the counts frame the band channel broadcasts anyway
+    // (bounded by bands * 2^bits rows), and the action warms `banded`'s
+    // persist for every later leg.
+    val maxBucket = counts.agg(coalesce(max(col("c")), lit(0L)))
+      .head().getLong(0)
     val bandedC = banded.join(broadcast(counts), Seq("b", "bandval"))
       .withColumn("sub", graft.dsl.hashMod2L(col("doc_id"),
         expr(s"(c + ${cap - 1}) div $cap")))
@@ -374,6 +393,8 @@ object Dedup extends Q.Module {
         col("sub")), Seq("b", "bandval", "sub"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"))
+    if (maxBucket <= cap)
+      return bandCand.distinct()
     val fpSub = banded.filter(col("b") === 0)
       .select(col("doc_id"), col("fp"))
       .withColumn("c", count(lit(1))
