@@ -110,6 +110,31 @@ class CoPurchaseBlockSpec extends SparkSuite {
       "truncated user leaked into pairs")
   }
 
+  test("terminal-level retained-pair fraction meets the design bound (2000-user hot block)") {
+    // One minute with 2000 users — the sf10 replica-degenerate shape
+    // the terminal level exists for. Design bound: after the id-sorted
+    // truncation to kept = 1056, pairs survive only inside one of
+    // nsub = ceil(kept/32) = 33 hash buckets, so the ideal uniform-hash
+    // retained fraction vs the truncated-exact volume C(kept,2) is
+    // ~1/nsub (= kept*32/ (2*C(kept,2)) up to rounding). Assert at
+    // least HALF the ideal (hash-imbalance tolerance: recall is
+    // sampled, never vanishing) and at most twice it (the c*32 cost
+    // bound really bounds the volume) — the two sides of the
+    // subSplit trade, now measured instead of asserted-by-comment.
+    val rows = (0L until 2000L).map(u => (11L, 3L, 200L, u))
+    val got = pairsDf(rows)
+    assert(got == replica(rows))
+    assert(!got.exists { case (x, y) => x >= Cap || y >= Cap },
+      "truncated id leaked into terminal-level pairs")
+    val nsub = (Cap + 31) / 32
+    val full = Cap.toLong * (Cap - 1) / 2
+    val frac = got.size.toDouble / full
+    assert(frac >= 0.5 / nsub,
+      f"retained fraction $frac%.4f < half the 1/nsub ideal ${1.0 / nsub}%.4f")
+    assert(frac <= 2.0 / nsub,
+      f"retained fraction $frac%.4f > twice the 1/nsub ideal — cost bound broken")
+  }
+
   test("random inputs match the naive JVM replica") {
     val rng = new Random(42)
     (1 to 3).foreach { round =>
