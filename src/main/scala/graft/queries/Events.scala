@@ -447,6 +447,22 @@ object Events extends Q.Module {
       CAST(SUM(k) AS BIGINT) AS sum_k
     FROM parsed GROUP BY event_type ORDER BY event_type"""))
 
+  /** Row-level streaming sinks: memory below this events-count, parquet
+    * file sink above (see EventStream.runToFileSink — the memory sink
+    * buffers every output row on the driver heap and OOMs an 8 GB heap
+    * at sf10's 10M rows). Fixture SFs (<= 1M events) stay on the memory
+    * sink, so every oracle path is bit-identical; the decade fixtures
+    * flip to the file sink the way a production deployment would. The
+    * count is a parquet-metadata read, memoized per fixture dir keyed
+    * on the file content stamp. */
+  private val StreamMemSinkMaxEvents = 2000000L
+
+  private def eventsCount(s: org.apache.spark.sql.SparkSession, d: String): Long =
+    graft.operators.Memo.cached[java.lang.Long](
+      s, d, "eventsCount", Seq("events")) {
+      (Long.box(Tables.events(s, d).count()), Nil)
+    }
+
   // --- q108: the TRUE streaming path in the product registry — the same
   //     fixture read via `readStream` and sessionized by the stateful
   //     per-key processor (graft.streaming.EventStream.sessionize,
@@ -469,13 +485,17 @@ object Events extends Q.Module {
     "ST3/ST5 ✦ readStream: stateful sessionization off the parquet fixture",
     (s, d) => {
       val table = "q108_sessions_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val big = eventsCount(s, d) > StreamMemSinkMaxEvents
+      val path = Sinks.tmp("q108_sink", d)
       Sinks.once(s"q108_$d") {
         val sessions = graft.streaming.EventStream.sessionize(
           graft.streaming.EventStream.fromEventsDir(s, d), gapMs = 30L * 60 * 1000)
-        graft.streaming.EventStream.runToMemory(sessions.toDF(), table,
+        if (big) graft.streaming.EventStream.runToFileSink(sessions.toDF(),
+          path, Sinks.tmp("q108_ckpt", d))
+        else graft.streaming.EventStream.runToMemory(sessions.toDF(), table,
           org.apache.spark.sql.streaming.OutputMode.Append)
       }
-      s.table(table)
+      (if (big) s.read.parquet(path) else s.table(table))
         .select(col("user_id"),
           col("start").cast("timestamp_ntz").as("sess_start"),
           col("end").cast("timestamp_ntz").as("sess_end"),
@@ -3483,16 +3503,20 @@ object Events extends Q.Module {
     "J3+ST ✦ readStream: stream-static broadcast dimension enrichment (left join per micro-batch)",
     (s, d) => {
       val table = "q331_enrich_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val big = eventsCount(s, d) > StreamMemSinkMaxEvents
+      val path = Sinks.tmp("q331_sink", d)
       Sinks.once(s"q331_$d") {
         val ev = graft.streaming.EventStream.fromEventsDir(s, d).toDF()
         val dim = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_mktsegment"))
         val joined = graft.streaming.EventStream.enrich(
           ev, dim, "user_id", "c_custkey")
-        graft.streaming.EventStream.runToMemory(joined, table,
+        if (big) graft.streaming.EventStream.runToFileSink(joined,
+          path, Sinks.tmp("q331_ckpt", d))
+        else graft.streaming.EventStream.runToMemory(joined, table,
           org.apache.spark.sql.streaming.OutputMode.Append)
       }
-      s.table(table)
+      (if (big) s.read.parquet(path) else s.table(table))
         .select(col("user_id"),
           col("etime").cast("timestamp_ntz").as("etime"),
           col("event_type"), col("value"),

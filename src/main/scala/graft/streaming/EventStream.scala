@@ -42,16 +42,32 @@ object EventStream {
       glob: String = "events.parquet"): Dataset[Ev] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanos = spark.read.option("pathGlobFilter", glob).parquet(dir)
-      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    // Two fixture layouts: the driver writes events as ONE FILE named
+    // events.parquet (pathGlobFilter matches the leaf file name inside
+    // the fixture dir), while GenSf1's decade fixtures write a
+    // DIRECTORY of part files under the same name — N input files let
+    // Trigger.AvailableNow drain a 100x fixture in bounded multi-file
+    // micro-batches instead of one giant single-file batch (the r13
+    // sf10 classification put q108/q331 >60 s purely on that layout).
+    // A directory is scanned directly: its part files are the leaves,
+    // and pathGlobFilter (which only ever matches LEAF names) would
+    // exclude every one of them.
+    val dirLayout = new java.io.File(s"$dir/$glob").isDirectory
+    val nanos = {
+      val peek = if (dirLayout) spark.read.parquet(s"$dir/$glob")
+        else spark.read.option("pathGlobFilter", glob).parquet(dir)
+      peek.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    }
     val tsType = if (nanos) "BIGINT" else "TIMESTAMP_NTZ"
     val etime =
       if (nanos) timestamp_micros(expr("ts div 1000"))
       else col("ts").cast("timestamp")
     val schema = s"event_id BIGINT, ts $tsType, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir)
+    val reader = spark.readStream.schema(schema)
+    val stream = if (dirLayout) reader.parquet(s"$dir/$glob")
+      else reader.option("pathGlobFilter", glob).parquet(dir)
+    stream
       .select(col("user_id"), etime.as("etime"),
         col("event_type"), col("value"))
       .as[Ev]
@@ -260,6 +276,27 @@ object EventStream {
       .outputMode(mode).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     // AvailableNow self-terminates once the snapshot is processed.
+    q.awaitTermination()
+  }
+
+  /** Append-mode parquet FILE sink — the production shape of
+    * [[runToMemory]] for row-level streaming output. The memory sink
+    * buffers every emitted row on the driver heap, which is exactly
+    * right for fixture-scale results and exactly wrong one decade up:
+    * q331's 10M enriched rows OOM an 8 GB heap (r14's sf10 run only
+    * passed at 48 g). A file sink streams each micro-batch's rows to
+    * disk through the normal writer path — the driver holds file
+    * manifests, not data — which is how the 100 TB deployment would
+    * run these queries anyway (the sink is a container swap; the PLAN
+    * is untouched). File sinks are append-only by contract, which is
+    * the mode every row-level query here uses. */
+  def runToFileSink(df: DataFrame, path: String, checkpoint: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
     q.awaitTermination()
   }
 }

@@ -96,11 +96,12 @@ object GenSf1 {
       .withColumn("l_orderkey", col("l_orderkey") + lit(wOrd * i))), 16)
 
     // events: ts normalized to the BIGINT-nanos contract before shifting.
-    // Written as ONE FILE named events.parquet (not a directory): the
-    // streaming source (EventStream.fromEventsDir) globs on the FILE
-    // name `events.parquet` inside the fixture dir, exactly like the
-    // driver's single-file fixture layout — a directory layout made the
-    // four readStream rows fail AnalysisException in the first sf1 run.
+    // Written as a DIRECTORY of part files since r15: fromEventsDir
+    // detects the layout and scans the directory, so Trigger.AvailableNow
+    // drains the decade fixtures in bounded multi-file micro-batches —
+    // the r13 sf10 classification put the q108/q331 >60 s walls purely on
+    // the old single-file layout (one input split, one giant batch). The
+    // driver's own fixture stays single-file and keeps the glob path.
     // user_id shifts by the CUSTOMER key-space width, not its own: the
     // implicit user_id→c_custkey edge (q331's enrichment join, q169's
     // allowlist check) must stay replica-preserved — a wUser shift would
@@ -123,21 +124,11 @@ object GenSf1 {
     val evAll = reps(i => ev
       .withColumn("event_id", col("event_id") + lit(wEvent * i))
       .withColumn("user_id", col("user_id") + lit(wCust * i)))
-    val evTmp = s"$out/_events_tmp"
-    evAll.coalesce(1).write.mode("overwrite").parquet(evTmp)
-    val part = new java.io.File(evTmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error("no part file written for events"))
-    val dst = new java.io.File(s"$out/events.parquet")
-    if (dst.exists()) { def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }; rm(dst) }
-    java.nio.file.Files.move(part.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    def rmDir(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmDir)); f.delete() }
-    rmDir(new java.io.File(evTmp))
-    System.err.println(s"[gensf1] events: " +
-      s.read.parquet(s"$out/events.parquet").count() + " rows (single file)")
+    // A stale single-FILE events.parquet from a pre-r15 generation
+    // blocks the directory write — remove it first.
+    val evDst = new java.io.File(s"$out/events.parquet")
+    if (evDst.isFile) evDst.delete()
+    write("events", evAll, 16)
 
     val doc = s.read.parquet(s"$src/documents.parquet")
     write("documents", reps { i =>
