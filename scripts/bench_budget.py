@@ -50,8 +50,10 @@ ALLOWLIST = {
     "244": (10.0, "sorted-neighborhood two-phase rank, 1.6 s band (r15 in-fleet)"),
     "269": (12.0, "DBSCAN: grid eps-join + CC, 3.6 s band (r15 in-fleet)"),
     "190": (15.0, "A-priori frequent pairs, absolute minsup: candidate "
-                  "enumeration scans every basket, 5.0 s band (r15 in-fleet)"),
-    "332": (15.0, "A-priori triples, relative minsup: 4.8 s band (r15 in-fleet)"),
+                  "enumeration scans every basket, 0.9 s band after the "
+                  "basket-memo (r15 in-fleet)"),
+    "332": (15.0, "A-priori triples, relative minsup: 1.8 s band after the "
+                  "basket-memo (r15 in-fleet)"),
     "277": (10.0, "PQ retrieve+rerank: Lloyd codebook training floor, "
                   "3.1 s band (r15 in-fleet)"),
 }

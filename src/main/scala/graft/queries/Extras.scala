@@ -436,6 +436,48 @@ object Extras extends Q.Module {
     FROM sc GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 10"""))
 
+  /** Distinct (order, part) basket-item frame over lineitem — the
+    * starting frame every basket-mining query (q190 pairs, q226
+    * triples, q230 rules, q332 relative-minsup triples) derives from.
+    * Built ONCE per fixture dir via [[graft.operators.Memo]] as an
+    * eager localCheckpoint: without it each query's plan recomputes the
+    * lineitem scan + distinct shuffle for EVERY leg that references it
+    * (the frequent-item broadcast, both/all self-join sides, the basket
+    * count — 5-7 recomputes per query, 4 queries per registry run).
+    * The distinct is deterministic set-wise and every consumer ends in
+    * a fully tie-broken orderBy, so the memoized frame is bit-identical
+    * to per-query rebuilds: oracle SQL unchanged. */
+  private def basketItems(s: SparkSession, d: String): DataFrame =
+    graft.operators.Memo.cached[DataFrame](s, d, "basketItems",
+      Seq("lineitem")) {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().localCheckpoint(true)
+      (op, Seq(op))
+    }
+
+  /** L2-frequent pairs at the ABSOLUTE minsup 2 with their support —
+    * the (pa, pb, s2) frame q226 (triple-candidate closure) and q230
+    * (rule scoring) both build identically: one basket self-join +
+    * map-combined count. Shared per dir via Memo, same determinism
+    * argument as [[basketItems]]. q190 (minsup 25/3) and q332 (relative
+    * minsup) keep their own thresholds and share only [[basketItems]]. */
+  private def l2PairsMin2(s: SparkSession, d: String): DataFrame =
+    graft.operators.Memo.cached[DataFrame](s, d, "l2PairsMin2",
+      Seq("lineitem")) {
+      val op = basketItems(s, d)
+      val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
+        .filter(col("s1") >= 2)
+      val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
+      val l2 = pr.select(col("o"), col("p").as("pa")).as("a")
+        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("b"),
+          col("o") === col("o2") && col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
+        .filter(col("s2") >= 2)
+        .localCheckpoint(true)
+      (l2, Seq(l2))
+    }
+
   // --- q190: FREQUENT-PAIR MINING (A-priori) — market-basket pair
   //     support + lift over order baskets, the classic distributed
   //     frequent-itemset shape. The scale design is the A-PRIORI PRUNE:
@@ -454,9 +496,7 @@ object Extras extends Q.Module {
     "q190_frequent_pairs",
     "✦ basket mining: A-priori pruned frequent pairs with support + lift, top-20",
     (s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+      val op = basketItems(s, d)
       val freq = op.groupBy(col("p")).agg(count(lit(1)).as("sup1"))
         .filter(col("sup1") >= 25)
       val pruned = op.join(broadcast(freq.select(col("p"))), Seq("p"))
@@ -564,18 +604,11 @@ object Extras extends Q.Module {
     "q226_frequent_triples",
     "✦ basket mining: A-priori frequent triples (L2-closure prune before the 3-way join)",
     (s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+      val op = basketItems(s, d)
       val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
         .filter(col("s1") >= 2)
       val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
-      val l2 = pr.select(col("o"), col("p").as("pa")).as("a")
-        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("b"),
-          col("o") === col("o2") && col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
-        .filter(col("s2") >= 2)
-        .select(col("pa"), col("pb"))
+      val l2 = l2PairsMin2(s, d).select(col("pa"), col("pb"))
       val cand = pr.select(col("o"), col("p").as("pa")).as("x")
         .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("y"),
           col("o") === col("o2") && col("pa") < col("pb"))
@@ -631,19 +664,12 @@ object Extras extends Q.Module {
     "q230_assoc_rules",
     "✦ basket mining: association rules from frequent pairs — support/confidence/lift top-25",
     (s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+      val op = basketItems(s, d)
       val nB = op.select(col("o")).distinct()
         .agg(count(lit(1)).as("nb"))
       val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
         .filter(col("s1") >= 2)
-      val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
-      val l2 = pr.select(col("o"), col("p").as("pa")).as("a")
-        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("b"),
-          col("o") === col("o2") && col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
-        .filter(col("s2") >= 2)
+      val l2 = l2PairsMin2(s, d)
       val rules = l2.select(col("pa").as("ante"), col("pb").as("cons"),
           col("s2"))
         .unionByName(l2.select(col("pb").as("ante"), col("pa").as("cons"),
@@ -702,9 +728,7 @@ object Extras extends Q.Module {
     "q332_frequent_triples_relative",
     "✦ basket mining: A-priori triples with relative minsup (greatest(2, baskets div 50000))",
     (s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+      val op = basketItems(s, d)
       val no = op.select(col("o")).distinct()
         .agg(count(lit(1)).as("no"))
       val ms = greatest(lit(2L), expr("no div 50000"))
