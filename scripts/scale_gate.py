@@ -59,6 +59,10 @@ ALLOWLIST = {
     "64":  (25.0, "spark.ml MinHashLSH library baseline kept for parity "
                   "with the hand-rolled q48; ml's approxSimilarityJoin "
                   "explodes hash tables superlinearly at density"),
+    "190": (25.0, "pays the ONE-TIME memoized basketItems build for the "
+                  "basket family (q226/q230/q332 ride it) — and its min-of-3 "
+                  "sf0.1 denominator EXCLUDES the build while the runs=1 "
+                  "sf1 wall includes it; 15.3 s measured at sf1"),
     "182": (35.0, "pays the ONE-TIME memoized co-purchase graph build for "
                   "the whole family (q194/q225/q231 ride it: 1.5/2.3 s at "
                   "sf1); r15 measured 18.6 s at sf1, 29.4x over a 0.63 s "
