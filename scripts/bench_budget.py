@@ -39,23 +39,27 @@ TOTAL_BUDGET_S = 240.0
 # Deliberately heavy queries: iteration count or verify-join IS the
 # algorithm. Budgets are ~3x their measured sf0.1 min-of-3 band so host
 # noise doesn't flap the gate, but a q269-class blowup still trips it.
-# Bands refreshed r15 from the full in-fleet local run (173.1 s total —
-# the same session's memo-landing spot-run read 143.0 s, so in-fleet
-# totals on this box swing ~±20% run-to-run; the BANDS are min-of-3 and
-# far steadier than the total).
+# Bands refreshed r15 from the full in-fleet local[32] run (181.5 s
+# total; same-session spot runs read 143-181 s, so in-fleet totals on
+# this box swing ~±20% run-to-run — the BANDS are min-of-3 and far
+# steadier than the total). NOTE: sf0.1 walls are overhead-dominated
+# and nearly parallelism-insensitive (r15 measured local[4] vs
+# local[32] median ratio 1.009 across the registry), but record bands
+# ONLY from SPARK_GRAFT_CPUS=32 runs — at sf1+ the thread count is
+# worth 2-5x on the heavy kernels.
 ALLOWLIST = {
-    "167": (15.0, "PageRank: 10 fixed iterations, 5.2 s band (r15 in-fleet)"),
-    "228": (15.0, "PPJoin: verify join is the algorithm, 6.4 s band (r15 in-fleet)"),
-    "76": (12.0, "near-dup CC clustering, 4.4 s band (r15 in-fleet)"),
-    "244": (10.0, "sorted-neighborhood two-phase rank, 1.6 s band (r15 in-fleet)"),
-    "269": (12.0, "DBSCAN: grid eps-join + CC, 3.6 s band (r15 in-fleet)"),
+    "167": (15.0, "PageRank: 10 fixed iterations, 4.5 s band (r15 in-fleet)"),
+    "228": (15.0, "PPJoin: verify join is the algorithm, 5.4 s band (r15 in-fleet)"),
+    "76": (12.0, "near-dup CC clustering, 4.6 s band (r15 in-fleet)"),
+    "244": (10.0, "sorted-neighborhood two-phase rank, 3.0 s band (r15 in-fleet)"),
+    "269": (12.0, "DBSCAN: grid eps-join + CC, 4.9 s band (r15 in-fleet)"),
     "190": (15.0, "A-priori frequent pairs, absolute minsup: candidate "
                   "enumeration scans every basket, 0.9 s band after the "
-                  "basket-memo (r15 in-fleet)"),
-    "332": (15.0, "A-priori triples, relative minsup: 1.8 s band after the "
-                  "basket-memo (r15 in-fleet)"),
+                  "basket-memo (r15 in-fleet, was 5.0 s)"),
+    "332": (15.0, "A-priori triples, relative minsup: 2.4 s band after the "
+                  "basket-memo (r15 in-fleet, was 4.8 s)"),
     "277": (10.0, "PQ retrieve+rerank: Lloyd codebook training floor, "
-                  "3.1 s band (r15 in-fleet)"),
+                  "3.3 s band (r15 in-fleet)"),
 }
 
 

@@ -38,43 +38,35 @@ the band is ~1.5x the measured factor, not unbounded.
 import json
 import sys
 
-DEFAULT_FACTOR_X = 15.0
+# 18x, not a tight 10-12x: the high-scale map is a runs=1 IN-FLEET
+# sweep (min-of-N at sf1+ would multiply a ~45 min run), and r13-r15
+# all measured individual in-run walls up to ~1.5-2x their isolated
+# min-of-3 receipts (GC/page-cache contamination from neighboring
+# queries — q123 is the classified example). A linear plan under that
+# noise reads as <= ~15-17x; a complexity-class change reads as 30x+.
+# The r15 local[32] sweeps measured worst non-allowlisted factors
+# 14.2x (sf0.1->sf1) and 16.4x (sf1->sf10).
+DEFAULT_FACTOR_X = 18.0
 FLOOR_S = 1.0
 
 # Queries whose decade factor legitimately exceeds the default band.
-# Measured factors: r14 PLANS (sf1: 630.6 s / sf10: 2,753.8 s full-registry
-# runs) and the r15 re-measurement that admitted each entry. Bands are
-# ~1.5-2x the measured factor — a regression WITHIN the allowlist stays
-# visible.
+# Factors measured r15 at the driver config (local[32]; sf0.1 min-of-3,
+# sf1/sf10 runs=1 in-fleet). Bands are ~1.5-2x the measured factor — a
+# regression WITHIN the allowlist stays visible.
 ALLOWLIST = {
-    "226": (60.0, "A-priori triples at ABSOLUTE minsup=2: the answer set "
+    "226": (30.0, "A-priori triples at ABSOLUTE minsup=2: the answer set "
                   "itself grows with density (output-sensitive by design; "
-                  "r15 measured 41.7 s at sf1 over a 0.77 s sf0.1 wall — "
-                  "the denominator shrank when the shared basket build "
-                  "was memoized; q332 is the relative-minsup production "
-                  "form, factor ~7x)"),
-    "50":  (25.0, "brute-force all-pairs cosine baseline: O(n^2) BY DESIGN "
-                  "as the recall yardstick for the ANN ladder; the ladder "
-                  "(q57/q74/q277) is the scale path"),
+                  "r15 measured 14.2x at the sf0.1->sf1 knee and 6.4x the "
+                  "decade after; q332 is the relative-minsup production "
+                  "form, ~7x flat)"),
+    "50":  (150.0, "brute-force all-pairs cosine baseline: O(n^2) BY "
+                  "DESIGN as the recall yardstick for the ANN ladder, so "
+                  "its NOMINAL decade factor is 100x (r15 measured 80.7x "
+                  "at sf1->sf10, 160.1 s); the ladder (q57/q74/q277, all "
+                  "<= 55 s at sf10) is the scale path"),
     "64":  (25.0, "spark.ml MinHashLSH library baseline kept for parity "
                   "with the hand-rolled q48; ml's approxSimilarityJoin "
                   "explodes hash tables superlinearly at density"),
-    "190": (25.0, "pays the ONE-TIME memoized basketItems build for the "
-                  "basket family (q226/q230/q332 ride it) — and its min-of-3 "
-                  "sf0.1 denominator EXCLUDES the build while the runs=1 "
-                  "sf1 wall includes it; 15.3 s measured at sf1"),
-    "182": (35.0, "pays the ONE-TIME memoized co-purchase graph build for "
-                  "the whole family (q194/q225/q231 ride it: 1.5/2.3 s at "
-                  "sf1); r15 measured 18.6 s at sf1, 29.4x over a 0.63 s "
-                  "sf0.1 wall that has no graph to build"),
-    "231": (30.0, "friend-of-friend squares the pair graph: the 0.1->1 "
-                  "decade is the density KNEE (sf0.1 has almost no "
-                  "co-purchase pairs); the NEXT decade proves it bounded "
-                  "(r14: family walls <= 22.9 s at sf10, factor ~1.4x)"),
-    "242": (35.0, "LSH recall audit runs EXACT Jaccard truth over the "
-                  "corpus BY DESIGN (at 100 TB the truth set is a sample; "
-                  "the fixture IS the sample) — its factor is q47's plus "
-                  "the banding, 20.7 s measured at sf1"),
 }
 
 
