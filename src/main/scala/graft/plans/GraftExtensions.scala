@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SignLshBucket}
+import graft.functions.{CosineSimilarity, IntDotProduct, SignLshBucket}
 
 /** The library's single deployment entry point for Catalyst extensions —
   * the `SparkSessionExtensions` route (SURVEY.md §2.10 rung c, the
@@ -21,9 +21,9 @@ import graft.functions.{CosineSimilarity, SignLshBucket}
   * imperatively, but at the right lifecycle point: the optimizer rule
   * rides every session built from the context (injectOptimizerRule runs
   * it in the same post-batches slot as `experimental.extraOptimizations`),
-  * and the three codegen'd functions are in the registry before any SQL
-  * text parses, so `cosine_sim` / `lsh_bucket` / `graft_might_contain`
-  * work from pure-SQL clients that never touch the Scala API.
+  * and the four codegen'd functions are in the registry before any SQL
+  * text parses, so `cosine_sim` / `int_dot` / `lsh_bucket` /
+  * `graft_might_contain` work from pure-SQL clients that never touch the Scala API.
   *
   * The imperative `register(spark)` helpers stay — tests and notebook
   * sessions attach to an already-built session — but both routes bind
@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[SignLshBucket].getName, "lsh_bucket"),
       (children: Seq[Expression]) => SignLshBucket(children.head, 16)))
+
+    ext.injectFunction((
+      FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot"),
+      (children: Seq[Expression]) =>
+        IntDotProduct(children(0), children(1))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),

@@ -491,10 +491,16 @@ object Vectors extends Q.Module {
       val c = quant.select(col("vec_id").as("cid"), col("qv").as("cq"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("dot_q").desc, col("cid"))
+      // Codegen'd fused int dot (r15): the HOF form
+      // aggregate(zip_with(...)) ran the lambda interpreter once per
+      // (probe, candidate) pair — the 2M-pair hot loop at sf10.
+      // Integer dots are associative and exact, so the swap is
+      // bit-identical (IntDotProduct scaladoc; IntDotExpressionSpec
+      // pins parity against the HOF form).
+      graft.functions.IntDotProduct.register(s)
       broadcast(q).join(c, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          aggregate(zip_with(col("qq"), col("cq"),
-            (a, b) => (a * b).cast("long")), lit(0L), (acc, x) => acc + x)
+          graft.functions.IntDotProduct.intDot(col("qq"), col("cq"))
             .as("dot_q"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)

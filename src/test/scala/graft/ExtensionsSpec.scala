@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * A second SparkSession is built THROUGH the extensions class on the
   * shared SparkContext (clearDefault/clearActive + getOrCreate — the
   * public way to get a fresh session without a second context), then:
-  *   1. all three injected functions resolve from PURE SQL TEXT — no
+  *   1. all four injected functions resolve from PURE SQL TEXT — no
   *      Scala-side register(spark) call anywhere on this session;
   *   2. the optimizer rule fires on a parquet-backed naive levenshtein
   *      bound exactly as the imperatively-installed rule does.
@@ -50,6 +50,10 @@ class ExtensionsSpec extends SparkSuite {
         "SELECT lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))) AS b")
         .collect()(0).getLong(0)
       assert(b == b2)
+      val d = s2.sql(
+        "SELECT int_dot(array(1, 2, 3), array(4, 5, 6)) AS d")
+        .collect()(0).getLong(0)
+      assert(d == 32L, s"int_dot([1,2,3],[4,5,6]) = $d")
       assert(s2.sessionState.functionRegistry
         .functionExists(FunctionIdentifier("graft_might_contain")))
     }
