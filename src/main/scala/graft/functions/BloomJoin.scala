@@ -53,5 +53,6 @@ object BloomJoin {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName,
         "graft_might_contain"),
       (children: Seq[Expression]) =>
-        new BloomFilterMightContain(children(0), children(1)))
+        FunctionArity.two("graft_might_contain", children)(
+          new BloomFilterMightContain(_, _)))
 }

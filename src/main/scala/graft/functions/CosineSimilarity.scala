@@ -107,6 +107,7 @@ object CosineSimilarity {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"),
       info,
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+      (children: Seq[Expression]) =>
+        FunctionArity.two("cosine_sim", children)(CosineSimilarity(_, _)))
   }
 }

@@ -24,11 +24,19 @@ import org.apache.spark.sql.SparkSession
   * ASSOCIATIVE and exact — any order in any engine agrees (the very
   * property q129 documents as quantization's determinism bonus), so
   * swapping this in changes nothing in any checked result. Semantics
-  * mirror the HOF form exactly: empty arrays fold to 0 (the `aggregate`
-  * initial value), a NULL side yields NULL; length mismatch truncates to
-  * the shorter side like `zip_with`'s null-padded tail would contribute
-  * nothing after the cast — fixture embeddings are fixed-width so the
-  * branch is dormant, but the truncation keeps the expression total.
+  * match the HOF form ONLY on the fixture invariant the quantization
+  * transform guarantees: equal-length, null-free arrays whose products
+  * fit in INT (|v| <= 127 ⇒ |x*y| <= 16129). Outside that envelope the
+  * two forms INTENTIONALLY diverge, and this kernel is the better-defined
+  * one: (a) length mismatch TRUNCATES to the shorter side, where the HOF
+  * form's `zip_with` null-pads the tail and `acc + null` poisons the
+  * whole fold to NULL; (b) each product is widened to BIGINT BEFORE the
+  * multiply, where the HOF multiplies in INT (wrapping on overflow)
+  * before its cast; (c) a NULL element contributes 0 in both eval modes
+  * (guarded below — GenericArrayData and UnsafeArrayData must agree),
+  * where the HOF again folds to NULL. A NULL array on either side yields
+  * NULL in both forms. IntDotExpressionSpec's `trunc`/`wide`/`nullelem`
+  * cases pin exactly these divergences as the kernel's contract.
   */
 case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,7 +62,13 @@ case class IntDotProduct(left: Expression, right: Expression)
     var dot = 0L
     var i = 0
     while (i < n) {
-      dot += xa.getInt(i).toLong * xb.getInt(i).toLong
+      // NULL element → contributes 0. Without the guard, interpreted
+      // eval (GenericArrayData.getInt NPEs) and codegen (UnsafeArrayData
+      // reads 0 from the null slot) DISAGREE — the guard makes both
+      // modes the documented skip (r15 advice).
+      if (!xa.isNullAt(i) && !xb.isNullAt(i)) {
+        dot += xa.getInt(i).toLong * xb.getInt(i).toLong
+      }
       i += 1
     }
     dot
@@ -69,7 +83,9 @@ case class IntDotProduct(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         long $dot = 0L;
         for (int $i = 0; $i < $n; $i++) {
-          $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+          }
         }
         ${ev.value} = $dot;
       """
@@ -91,6 +107,7 @@ object IntDotProduct {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("int_dot"),
       info,
-      (children: Seq[Expression]) => IntDotProduct(children(0), children(1)))
+      (children: Seq[Expression]) =>
+        FunctionArity.two("int_dot", children)(IntDotProduct(_, _)))
   }
 }

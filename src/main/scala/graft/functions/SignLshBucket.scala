@@ -120,6 +120,7 @@ object SignLshBucket {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_bucket"),
       info,
-      (children: Seq[Expression]) => SignLshBucket(children.head, planes))
+      (children: Seq[Expression]) =>
+        FunctionArity.one("lsh_bucket", children)(SignLshBucket(_, planes)))
   }
 }

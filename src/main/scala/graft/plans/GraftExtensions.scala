@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, IntDotProduct, SignLshBucket}
+import graft.functions.{CosineSimilarity, FunctionArity, IntDotProduct, SignLshBucket}
 
 /** The library's single deployment entry point for Catalyst extensions —
   * the `SparkSessionExtensions` route (SURVEY.md §2.10 rung c, the
@@ -38,26 +38,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+        FunctionArity.two("cosine_sim", children)(CosineSimilarity(_, _))))
 
     // 16 hyperplanes = the library default (q57 narrows per-call via the
     // Scala API; SQL callers get the documented default band width).
     ext.injectFunction((
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[SignLshBucket].getName, "lsh_bucket"),
-      (children: Seq[Expression]) => SignLshBucket(children.head, 16)))
+      (children: Seq[Expression]) =>
+        FunctionArity.one("lsh_bucket", children)(SignLshBucket(_, 16))))
 
     ext.injectFunction((
       FunctionIdentifier("int_dot"),
       new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot"),
       (children: Seq[Expression]) =>
-        IntDotProduct(children(0), children(1))))
+        FunctionArity.two("int_dot", children)(IntDotProduct(_, _))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName,
         "graft_might_contain"),
       (children: Seq[Expression]) =>
-        new BloomFilterMightContain(children(0), children(1))))
+        FunctionArity.two("graft_might_contain", children)(
+          new BloomFilterMightContain(_, _))))
   }
 }

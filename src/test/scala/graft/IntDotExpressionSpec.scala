@@ -4,10 +4,13 @@ import graft.functions.IntDotProduct
 import org.apache.spark.sql.functions._
 
 /** The fused codegen'd integer dot must agree with the HOF formulation
-  * it replaced in q129's pair loop — exactly, not approximately:
-  * integer products in a BIGINT accumulator are associative and exact,
-  * which is the determinism property the quantized-retrieval queries
-  * are built on. */
+  * it replaced in q129's pair loop — exactly, not approximately, on the
+  * envelope that loop guarantees: equal-length, null-free arrays whose
+  * products fit in INT. Outside that envelope the kernel INTENTIONALLY
+  * diverges from the HOF form (truncation instead of a NULL-poisoned
+  * fold, widen-before-multiply instead of INT wraparound, null elements
+  * skipped) — the `trunc`/`wide`/null-element cases below pin the
+  * kernel's OWN contract, not HOF parity (IntDotProduct scaladoc). */
 class IntDotExpressionSpec extends SparkSuite {
 
   test("int_dot == HOF aggregate(zip_with) exactly on quantized fixture pairs") {
@@ -49,5 +52,32 @@ class IntDotExpressionSpec extends SparkSuite {
     IntDotProduct.register(spark)
     assert(spark.sql("SELECT int_dot(array(1, -2), array(3, 4)) AS d")
       .collect()(0).getLong(0) == -5L)
+  }
+
+  test("int_dot: NULL elements contribute 0, identically in eval and codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    IntDotProduct.register(spark)
+    // Codegen path (UnsafeArrayData) via SQL …
+    val viaSql = spark.sql(
+      "SELECT int_dot(array(2, CAST(NULL AS INT), 5), array(3, 7, 11)) AS d")
+      .collect()(0).getLong(0)
+    // … and the interpreted path (GenericArrayData) via direct eval —
+    // before the r15-advice guard, this NPE'd while codegen read 0.
+    val viaEval = graft.functions.IntDotProduct(
+      Literal.create(Seq[Integer](2, null, 5), ArrayType(IntegerType, containsNull = true)),
+      Literal.create(Seq[Integer](3, 7, 11), ArrayType(IntegerType, containsNull = true)))
+      .eval(null)
+    assert(viaSql == 61L) // 2*3 + skip + 5*11
+    assert(viaEval == 61L)
+  }
+
+  test("int_dot: wrong arity is a clean analysis error, not an index crash") {
+    IntDotProduct.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT int_dot(array(1))").collect()
+    }
+    assert(e.getMessage.contains("int_dot"))
+    assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"))
   }
 }
