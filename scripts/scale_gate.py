@@ -59,14 +59,11 @@ ALLOWLIST = {
                   "r15 measured 14.2x at the sf0.1->sf1 knee and 6.4x the "
                   "decade after; q332 is the relative-minsup production "
                   "form, ~7x flat)"),
-    "50":  (150.0, "brute-force all-pairs cosine baseline: O(n^2) BY "
-                  "DESIGN as the recall yardstick for the ANN ladder, so "
-                  "its NOMINAL decade factor is 100x (r15 measured 80.7x "
-                  "at sf1->sf10, 160.1 s); the ladder (q57/q74/q277, all "
-                  "<= 55 s at sf10) is the scale path"),
-    "64":  (25.0, "spark.ml MinHashLSH library baseline kept for parity "
-                  "with the hand-rolled q48; ml's approxSimilarityJoin "
-                  "explodes hash tables superlinearly at density"),
+    # r16: q50 and q64 LEFT this allowlist — both now auto-gate on corpus
+    # size (the auditUseAnn idiom): exact/library mode at fixture SFs
+    # (oracle-identical), IVF-cell / AND-banded candidates above 10k rows
+    # (EmbDedupAnnSpec / MlLshAnnSpec pin subset + recall). Their decade
+    # factors must now sit inside the default band like every linear plan.
 }
 
 

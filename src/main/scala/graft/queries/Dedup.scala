@@ -526,22 +526,62 @@ object Dedup extends Q.Module {
     ORDER BY da, db"""))
 
   // --- q50: embedding-cosine near-dup, blocked by label (the realistic
-  //     blocking key; the unblocked scale path is LSH — q57).
-  private val q50 = Q(
-    "q50_dedup_embedding_cosine",
-    "✦ embedding near-dup: same-label pairs with cosine >= 0.35",
-    (s, d) => {
-      graft.functions.CosineSimilarity.register(s)
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("label"), col("vec_id").as("da"), col("embedding").as("ea"))
-      val b = e.select(col("label"), col("vec_id").as("db"), col("embedding").as("eb"))
-      a.join(b, Seq("label")).filter(col("da") < col("db"))
-        .withColumn("score",
-          graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")))
+  //     blocking key; the unblocked scale path is LSH — q57). Two modes
+  //     behind the corpus-size gate (r15 verdict #2 — the auditUseAnn
+  //     idiom): label-blocked EXACT all-pairs at fixture SFs (the recall
+  //     yardstick the oracle checks bit-for-bit), IVF-cell-blocked
+  //     candidates + exact cosine verify above 10k vectors — the plan
+  //     you'd actually run at 100 TB, where the label block alone is
+  //     O(N²) in the block size. EmbDedupAnnSpec pins the swap's
+  //     honesty: the ANN result is a strict SUBSET of the exact pairs
+  //     (candidates shrink, the >= 0.35 verify is identical) with
+  //     recall >= 0.8 on a clustered corpus.
+  private[graft] def embCosinePairs(s: SparkSession, d: String,
+      forceAnn: Option[Boolean] = None): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val cos = graft.functions.CosineSimilarity.cosineSim _
+    val e = Tables.embeddings(s, d)
+    if (forceAnn.getOrElse(Vectors.auditUseAnn(s, d))) {
+      // Candidates: pairs sharing an IVF cell — x's nprobe=4 probe list
+      // against y's home cell (rn=1), BOTH directions via the
+      // least/greatest canonicalization, so a pair is found when either
+      // side probes the other's home. Per-cell volume is bounded by the
+      // kernel's sub-splitting (Scale.ivfProbeMap, the q74/q109 cells);
+      // never an all-pairs join.
+      val cm = Scale.ivfProbeMap(s, d, nprobe = 4)
+      val cand = cm.select(col("vec_id").as("pa"), col("cell"), col("sub"))
+        .join(cm.filter(col("rn") === 1)
+          .select(col("vec_id").as("pb"), col("cell"), col("sub")),
+          Seq("cell", "sub"))
+        .filter(col("pa") =!= col("pb"))
+        .select(least(col("pa"), col("pb")).as("da"),
+          greatest(col("pa"), col("pb")).as("db"))
+        .dropDuplicates("da", "db")
+      val ea = e.select(col("vec_id").as("da"), col("label"),
+        col("embedding").as("ea"))
+      val eb = e.select(col("vec_id").as("db"), col("label").as("lb"),
+        col("embedding").as("eb"))
+      cand.join(ea, Seq("da")).join(eb, Seq("db"))
+        .filter(col("label") === col("lb")) // same blocking key as exact
+        .withColumn("score", cos(col("ea"), col("eb")))
         .filter(col("score") >= 0.35)
         .select(col("label"), col("da"), col("db"), col("score"))
         .orderBy(col("da"), col("db"))
-    },
+    } else {
+      val a = e.select(col("label"), col("vec_id").as("da"), col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("db"), col("embedding").as("eb"))
+      a.join(b, Seq("label")).filter(col("da") < col("db"))
+        .withColumn("score", cos(col("ea"), col("eb")))
+        .filter(col("score") >= 0.35)
+        .select(col("label"), col("da"), col("db"), col("score"))
+        .orderBy(col("da"), col("db"))
+    }
+  }
+
+  private val q50 = Q(
+    "q50_dedup_embedding_cosine",
+    "✦ embedding near-dup: same-label pairs with cosine >= 0.35",
+    (s, d) => embCosinePairs(s, d),
     Some(s"""SELECT a.label, a.vec_id da, b.vec_id db,
       ${graft.dsl.cosineSql("a.embedding", "b.embedding")} AS score
     FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -80,19 +80,29 @@ object Vectors extends Q.Module {
     * their A/B measurements). */
   @volatile private[graft] var honorAuditAnnEnv = true
 
-  private def auditUseAnn(s: SparkSession, d: String): Boolean =
+  /** Shared corpus-size gate (r15 verdict #2 widened it beyond the
+    * audit family — q50's embedding near-dup and q64's ml-LSH baseline
+    * ride the same dial): exact/brute below [[AuditAnnMinCorpus]] rows
+    * (every fixture-SF oracle hash bit-identical), banded/IVF above.
+    * Same env override, same Verify kill-switch, same content-stamped
+    * Memo staleness contract for every caller. */
+  private[queries] def corpusExceedsAnnGate(s: SparkSession, d: String,
+      table: String, load: (SparkSession, String) => DataFrame): Boolean =
     (if (honorAuditAnnEnv) sys.env.get("SPARK_GRAFT_AUDIT_ANN") else None) match {
       case Some("on")  => true
       case Some("off") => false
-      // Memo (not a plain per-dir map): keyed on the embeddings
-      // fixture's content stamp, so a dir regenerated at a different
-      // scale in the same JVM (GenSf1 chains sf1 -> sf10) re-counts
-      // instead of serving a stale gate decision (r14 advice).
+      // Memo (not a plain per-dir map): keyed on the fixture's content
+      // stamp, so a dir regenerated at a different scale in the same
+      // JVM (GenSf1 chains sf1 -> sf10) re-counts instead of serving a
+      // stale gate decision (r14 advice).
       case _ => graft.operators.Memo.cached[java.lang.Long](
-        s, d, "embCount", Seq("embeddings")) {
-          (Long.box(Tables.embeddings(s, d).count()), Nil)
+        s, d, s"${table}Count", Seq(table)) {
+          (Long.box(load(s, d).count()), Nil)
         } > AuditAnnMinCorpus
     }
+
+  private[queries] def auditUseAnn(s: SparkSession, d: String): Boolean =
+    corpusExceedsAnnGate(s, d, "embeddings", Tables.embeddings)
 
   private[graft] def auditPairs(s: SparkSession, d: String,
       probes: DataFrame, cands: DataFrame,
@@ -474,8 +484,9 @@ object Vectors extends Q.Module {
   //     float dots, which need the sequential-fold discipline. Unit
   //     vectors make the int dot a monotone cosine proxy (up to
   //     quantization error, which q95 bounds). Plan = q44's shape:
-  //     broadcast query rows, one codegen-ineligible HOF projection,
-  //     WindowGroupLimit top-k.
+  //     broadcast query rows, one fused codegen'd int-dot projection
+  //     (functions/IntDotProduct — r15 replaced the codegen-ineligible
+  //     HOF form), WindowGroupLimit top-k.
   private val q129 = Q(
     "q129_quantized_knn",
     "✦ similarity: top-3 neighbors by int8 quantized dot product",
@@ -494,9 +505,12 @@ object Vectors extends Q.Module {
       // Codegen'd fused int dot (r15): the HOF form
       // aggregate(zip_with(...)) ran the lambda interpreter once per
       // (probe, candidate) pair — the 2M-pair hot loop at sf10.
-      // Integer dots are associative and exact, so the swap is
-      // bit-identical (IntDotProduct scaladoc; IntDotExpressionSpec
-      // pins parity against the HOF form).
+      // Integer dots are associative and exact, so on THIS query's
+      // arrays (equal-length, null-free, |v| <= 127 by construction of
+      // the quantization transform above) the swap is bit-identical;
+      // outside that envelope the kernel's semantics intentionally
+      // diverge from the HOF form (IntDotProduct scaladoc lists them;
+      // IntDotExpressionSpec pins both the parity and the divergences).
       graft.functions.IntDotProduct.register(s)
       broadcast(q).join(c, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
@@ -1934,20 +1948,29 @@ object Vectors extends Q.Module {
     "✦ similarity audit: rank-biased overlap of quantized vs exact top-10 per probe",
     (s, d) => {
       graft.functions.CosineSimilarity.register(s)
+      graft.functions.IntDotProduct.register(s)
       val e = Tables.embeddings(s, d)
+      // Quantize PER SIDE, before the pair join (r16): the old form ran
+      // zip_with(pe, ce, floor(a*64)*floor(b*64)) per PAIR — n·p HOF
+      // interpreter evaluations doing n·p quantizations. Pre-quantizing
+      // each side is n + p transform evaluations, and the per-pair hot
+      // op becomes the fused codegen'd int_dot (q129's kernel). Scores
+      // are bit-identical: ⌊64x⌋ ∈ [-64, 64] so every product and the
+      // 32-term BIGINT sum are exact integers in both forms.
+      val quant = (c: Column) =>
+        transform(c, a => floor(a.cast("double") * 64).cast("int"))
       val probes = e.filter(col("vec_id") % 5 === 0
         && col("vec_id") < lit(5L * ProbeBudget))
-        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val qdot = aggregate(
-        zip_with(col("pe"), col("ce"), (a, b) =>
-          floor(a.cast("double") * 64) * floor(b.cast("double") * 64)),
-        lit(0L), (acc, x) => acc + x.cast("long"))
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+          quant(col("embedding")).as("qp"))
+      val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        quant(col("embedding")).as("qc"))
       val scored = auditPairs(s, d, probes, cands)
         .select(col("pid"), col("cid"),
           graft.functions.CosineSimilarity
             .cosineSim(col("pe"), col("ce")).as("sx"),
-          qdot.as("sq"))
+          graft.functions.IntDotProduct.intDot(col("qp"), col("qc"))
+            .as("sq"))
       val wx = Window.partitionBy(col("pid"))
         .orderBy(col("sx").desc, col("cid"))
       val wq = Window.partitionBy(col("pid"))

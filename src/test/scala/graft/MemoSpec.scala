@@ -83,6 +83,30 @@ class MemoSpec extends SparkSuite {
     assert(Memo.tableStamp(dir.getPath, Seq("t")) != before)
   }
 
+  test("a different session object rebuilds — never serves another session's entry") {
+    // Verify's restart path (r15 verdict #7): a stopped-then-rebuilt
+    // session in the same JVM must NOT be served a prior session's
+    // memo — its localCheckpoint blocks died with the old session's
+    // executors. The stamp keys on session identity, so ANY distinct
+    // session object (newSession() here — same context, different
+    // identity, no teardown cost) must rebuild.
+    val dir = tmpFixtureDir()
+    writeTable(dir, "t", 16)
+    var builds = 0
+    def get(s: org.apache.spark.sql.SparkSession) =
+      Memo.cached[java.lang.Integer](s, dir.getPath, "memospec-session", Seq("t")) {
+        builds += 1
+        (Int.box(builds), Seq.empty)
+      }
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    assert(get(s1) == 1 && get(s1) == 1, "same session must reuse")
+    assert(get(s2) == 2, "a rebuilt session must rebuild, not serve freed blocks")
+    // … and the key is the LATEST session: s1 coming back after s2
+    // rebuilt is itself a stale identity and rebuilds again.
+    assert(get(s1) == 3 && builds == 3)
+  }
+
   test("a memoized localCheckpoint frame survives catalog clearCache") {
     val dir = tmpFixtureDir()
     writeTable(dir, "t", 16)
