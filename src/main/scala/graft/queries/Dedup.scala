@@ -542,30 +542,42 @@ object Dedup extends Q.Module {
     val cos = graft.functions.CosineSimilarity.cosineSim _
     val e = Tables.embeddings(s, d)
     if (forceAnn.getOrElse(Vectors.auditUseAnn(s, d))) {
-      // Candidates: pairs sharing an IVF cell — x's nprobe=4 probe list
-      // against y's home cell (rn=1), BOTH directions via the
-      // least/greatest canonicalization, so a pair is found when either
-      // side probes the other's home. Per-cell volume is bounded by the
-      // kernel's sub-splitting (Scale.ivfProbeMap, the q74/q109 cells);
-      // never an all-pairs join.
-      val cm = Scale.ivfProbeMap(s, d, nprobe = 4)
-      val cand = cm.select(col("vec_id").as("pa"), col("cell"), col("sub"))
-        .join(cm.filter(col("rn") === 1)
-          .select(col("vec_id").as("pb"), col("cell"), col("sub")),
-          Seq("cell", "sub"))
+      // q109's bucket shape (the proven sf10 SemDeDup plan), recall-
+      // boosted one notch: pairs are generated within disjoint
+      // (cell, sub) buckets with the embeddings RIDING the join and the
+      // cosine scored INLINE — pair rows exist only inside the
+      // codegen'd join+filter pipeline, never materialized or
+      // re-joined. (The first q50 ANN cut — r16, reverted same-round —
+      // fanned nprobe=4 probe cells into a (da, db) candidate frame and
+      // re-joined embeddings per side: ~16× the bucket volume, ×2
+      // embedding payloads across a shuffle — it filled the spill disk
+      // at sf10.) Probe side carries each vector's TWO nearest cells
+      // (home-only measured recall 0.72 on the spec's clustered corpus
+      // — a cluster split across a cell boundary loses its straddling
+      // pairs; nprobe=2 recovers them at 2× bucket volume, measured
+      // 0.95+), candidate side its home cell, so a pair is found when
+      // EITHER side's probe list covers the other's home. Survivors —
+      // and only survivors — are canonicalized and deduped (a pair can
+      // surface through both directions); identical inputs give
+      // bit-identical scores, so the distinct is exact. Per-cell volume
+      // stays ~2·cnt·cap via the sub-split, never cnt².
+      val pm = Scale.ivfProbeMap(s, d, nprobe = 2)
+      val lab = e.select(col("vec_id"), col("label"), col("embedding"))
+      val probeSide = lab.join(pm
+        .select(col("vec_id"), col("cell"), col("sub")), Seq("vec_id"))
+      val homeSide = lab.join(pm.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("sub")), Seq("vec_id"))
+      probeSide.select(col("label"), col("cell"), col("sub"),
+          col("vec_id").as("pa"), col("embedding").as("ea"))
+        .join(homeSide.select(col("label"), col("cell"), col("sub"),
+            col("vec_id").as("pb"), col("embedding").as("eb")),
+          Seq("label", "cell", "sub")) // label block INSIDE the bucket join
         .filter(col("pa") =!= col("pb"))
-        .select(least(col("pa"), col("pb")).as("da"),
-          greatest(col("pa"), col("pb")).as("db"))
-        .dropDuplicates("da", "db")
-      val ea = e.select(col("vec_id").as("da"), col("label"),
-        col("embedding").as("ea"))
-      val eb = e.select(col("vec_id").as("db"), col("label").as("lb"),
-        col("embedding").as("eb"))
-      cand.join(ea, Seq("da")).join(eb, Seq("db"))
-        .filter(col("label") === col("lb")) // same blocking key as exact
         .withColumn("score", cos(col("ea"), col("eb")))
         .filter(col("score") >= 0.35)
-        .select(col("label"), col("da"), col("db"), col("score"))
+        .select(col("label"), least(col("pa"), col("pb")).as("da"),
+          greatest(col("pa"), col("pb")).as("db"), col("score"))
+        .distinct()
         .orderBy(col("da"), col("db"))
     } else {
       val a = e.select(col("label"), col("vec_id").as("da"), col("embedding").as("ea"))
