@@ -45,6 +45,17 @@ object GenSf1 {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/tmp/sf1")
+    // Optional third arg: comma-separated table subset ("documents,
+    // embeddings,events") for a PARTIAL decade dir — the r15 verdict's
+    // sf100 stretch needs only the tables the heavy-tail kernels read,
+    // and the full fact chain (lineitem alone is ~11 GB at sf100) would
+    // dominate the generation wall for receipts that never scan it. A
+    // partial dir is receipt-grade only: full-registry runs need every
+    // table.
+    val want: String => Boolean = args.lift(2) match {
+      case Some(list) => list.split(",").map(_.trim).toSet
+      case None       => _ => true
+    }
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -68,7 +79,11 @@ object GenSf1 {
     val wDoc = width("documents", "doc_id")
     val wVec = width("embeddings", "vec_id")
 
-    def write(name: String, df: DataFrame, files: Int): Unit = {
+    def write(name: String, df: => DataFrame, files: Int): Unit = {
+      if (!want(name)) {
+        System.err.println(s"[gensf1] $name: skipped (table filter)")
+        return
+      }
       df.repartition(files).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
       System.err.println(s"[gensf1] $name: " +
@@ -110,25 +125,28 @@ object GenSf1 {
     // invalidating scaling conclusions for those joins. The resulting
     // user_id gaps are harmless: no query relies on user-id contiguity,
     // only on per-user grouping and the FK edge.
-    val ev = graft.Tables.events(s, src)
-    // Fail fast if the source breaks the shift's precondition: the wCust
-    // shift keeps the user->customer edge replica-local ONLY while every
-    // source user_id sits below the customer key-space width. GenSf1Spec
-    // asserts this after generation, but a spec only guards test runs —
-    // a violating source here would silently produce cross-replica
-    // user/customer overlap, so the generator itself must refuse.
-    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0)
-    require(maxUser < wCust,
-      s"events.user_id max $maxUser >= customer width $wCust: " +
-        "the wCust shift would cross replica customer key ranges")
-    val evAll = reps(i => ev
-      .withColumn("event_id", col("event_id") + lit(wEvent * i))
-      .withColumn("user_id", col("user_id") + lit(wCust * i)))
-    // A stale single-FILE events.parquet from a pre-r15 generation
-    // blocks the directory write — remove it first.
-    val evDst = new java.io.File(s"$out/events.parquet")
-    if (evDst.isFile) evDst.delete()
-    write("events", evAll, 16)
+    if (want("events")) {
+      val ev = graft.Tables.events(s, src)
+      // Fail fast if the source breaks the shift's precondition: the
+      // wCust shift keeps the user->customer edge replica-local ONLY
+      // while every source user_id sits below the customer key-space
+      // width. GenSf1Spec asserts this after generation, but a spec only
+      // guards test runs — a violating source here would silently
+      // produce cross-replica user/customer overlap, so the generator
+      // itself must refuse.
+      val maxUser = ev.agg(max(col("user_id"))).head().getLong(0)
+      require(maxUser < wCust,
+        s"events.user_id max $maxUser >= customer width $wCust: " +
+          "the wCust shift would cross replica customer key ranges")
+      val evAll = reps(i => ev
+        .withColumn("event_id", col("event_id") + lit(wEvent * i))
+        .withColumn("user_id", col("user_id") + lit(wCust * i)))
+      // A stale single-FILE events.parquet from a pre-r15 generation
+      // blocks the directory write — remove it first.
+      val evDst = new java.io.File(s"$out/events.parquet")
+      if (evDst.isFile) evDst.delete()
+      write("events", evAll, 16)
+    }
 
     val doc = s.read.parquet(s"$src/documents.parquet")
     write("documents", reps { i =>
