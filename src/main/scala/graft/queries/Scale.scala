@@ -170,9 +170,62 @@ object Scale extends Q.Module {
     assignCells(e, trained).select(col("vec_id"), col("embedding"), col("cid"), col("rn"))
   }
 
-  /** IVF cell map for the retrieval-audit family's at-scale shortlist
-    * (r14, Vectors.auditPairs): every vector's trained cell assignment
-    * ranked to `nprobe`, with the q74 per-cell cap sub-split applied —
+  // ---- Corpus-scaled IVF (round 17) ----
+  //
+  // ivfProbeMap serves ONLY the above-the-ANN-gate paths (q50's
+  // embedding near-dup, the q287/q305/q311/q320 audit shortlists) — no
+  // oracle pins its cell count, unlike ivfAssigned's K=64 which the
+  // q74/q109 DuckDB twins mirror cell-for-cell. The r16 sf100 receipt
+  // showed why a FIXED K cannot ride a growing corpus: at 2M vectors,
+  // 64 cells mean ~31k-row cells (61 sub-splits each) and an N·K
+  // assignment window whose shuffle spills past the heap — ~28×/decade
+  // where the plan's nominal class is linear. Three dials fix the
+  // class, each inactive at fixture scale (≤ the gate, bit-identical):
+  //
+  //  - K SCALES with the corpus: max(64, ceil(N / 2048)) keeps the
+  //    average cell ~2048 rows, so bucket width, probe payload volume
+  //    and sub-split depth are CONSTANT as N grows. (Assignment is then
+  //    O(N·K) = O(N²/2048) compute — fine through the receipt decades;
+  //    a 1e9-row deployment would cap K at ~√N and assign
+  //    hierarchically, the standard IVF ladder. The dial is the point.)
+  //  - Lloyd trains on a deterministic HASH-SAMPLE (~64 vectors/cell,
+  //    floor 64k) instead of the full corpus, so the training floor
+  //    stays flat while centroids keep their statistical quality —
+  //    sample-trained k-means is the textbook regime. Below the floor
+  //    the sample IS the corpus, so small-corpus results are unchanged.
+  //  - Assignment is WINDOW-FREE: the N·K scored rows collapse to N
+  //    top-nprobe rows MAP-SIDE via the bounded top_by aggregate
+  //    (graft.functions.TopByAgg — k-entry buffers, the aggregation
+  //    analogue of TakeOrderedAndProject), so no exchange ever carries
+  //    candidate-scored rows. The window form shuffled all N·K.
+  //
+  // Selection semantics are bit-identical to the old window form at any
+  // size (same (cs desc, cid asc) total order, same seeds when the
+  // sample is the whole corpus), pinned by EmbDedupAnnSpec/AuditAnnSpec.
+  private val ivfScaledCellTarget = 2048L
+  private val ivfTrainPerCell = 64L
+  private val ivfTrainFloor = 65536L
+  // Test hook (r16 advice): fixture corpora can't overflow the 512-row
+  // cell cap, so the sub-split recall regime — the one the decade runs
+  // operate in — needs a lowered cap to be exercised at spec scale.
+  @volatile private[graft] var cellCapOverride: Option[Long] = None
+
+  private[graft] def scaledIvfK(n: Long): Int =
+    math.max(ivfK.toLong,
+      (n + ivfScaledCellTarget - 1) / ivfScaledCellTarget).toInt
+
+  /** Memoized corpus size (same Memo key as the ANN gate's count in
+    * Vectors.corpusExceedsAnnGate, so the gate decision and the kernel
+    * share one metadata-only count per fixture dir). */
+  private[graft] def embeddingsCount(s: SparkSession, d: String): Long =
+    graft.operators.Memo.cached[java.lang.Long](s, d, "embeddingsCount",
+      Seq("embeddings")) {
+      (Long.box(Tables.embeddings(s, d).count()), Nil)
+    }
+
+  /** IVF cell map for the at-scale shortlist paths (q50 near-dup, the
+    * retrieval-audit family): every vector's trained cell assignment
+    * ranked to `nprobe`, with the per-cell cap sub-split applied —
     * (vec_id, rn, cell, sub). rn = 1 rows are the (disjoint) cell
     * membership; rn <= nprobe rows are the probe fan-out. Cells are
     * disjoint and a probe only scans its own sub-cell of an overflowing
@@ -181,11 +234,67 @@ object Scale extends Q.Module {
     * probe legs both scan it; harness-owned cache, like q74's). */
   private[graft] def ivfProbeMap(s: SparkSession, d: String,
       nprobe: Int): DataFrame = {
-    val asn = ivfAssigned(s, d).filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("rn"), col("cid")).persist()
+    graft.functions.CosineSimilarity.register(s)
+    graft.functions.TopByAgg.register(s)
+    val cos = graft.functions.CosineSimilarity.cosineSim _
+    val n = embeddingsCount(s, d)
+    val k = scaledIvfK(n)
+    // The bounded top_by/max-struct partials hold k entries per group —
+    // raise ObjectHashAggregate's sort fallback (default 128 keys) so
+    // the N·K assignment rows are absorbed by the hash map's N small
+    // buffers instead of a per-partition external SORT of all N·K rows
+    // (the exact spill class this kernel exists to avoid). Session-wide
+    // by necessity (execution is lazy); every object agg in this
+    // registry has a bounded buffer, so the raised key count is safe.
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 21).toString)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("qe"),
+      pmod(pmod(col("vec_id"), lit(999983L)) * lit(2654435761L),
+        lit(1048576L)).as("h"))
+    val trainTarget = math.max(k * ivfTrainPerCell, ivfTrainFloor)
+    // Hash-sample: h is ~uniform on [0, 2^20), so the threshold keeps an
+    // expected `trainTarget` rows — content-deterministic, no RNG. The
+    // same h orders the seeds, so seeds ⊂ sample by construction.
+    val sample = (if (n <= trainTarget) e
+      else e.filter(col("h") < lit(1048576L * trainTarget / n))).persist()
+    val seeds = sample.orderBy(col("h"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"),
+        transform(col("qe"), v => (v.cast("double") / 64).cast("float")).as("ce"))
+    val trained = (1 to ivfIters).foldLeft(seeds) { (c, _) =>
+      // Window-free argmax: (cs, -cid) is a total order (cid unique per
+      // candidate row), so max(struct) picks exactly the window's
+      // (cs desc, cid asc) first row; qe joins back on the SAMPLE-sized
+      // frame instead of riding every scored row.
+      updateCentroids(
+        sample.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(c))
+          .withColumn("cs", cos(col("embedding"), col("ce")))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cid"))
+          .join(sample.select(col("vec_id"), col("qe")), Seq("vec_id")))
+    }
+    // Full-corpus top-nprobe assignment: N·K scored rows collapse to N
+    // bounded buffers map-side; the only exchange carries N small rows.
+    val asn = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(trained))
+      .withColumn("cs", cos(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopByAgg.topBy(col("cs"), col("cid"), nprobe).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).as("rn"),
+        col("col").getField("cid").as("cid"))
+      .persist()
+    // sample stays persisted until the harness's per-query clearCache:
+    // trained's lineage reads it ~5× (seeds + 2 legs per Lloyd iter),
+    // and execution is lazy — an eager unpersist here would run before
+    // anything materialized (harness-owned cache, the q74 pattern).
     val counts = cellCounts(asn.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid")))
-    subSplit(asn, counts, "vec_id")
+    subSplit(asn, counts, "vec_id",
+      cellCapOverride.getOrElse(ivfCellCap))
       .select(col("vec_id"), col("rn"), col("cid").as("cell"), col("sub"))
   }
 
