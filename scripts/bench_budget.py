@@ -21,9 +21,22 @@ must be benched at sf0.1 and pass this gate BEFORE the end-of-round
 snapshot; the final commit of a round touches no queries/*.scala.
 """
 import json
+import os
 import sys
 
 DEFAULT_BUDGET_S = 30.0
+
+# Fleet-vs-isolated self-report (r16 verdict #2): the r16 driver total
+# swung +11% on zero owned per-query cause, and classifying it as
+# in-fleet contamination took manual archaeology. ISOLATED_BENCH.json
+# (committed at round close; written by the round recipe) records the
+# same-code isolated HEAD min-of-3 total, and this gate prints the
+# ratio every run. A gap past the threshold fails LOUDLY with the
+# classification attached — the number on the scoreboard then explains
+# itself instead of reading as a silent regression.
+ISOLATED_FILE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "ISOLATED_BENCH.json")
+FLEET_VS_ISOLATED_MAX = 1.15
 
 # Total-wall ceiling (r12 verdict item 5): the driver's bench timeout is
 # real but unknown — r10/r11 both blacked out past it. The r13 driver run
@@ -83,6 +96,34 @@ def main(path):
           f"(sf={rec.get('sf')}, runs={rec.get('runs')}), "
           f"wall ceiling {TOTAL_BUDGET_S:.0f} s "
           f"(headroom {TOTAL_BUDGET_S - total:+.1f} s)")
+    try:
+        with open(ISOLATED_FILE) as f:
+            iso = json.load(f)
+    except (OSError, ValueError):
+        iso = None
+    if iso and iso.get("sf") == rec.get("sf") and iso.get("total", 0) > 0:
+        ratio = total / iso["total"]
+        print(f"fleet_vs_isolated: {ratio:.2f}x (this run {total:.1f} s vs "
+              f"isolated HEAD min-of-{iso.get('runs', '?')} "
+              f"{iso['total']:.1f} s @ {iso.get('git', '?')[:9]}, "
+              f"recorded {iso.get('recorded', '?')})")
+        if ratio > FLEET_VS_ISOLATED_MAX:
+            bad.append(
+                f"FLEET_VS_ISOLATED: {ratio:.2f}x > {FLEET_VS_ISOLATED_MAX}x"
+                f" - the measured run is >15% above the same-code isolated"
+                f" receipt. Classification: in-fleet/host contamination"
+                f" (identical code, slower wall - the documented class:"
+                f" two-sweep A/A at sf10 showed 4-7x single-query spikes"
+                f" between identical-code runs). Re-measure isolated before"
+                f" reading this as a code regression; if an ISOLATED re-run"
+                f" also moved, it IS owned - bisect per-query vs"
+                f" BENCH_QUERIES_r{{N-1}}.json")
+    elif iso:
+        print(f"fleet_vs_isolated: n/a (receipt sf={iso.get('sf')} vs "
+              f"run sf={rec.get('sf')})")
+    else:
+        print("fleet_vs_isolated: no ISOLATED_BENCH.json receipt - record "
+              "one at round close (round recipe step)")
     if total > TOTAL_BUDGET_S:
         bad.append(f"TOTAL: {total:.1f} s > wall budget {TOTAL_BUDGET_S:.1f} s"
                    " (driver bench timeout risk - trim the heavy tail before"

@@ -99,7 +99,25 @@ object Bench {
     // printing after stop keeps shutdown logging from eating the driver's
     // 2000-byte stdout tail, and the finally guarantees the whole run's
     // output survives even if sink/stream cleanup makes stop() throw.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"n":${results.size},"mode":"min-of-runs;sink-once","queries":{},"queries_file":"$qFile","sf":"$sfName"}"""
+    // Fleet-vs-isolated self-report (r16 verdict #2): if the committed
+    // round-close receipt ISOLATED_BENCH.json exists and matches this
+    // SF, ride its same-code isolated min-of-3 total into the record
+    // line — the driver's fleet number then carries its own baseline,
+    // so a contaminated wall classifies itself instead of reading as a
+    // regression (bench_budget.py applies the 1.15x loud-fail band).
+    val isolated = try {
+      val src = scala.io.Source.fromFile("ISOLATED_BENCH.json", "UTF-8")
+      val txt = try src.mkString finally src.close()
+      val tot = """"total"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1))
+      val sf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      val git = """"git"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      (tot, sf, git) match {
+        case (Some(t), Some(s), g) if s == sfName =>
+          s""","isolated_total":$t,"isolated_git":"${g.getOrElse("?")}""""
+        case _ => ""
+      }
+    } catch { case _: Throwable => "" }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"n":${results.size},"mode":"min-of-runs;sink-once","queries":{},"queries_file":"$qFile","sf":"$sfName"$isolated}"""
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getClass.getSimpleName}")

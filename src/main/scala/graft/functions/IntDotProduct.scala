@@ -79,13 +79,28 @@ case class IntDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      // Null-element guard only when the schema can actually hold one
+      // (r16 advice): q129/q311's hot pair loop runs on containsNull =
+      // false arrays, where two isNullAt branches per element are pure
+      // overhead in the very loop this kernel exists to speed up. eval
+      // keeps its guard unconditionally (it is not the hot path).
+      val mayHaveNulls = Seq(left, right).exists {
+        _.dataType match {
+          case ArrayType(_, cn) => cn
+          case _                => true
+        }
+      }
+      val body =
+        if (mayHaveNulls)
+          s"""if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+          }"""
+        else s"$dot += (long) $a.getInt($i) * (long) $b.getInt($i);"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         long $dot = 0L;
         for (int $i = 0; $i < $n; $i++) {
-          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-            $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
-          }
+          $body
         }
         ${ev.value} = $dot;
       """

@@ -221,7 +221,15 @@ object StubJdbc {
       if (a == null || b == null) return false // UNKNOWN → not selected
       val c: Int = (a, b) match {
         case (x: String, y: String) => x.compareTo(y)
-        case _                      => toBig(a).compare(toBig(b))
+        // DOUBLE semantics (r16 advice): a real driver binds the pushed
+        // literal to a BINARY DOUBLE before comparing, so `score = 0.1`
+        // matches a stored 0.1d. Exact-decimal arithmetic diverges
+        // (BigDecimal("0.1") != BigDecimal(0.1d)) and worked here only
+        // because the fixture's scores are dyadic (i * 0.5).
+        case _ if a.isInstanceOf[java.lang.Double] ||
+            b.isInstanceOf[java.lang.Double] =>
+          java.lang.Double.compare(toDouble(a), toDouble(b))
+        case _ => toBig(a).compare(toBig(b))
       }
       op match {
         case "="          => c == 0
@@ -231,6 +239,14 @@ object StubJdbc {
         case ">"          => c > 0
         case ">="         => c >= 0
       }
+    }
+    private def toDouble(v: AnyRef): Double = v match {
+      case d: java.lang.Double  => d.doubleValue
+      case d: BigDecimal        => d.toDouble
+      case l: java.lang.Long    => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case s: String            => throw new SQLException(s"numeric comparison against string '$s'")
+      case other                => throw new SQLException(s"uncomparable value $other")
     }
     private def toBig(v: AnyRef): BigDecimal = v match {
       case d: BigDecimal        => d

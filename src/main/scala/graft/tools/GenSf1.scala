@@ -52,9 +52,21 @@ object GenSf1 {
     // dominate the generation wall for receipts that never scan it. A
     // partial dir is receipt-grade only: full-registry runs need every
     // table.
+    val knownTables = Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings")
     val want: String => Boolean = args.lift(2) match {
-      case Some(list) => list.split(",").map(_.trim).toSet
-      case None       => _ => true
+      case Some(list) =>
+        val asked = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // Fail FAST on a typo (r16 advice): 'embedings' would otherwise
+        // produce a partial decade dir silently missing the intended
+        // table, surfacing only as a downstream AnalysisException far
+        // from the cause (q331's first sf100 attempt was this class).
+        val unknown = asked -- knownTables
+        require(unknown.isEmpty,
+          s"unknown table(s) ${unknown.toSeq.sorted.mkString(", ")} - " +
+            s"known: ${knownTables.toSeq.sorted.mkString(", ")}")
+        asked
+      case None => _ => true
     }
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
