@@ -654,12 +654,20 @@ object Extras extends Q.Module {
   //     mining taken one level deeper, the part that makes A-priori
   //     A-priori: candidate (a,b,c) triples are generated ONLY from the
   //     L2-frequent pair set (downward closure — a frequent triple's
-  //     every pair is frequent), applied as three broadcast semi-joins
-  //     BEFORE the count, so the 3-way basket self-join volume is
-  //     bounded by frequent-pair co-occurrence, not C(k,3) per basket.
-  //     All thresholds are counts (min-support 2 at every level); the
-  //     top-20 compiles to TakeOrderedAndProject with the full
-  //     (sup desc, a, b, c) deterministic tiebreak.
+  //     every pair is frequent). Scale shape (r17, retiring the
+  //     scale-gate allowlist row): the L2 set is DENSITY-sized, not
+  //     catalog-sized — at absolute minsup 2 it measures 3.5k pairs at
+  //     sf0.1 but 1.2M at sf1 (the part catalog is fixed across decades
+  //     while supports inflate), so it must never be a forced
+  //     broadcast; its three semi-joins are left size-adaptive (AQE
+  //     promotes them back to broadcasts exactly while L2 is actually
+  //     small), and the (pa,pb) closure prunes the PAIR stream before
+  //     the third basket join, so the 3-way volume is bounded by
+  //     frequent-pair co-occurrence, not C(k,3) per basket. The
+  //     frequent-ITEM prune keeps its broadcast: f1 is bounded by the
+  //     fixed part catalog. All thresholds are counts (min-support 2 at
+  //     every level); the top-20 compiles to TakeOrderedAndProject with
+  //     the full (sup desc, a, b, c) deterministic tiebreak.
   private val q226 = Q(
     "q226_frequent_triples",
     "✦ basket mining: A-priori frequent triples (L2-closure prune before the 3-way join)",
@@ -669,16 +677,18 @@ object Extras extends Q.Module {
         .filter(col("s1") >= 2)
       val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
       val l2 = l2PairsMin2(s, d).select(col("pa"), col("pb"))
-      val cand = pr.select(col("o"), col("p").as("pa")).as("x")
+      val xy = pr.select(col("o"), col("p").as("pa")).as("x")
         .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("y"),
           col("o") === col("o2") && col("pa") < col("pb"))
+        .select(col("o"), col("pa"), col("pb"))
+        .join(l2, Seq("pa", "pb"), "semi")
+      val cand = xy
         .join(pr.select(col("o").as("o3"), col("p").as("pc")).as("z"),
           col("o") === col("o3") && col("pb") < col("pc"))
         .select(col("o"), col("pa"), col("pb"), col("pc"))
-        .join(broadcast(l2), Seq("pa", "pb"), "semi")
-        .join(broadcast(l2.select(col("pa"), col("pb").as("pc"))),
+        .join(l2.select(col("pa"), col("pb").as("pc")),
           Seq("pa", "pc"), "semi")
-        .join(broadcast(l2.select(col("pa").as("pb"), col("pb").as("pc"))),
+        .join(l2.select(col("pa").as("pb"), col("pb").as("pc")),
           Seq("pb", "pc"), "semi")
       cand.groupBy(col("pa"), col("pb"), col("pc"))
         .agg(count(lit(1)).as("sup"))
