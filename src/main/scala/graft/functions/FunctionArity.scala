@@ -21,12 +21,12 @@ private[graft] object FunctionArity {
       case _         => throw wrongNumArgs(name, "2", children.size)
     }
 
-  /** Build a ternary expression, or raise the standard arity error. */
-  def three(name: String, children: Seq[Expression])(
-      build: (Expression, Expression, Expression) => Expression): Expression =
+  /** Build a 4-ary expression, or raise the standard arity error. */
+  def four(name: String, children: Seq[Expression])(
+      build: (Expression, Expression, Expression, Expression) => Expression): Expression =
     children match {
-      case Seq(a, b, c) => build(a, b, c)
-      case _            => throw wrongNumArgs(name, "3", children.size)
+      case Seq(a, b, c, d) => build(a, b, c, d)
+      case _               => throw wrongNumArgs(name, "4", children.size)
     }
 
   /** Build a unary expression, or raise the standard arity error. */

@@ -120,18 +120,34 @@ object PageRank {
   def run(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85,
       redistributeDangling: Boolean = false,
-      broadcastRanks: Option[Boolean] = None): DataFrame =
+      broadcastRanks: Option[Boolean] = None,
+      edgeCountHint: Option[Long] = None): DataFrame =
     runWithDeg(edges, iterations, damping, redistributeDangling,
-      broadcastRanks)._1
+      broadcastRanks, edgeCountHint)._1
 
   /** As [[run]], but also returns the out-degree frame `(node, deg)` the
     * loop already computed — a readout that reports rank next to degree
     * (q167's shape) would otherwise rebuild the whole edge list from
     * source a second time. */
+  /** @param edgeCountHint caller-known UPPER BOUND on the edge count
+    *              (e.g. the source fact table's metadata row count —
+    *              O(row-group stats) to obtain). When it already exceeds
+    *              [[EdgeCacheMaxRows]], the operator takes the shuffle
+    *              escape DIRECTLY: the src-pinned disk checkpoint is
+    *              built straight from the input lineage and the
+    *              un-pinned edge cache is never materialized at all —
+    *              at the r17 sf100 receipt (~1B edges) that un-pinned
+    *              copy was a ~20 GB disk write whose only purpose was
+    *              the strategy count, and it tipped the spill disk
+    *              over. None (default) keeps the measured small-graph
+    *              flow: checkpoint once, decide from the free block
+    *              count. An over-estimate merely picks the escape
+    *              early — both strategies are bit-identical. */
   def runWithDeg(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85,
       redistributeDangling: Boolean = false,
-      broadcastRanks: Option[Boolean] = None): (DataFrame, DataFrame) = {
+      broadcastRanks: Option[Boolean] = None,
+      edgeCountHint: Option[Long] = None): (DataFrame, DataFrame) = {
     // iterations >= 1: the exit path releases nodesDeg's local-checkpoint
     // blocks, and with zero iterations `ranks` would still be derived
     // from nodesDeg — a lineage-truncated frame whose cache was just
@@ -179,20 +195,31 @@ object PageRank {
     // deserialized default unpinned: an unconditional repartition
     // measured +1.3 s and DISK_ONLY +1.2 s on q167's 4.2 s sf0.1 wall,
     // for layouts broadcast joins never use.
-    val nEdgeRows = eRaw.count()
     val diskLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    def pinToDisk(): DataFrame = {
-      val pinned = eRaw.repartition(col("src"))
-        .localCheckpoint(true, diskLevel)
-      Gen.releaseLocalCheckpoint(eRaw)
-      pinned
-    }
     // Node-sized degree frame, checkpointed once — NOT recomputed per
     // iteration (the loop's broadcast subtree joins ranks against it).
     def degOf(frame: DataFrame): DataFrame =
       frame.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
-    val (e, deg, bcast) =
+    // Hint-directed escape (r17): when the caller's upper bound already
+    // exceeds the cache ceiling, the pinned copy is built straight from
+    // the input lineage — ONE source pass, ONE disk-resident copy; the
+    // eRaw materialization below exists only to measure what the hint
+    // already told us.
+    val hintEscape = edgeCountHint.exists(_ > EdgeCacheMaxRows) &&
+      !broadcastRanks.contains(true)
+    val (e, deg, bcast) = if (hintEscape) {
+      val pinned = e0.repartition(col("src")).localCheckpoint(true, diskLevel)
+      (pinned, degOf(pinned), false)
+    } else {
+      val eRaw = e0.localCheckpoint(true)
+      val nEdgeRows = eRaw.count()
+      def pinToDisk(): DataFrame = {
+        val pinned = eRaw.repartition(col("src"))
+          .localCheckpoint(true, diskLevel)
+        Gen.releaseLocalCheckpoint(eRaw)
+        pinned
+      }
       if (broadcastRanks.contains(true)) (eRaw, degOf(eRaw), true)
       else if (broadcastRanks.contains(false) || nEdgeRows > EdgeCacheMaxRows) {
         val pinned = pinToDisk(); (pinned, degOf(pinned), false)
@@ -201,6 +228,7 @@ object PageRank {
         if (chooseBroadcast(dg.count())) (eRaw, dg, true)
         else (pinToDisk(), dg, false)
       }
+    }
     // Without sinks, the src side of `deg` IS the node set; with the
     // dangling extension the node set is src ∪ dst (sinks appear only
     // as dst) and the sink set is nodes ∖ srcs — both computed once,
@@ -287,6 +315,17 @@ object PageRank {
       gen.foreach(_.unpersist(blocking = false)) // superseded, dead now
       gen = Some(nGen)
       ranks = nC
+      // Escape path only: each iteration's node-keyed aggregate leaves
+      // a data-fraction shuffle on DISK (~12 GB/iteration at the r17
+      // sf100 receipt — partial aggregation caps width, not files), and
+      // shuffle files are freed only when the superseded generation's
+      // ShuffleDependency is GC'd — which never happens inside a tight
+      // driver loop (the r12 cache lesson, now for disk: 10 iterations
+      // accumulated ~120 GB and killed the run). One collector nudge
+      // per iteration bounds the accumulation to ~2 generations.
+      // Broadcast-path graphs shuffle node-sized data and skip the
+      // pause (q167's 4.4 s sf0.1 wall would pay ~5% for nothing).
+      if (!bcast) System.gc()
     }
     // Release the setup checkpoints the loop is done with — above all
     // `e`, the DATA-SIZED 2|E| edge cache, which in a long-lived JVM

@@ -633,8 +633,18 @@ object Relational extends Q.Module {
       // deg from `edges` here would rebuild the whole distinct-join edge
       // list from parquet a second time (the r13 profile measured that
       // readout rebuild at ~1 s of q167's wall).
+      // edgeCountHint: 2x the fact row count bounds |edges| from above
+      // (distinct <= lineitem rows, then symmetrized) for O(row-group
+      // metadata) — on a decade-scale graph PageRank then skips the
+      // un-pinned edge materialization entirely (r17; the sf100 receipt
+      // died on exactly that extra disk copy). Memoized per fixture dir.
+      val liN = graft.operators.Memo.cached[java.lang.Long](s, d,
+        "lineitemCount", Seq("lineitem")) {
+        (Long.box(Tables.lineitem(s, d).count()), Nil)
+      }
       val (pr, deg) = graft.operators.PageRank.runWithDeg(edges,
-        iterations = 10, damping = 0.85)
+        iterations = 10, damping = 0.85,
+        edgeCountHint = Some(2L * liN))
       // pr is a LogicalRDD (unknown stats → "huge"); without the hint the
       // readout join sort-merges and shuffles both node-sized sides.
       pr.join(broadcast(deg), Seq("node"))

@@ -122,7 +122,11 @@ object Scale extends Q.Module {
       idCol: String, cap: Long = ivfCellCap): DataFrame =
     df.join(broadcast(counts), Seq("cid"))
       .withColumn("nsub", expr(s"(cell_cnt + ${cap - 1}) div $cap"))
-      .withColumn("sub", graft.dsl.hashMod2(col(idCol), col("nsub")))
+      // hashMod2L, not hashMod2: bit-identical buckets (the pre-reduced
+      // long chain is exact — dsl scaladoc), ~10x the throughput. The
+      // DECIMAL path's BigDecimal modulo was where the r17 sf100 jstack
+      // found all 32 kernel threads parked (µs/row x every pm scan).
+      .withColumn("sub", graft.dsl.hashMod2L(col(idCol), col("nsub")))
       .drop("cell_cnt", "nsub")
 
   /** SQL twin of subSplit's sub expression over a joined cell_cnt. */
@@ -235,58 +239,94 @@ object Scale extends Q.Module {
   private[graft] def ivfProbeMap(s: SparkSession, d: String,
       nprobe: Int): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    graft.functions.TopByAgg.register(s)
-    val cos = graft.functions.CosineSimilarity.cosineSim _
+    graft.functions.TopCells.register(s)
     val n = embeddingsCount(s, d)
     val k = scaledIvfK(n)
-    // The bounded top_by/max-struct partials hold k entries per group —
-    // raise ObjectHashAggregate's sort fallback (default 128 keys) so
-    // the N·K assignment rows are absorbed by the hash map's N small
-    // buffers instead of a per-partition external SORT of all N·K rows
-    // (the exact spill class this kernel exists to avoid). Session-wide
-    // by necessity (execution is lazy); every object agg in this
-    // registry has a bounded buffer, so the raised key count is safe.
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 21).toString)
+    // Hash-repartition BEFORE the per-row-heavy kernel — row-group skew
+    // insurance (r17): a scan's SPLIT count can look balanced while all
+    // rows sit in #row-group splits (parquet reads whole row groups; the
+    // decade fixtures pack ~500k rows per group), and the N·K assignment
+    // then runs on #row-groups cores — measured 4-of-32 at sf100, 250 s
+    // vs ~20 s balanced. One vec_id hash shuffle is O(N·dims) against
+    // the kernel's O(N·K·dims): ≤2% insurance at any K ≥ 64, and
+    // deterministic (hash, not round-robin). The partition count is
+    // EXPLICIT: a bare repartition(col) is REPARTITION_BY_COL, which
+    // AQE's byte-based coalescer is allowed to shrink (600 MB of
+    // embeddings -> ~10 partitions at the 64 MB advisory size) — blind
+    // to the K×dims per-row work downstream; REPARTITION_BY_NUM is
+    // exempt.
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 64 + lit(0.5)).cast("long")).as("qe"),
       pmod(pmod(col("vec_id"), lit(999983L)) * lit(2654435761L),
         lit(1048576L)).as("h"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val trainTarget = math.max(k * ivfTrainPerCell, ivfTrainFloor)
     // Hash-sample: h is ~uniform on [0, 2^20), so the threshold keeps an
     // expected `trainTarget` rows — content-deterministic, no RNG. The
     // same h orders the seeds, so seeds ⊂ sample by construction.
     val sample = (if (n <= trainTarget) e
       else e.filter(col("h") < lit(1048576L * trainTarget / n))).persist()
-    val seeds = sample.orderBy(col("h"), col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"),
-        transform(col("qe"), v => (v.cast("double") / 64).cast("float")).as("ce"))
-    val trained = (1 to ivfIters).foldLeft(seeds) { (c, _) =>
-      // Window-free argmax: (cs, -cid) is a total order (cid unique per
-      // candidate row), so max(struct) picks exactly the window's
-      // (cs desc, cid asc) first row; qe joins back on the SAMPLE-sized
-      // frame instead of riding every scored row.
-      updateCentroids(
-        sample.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(c))
-          .withColumn("cs", cos(col("embedding"), col("ce")))
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cs"), (-col("cid")).as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc")).as("cid"))
-          .join(sample.select(col("vec_id"), col("qe")), Seq("vec_id")))
+    // Centroids travel as PLAN LITERALS (K rows collected — ~260 B/row,
+    // aggregate-sized by construction; the GramPCA collect rule): the
+    // id vector and the row-major K×dims matrix feed the fused
+    // top_cells expression, so every assignment is ONE codegen'd
+    // projection per vector — the N·K candidate rows never exist. The
+    // compositional forms both failed the r17 sf100 profile: the
+    // crossJoin(broadcast) form never entered WholeStageCodegen
+    // (interpreted scoring at ~2.4 µs/row), and the explode + bounded
+    // top-k aggregate form paid the same class through the non-codegen
+    // aggregate boundary (~190 s of the probe-map build either way).
+    // functions/TopCells keeps the K×dims loop inside the row.
+    def assignTop(frame: DataFrame,
+        cents: Array[org.apache.spark.sql.Row], np: Int): DataFrame = {
+      val cidsL = typedlit(cents.map(_.getLong(0)).toSeq)
+      val cesL = typedlit(cents.flatMap(_.getSeq[Float](1)).toSeq)
+      frame.select(col("vec_id"),
+        graft.functions.TopCells.topCells(col("embedding"), cidsL, cesL, np)
+          .as("top"))
     }
-    // Full-corpus top-nprobe assignment: N·K scored rows collapse to N
-    // bounded buffers map-side; the only exchange carries N small rows.
-    val asn = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(trained))
-      .withColumn("cs", cos(col("embedding"), col("ce")))
-      .groupBy(col("vec_id"))
-      .agg(graft.functions.TopByAgg.topBy(col("cs"), col("cid"), nprobe).as("top"))
-      .select(col("vec_id"), posexplode(col("top")))
-      .select(col("vec_id"), (col("pos") + 1).as("rn"),
-        col("col").getField("cid").as("cid"))
+    // Stage timing behind an env flag (Prof50's decomposition hook).
+    def prof[A](name: String)(f: => A): A =
+      if (sys.env.get("SPARK_GRAFT_IVF_PROF").contains("1")) {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[ivf] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      } else f
+    var cents = prof("seeds") {
+      sample.orderBy(col("h"), col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"),
+          transform(col("qe"), v => (v.cast("double") / 64).cast("float")).as("ce"))
+        .collect()
+    }
+    for (it <- 1 to ivfIters) {
+      // The fused top-1 argmax is a projection; qe rides the same
+      // SAMPLE-sized frame instead of every scored candidate.
+      val asn1 = assignTop(sample, cents, 1)
+        .select(col("vec_id"), element_at(col("top"), 1).as("cid"))
+        .join(sample.select(col("vec_id"), col("qe")), Seq("vec_id"))
+      cents = prof(s"lloyd iter $it") { updateCentroids(asn1).collect() }
+    }
+    // Full-corpus top-nprobe assignment: one fused projection per
+    // vector; the only exchange anywhere downstream carries the N·nprobe
+    // small (vec_id, rn, cid) rows.
+    // posexplode_OUTER, deliberately: the inner form makes the
+    // optimizer infer a size(top) > 0 filter (InferFiltersFromGenerate),
+    // and Filter + Project each carry their own top_cells call — the
+    // K×dims kernel evaluated TWICE per row (measured as exactly 2x the
+    // pure-JVM core-seconds at sf100). The outer form infers nothing;
+    // cents is non-empty so top always has >= 1 entry and the row sets
+    // are identical.
+    val asn = assignTop(e.select(col("vec_id"), col("embedding")),
+        cents, nprobe)
+      .select(col("vec_id"), posexplode_outer(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).as("rn"), col("col").as("cid"))
       .persist()
+    prof("asn materialize") { asn.count() }
+    if (sys.env.get("SPARK_GRAFT_IVF_PROF").contains("1"))
+      System.err.println("[ivf] asn executed plan:\n" +
+        asn.queryExecution.executedPlan.toString.split("\n")
+          .take(70).map(l => l.take(150)).mkString("\n"))
     // sample stays persisted until the harness's per-query clearCache:
     // trained's lineage reads it ~5× (seeds + 2 legs per Lloyd iter),
     // and execution is lazy — an eager unpersist here would run before

@@ -182,7 +182,14 @@ object GenSf1 {
           (x + (pmod(col("vec_id") * lit(31L) + j.cast("long") * lit(17L)
               + lit(i.toLong), lit(101L)).cast("float") - lit(50.0f))
             * lit(1e-4f)).cast("float")))
-    }, 4)
+      // 32 files, not 4 (r17): at sf100 the 4-file layout put the whole
+      // 2M-row corpus into ~4 parquet row groups, so every scan-side
+      // stage of an embeddings-heavy kernel ran on <= 4 cores no matter
+      // the split count (parquet reads whole row groups; measured: the
+      // q50 probe-map's repartition MAP side was one 105 s task with 31
+      // 60 ms siblings). A real lake has files >> cores; the fixture
+      // should too.
+    }, 32)
 
     System.err.println(s"[gensf1] done -> $out")
   }

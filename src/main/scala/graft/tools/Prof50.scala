@@ -17,7 +17,7 @@ object Prof50 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLVL", "WARN"))
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       System.err.println(f"[prof50] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -25,6 +25,8 @@ object Prof50 {
     }
     val pm = t("ivfProbeMap build (train + assign + subsplit)") {
       val pm = graft.queries.Scale.ivfProbeMap(s, d, nprobe = 2)
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        pm.explain("formatted")
       System.err.println("[prof50] pm rows=" + pm.count())
       pm
     }

@@ -166,6 +166,16 @@ class GraphRetrievalPropertySpec extends SparkSuite {
       .as[(Long, Double)].collect().toMap
     assert(gotShuffle == got,
       "broadcastRanks=false diverged from the broadcast path")
+    // Hint-directed escape (r17): an edgeCountHint above the cache
+    // ceiling routes straight to the src-pinned disk checkpoint (the
+    // un-pinned edge cache is never materialized) — still a pure
+    // execution-strategy swap, bit-identical ranks.
+    val gotHint = graft.operators.PageRank.run(edges, iterations = 10,
+      damping = 0.85,
+      edgeCountHint = Some(graft.operators.PageRank.EdgeCacheMaxRows + 1))
+      .as[(Long, Double)].collect().toMap
+    assert(gotHint == got,
+      "hint-directed escape diverged from the broadcast path")
     // Auto-select threshold logic (r14): the operator flips to the
     // shuffle escape exactly when the source-node count outgrows the
     // broadcast ceiling — no caller flag needed at scale.
