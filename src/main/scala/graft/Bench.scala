@@ -11,6 +11,14 @@ object Bench {
       // micros fixture through TIMESTAMP in the session zone, so an
       // unpinned zone on a non-UTC host would shift the ts contract.
       .config("spark.sql.session.timeZone", "UTC")
+      // Compress serialized RDD caches: the DISK_ONLY edge checkpoints
+      // of the iterative operators (PageRank's src-pinned pin) are long
+      // pairs that compress ~3x, and the sf100 receipt died with the
+      // UNcompressed pin + setup shuffles within a rounding error of
+      // the whole spill disk. Deserialized caches (Memo, persist) are
+      // unaffected by this flag. A production cluster sets it for the
+      // same reason.
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,14 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Compress serialized RDD caches: the DISK_ONLY edge checkpoints
+      // of the iterative operators (PageRank's src-pinned pin) are long
+      // pairs that compress ~3x, and the sf100 receipt died with the
+      // UNcompressed pin + setup shuffles within a rounding error of
+      // the whole spill disk. Deserialized caches (Memo, persist) are
+      // unaffected by this flag. A production cluster sets it for the
+      // same reason.
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -233,6 +233,13 @@ object PageRank {
     // dangling extension the node set is src ∪ dst (sinks appear only
     // as dst) and the sink set is nodes ∖ srcs — both computed once,
     // outside the loop.
+    // Escape path: the setup's join/distinct/repartition shuffle files
+    // are dead the moment the pin is materialized, but they are freed
+    // only when their ShuffleDependencies are GC'd — and the sf100
+    // receipt measured the setup peak (source shuffles + pin write)
+    // within a rounding error of the whole spill disk. One collector
+    // nudge here returns ~25 GB before the iterations start.
+    if (!bcast) System.gc()
     val nodes = (if (redistributeDangling)
         e.select(col("src").as("node"))
           .union(e.select(col("dst").as("node"))).distinct()
