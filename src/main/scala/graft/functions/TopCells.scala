@@ -92,6 +92,9 @@ case class TopCells(emb: Expression, cids: Expression, ces: Expression,
         s"$prettyName: centroid matrix has ${xm.length} elements, " +
           s"expected $kTot x $dims")
     val kk = math.min(k, kTot)
+    // k <= 0 → empty result, not tcs(-1)/new Array(-1) (r17 advice):
+    // the SQL registration makes arbitrary k reachable from user text.
+    if (kk <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     val tcs = new Array[Double](kk)
     val tid = new Array[Long](kk)
     var nf = 0
@@ -101,7 +104,13 @@ case class TopCells(emb: Expression, cids: Expression, ces: Expression,
       val base = ci * dims
       var i = 0
       while (i < dims) {
-        val x = xe.getFloat(i).toDouble
+        // NULL element reads as 0.0 (IntDotProduct's rule, r17 advice):
+        // without the guard interpreted eval NPEs on GenericArrayData
+        // while codegen reads 0 from the null slot — the modes disagree.
+        // Only the query-vector terms are masked; the centroid norm
+        // keeps the full dimension (skipping y too turns zero-overlap
+        // cosines into 0/0 = NaN, which poisons the insertion sort).
+        val x = if (xe.isNullAt(i)) 0.0 else xe.getFloat(i).toDouble
         val y = xm(base + i).toDouble
         dot += x * y; na += x * x; nb += y * y
         i += 1
@@ -133,6 +142,20 @@ case class TopCells(emb: Expression, cids: Expression, ces: Expression,
     // BYTECODE INTERPRETER (~30x, measured at the r17 sf100 profile). As
     // a standalone method it JITs independently and the consume method
     // stays small.
+    // Null-element guard only when the embedding schema can hold one
+    // (IntDotProduct's rule, r17 advice): parquet-read arrays usually
+    // carry containsNull = true even when no slot is null, so the guard
+    // must exist — but on containsNull = false inputs it is pure
+    // overhead inside the K×dims hot loop. The centroid matrix side
+    // needs no guard: it is a folded primitive float[].
+    val embMayHaveNulls = emb.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => true
+    }
+    val xRead =
+      if (embMayHaveNulls)
+        "double x = emb.isNullAt(i) ? 0.0 : (double) emb.getFloat(i);"
+      else "double x = (double) emb.getFloat(i);"
     val compute = ctx.addNewFunction("topCellsCompute",
       s"""
       private org.apache.spark.sql.catalyst.util.ArrayData topCellsCompute(
@@ -146,6 +169,10 @@ case class TopCells(emb: Expression, cids: Expression, ces: Expression,
             + ces.length + " elements, expected " + kTot + " x " + dims);
         }
         int kk = java.lang.Math.min(k, kTot);
+        if (kk <= 0) {
+          return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray(new long[0]);
+        }
         double[] tcs = new double[kk];
         long[] tid = new long[kk];
         int nf = 0;
@@ -153,7 +180,7 @@ case class TopCells(emb: Expression, cids: Expression, ces: Expression,
           double dot = 0.0, na = 0.0, nb = 0.0;
           int base = ci * dims;
           for (int i = 0; i < dims; i++) {
-            double x = (double) emb.getFloat(i);
+            $xRead
             double y = (double) ces[base + i];
             dot += x * y; na += x * x; nb += y * y;
           }

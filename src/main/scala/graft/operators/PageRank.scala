@@ -166,8 +166,10 @@ object PageRank {
     // node-sized scans)) + union(scan) + aggregate. localCheckpoint (not
     // Gen.cut) keeps the cache in serialized InternalRow form — the edge
     // frame is data-sized, so Gen.cut's external-Row conversion tax on
-    // every iteration's read would matter here (see Gen).
-    val eRaw = e0.localCheckpoint(true)
+    // every iteration's read would matter here (see Gen). The edge
+    // checkpoint itself is declared inside the non-hint branch below —
+    // declaring it here would eagerly write the data-sized cache even
+    // when the edgeCountHint escape is about to skip it.
     // STRATEGY RESOLUTION (r14, two signals, both O(driver) cheap):
     //  1. The cached edge-row count — free off the materialized blocks,
     //     no aggregate. A data-huge edge cache forces the shuffle escape

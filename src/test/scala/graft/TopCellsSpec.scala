@@ -97,6 +97,33 @@ class TopCellsSpec extends SparkSuite {
     assert(got == Seq(2L, 5L), s"tie order: $got")
   }
 
+  test("k <= 0 returns empty; null embedding elements contribute 0") {
+    graft.functions.TopCells.register(spark)
+    import spark.implicits._
+    val cidsL = typedlit(Seq(9L, 2L, 5L))
+    val cesL = typedlit(Seq(1.0f, 0.0f, 0.0f, 1.0f, 1.0f, 1.0f))
+    val df = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // k = 0 and k < 0 → empty array, not AIOOBE/NegativeArraySize
+    // (r17 advice — SQL registration makes arbitrary k reachable).
+    for (k <- Seq(0, -3)) {
+      val got = df.select(graft.functions.TopCells.topCells(
+        col("embedding"), cidsL, cesL, k)).head().getSeq[Long](0)
+      assert(got.isEmpty, s"k=$k: $got")
+    }
+    // A null slot is skipped (contributes 0 to dot and the query norm),
+    // and interpreted eval agrees with codegen — IntDotProduct's
+    // contract. (1, null) with the null skipped scores centroid 9
+    // (cos=1) above 5 (cos≈0.707) above 2 (cos=0): same as (1, 0).
+    val nullDf = Seq((1L, Seq[java.lang.Float](1.0f, null)))
+      .toDF("vec_id", "embedding")
+    def run(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
+      frame.select(graft.functions.TopCells.topCells(
+        col("embedding"), cidsL, cesL, 3)).head().getSeq[Long](0)
+    assert(run(nullDf) == Seq(9L, 5L, 2L), s"null slot: ${run(nullDf)}")
+    assert(run(nullDf.localCheckpoint(true)) == Seq(9L, 5L, 2L),
+      "null slot (checkpointed/codegen path)")
+  }
+
   test("mismatched centroid matrix fails loudly, wrong arity is clean") {
     graft.functions.TopCells.register(spark)
     import spark.implicits._
