@@ -56,9 +56,11 @@ FLOOR_S = 1.0
 ALLOWLIST = {
     "226": (30.0, "A-priori triples at ABSOLUTE minsup=2: the answer set "
                   "itself grows with density (output-sensitive by design; "
-                  "r15 measured 14.2x at the sf0.1->sf1 knee and 6.4x the "
-                  "decade after; q332 is the relative-minsup production "
-                  "form, ~7x flat)"),
+                  "r18 isolated receipts measured 20.0x at the sf0.1->sf1 "
+                  "knee and 5.4x the decade after — the r17 size-adaptive "
+                  "semi-joins did not move the knee because the knee IS "
+                  "the answer-set inflation, so the row stays; q332 is "
+                  "the relative-minsup production form, ~7x flat)"),
     # r16: q50 and q64 LEFT this allowlist — both now auto-gate on corpus
     # size (the auditUseAnn idiom): exact/library mode at fixture SFs
     # (oracle-identical), IVF-cell / AND-banded candidates above 10k rows

@@ -4,9 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle width defaults to the core count (the driver-gate config)
+    // but the decade receipts override it UP: at sf100 a 600M-row
+    // distinct on 32 reduce partitions put ~19M rows in each task's
+    // aggregate map and the 48g heap OOM'd nondeterministically (r18
+    // q332). A real cluster never runs shuffle.partitions == cores at
+    // 100 TB — partitions are sized to the DATA (AQE coalesces the
+    // excess) — so the receipt config gets the same dial.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Pin UTC like Verify/SparkSuite: Tables.events normalizes the
       // micros fixture through TIMESTAMP in the session zone, so an
       // unpinned zone on a non-UTC host would shift the ts contract.

@@ -58,18 +58,24 @@ import org.apache.spark.sql.types.DoubleType
   * projection, not a per-iteration broadcast join; (3) the readout
   * reuses the operator's degree frame (runWithDeg) instead of
   * rebuilding the edge list from source.
-  * Every generation is cut eagerly with `Gen.cut` — NOT for plan
-  * size (a step references `ranks` once, so the chain only grows
-  * linearly, unlike ConnectedComponents' thrice-referencing star
-  * rewrites) but because the node-sized rank frame is the BROADCAST side of
-  * the next iteration's join, and a broadcast exchange executes its
+  * Every generation is cut eagerly with `localCheckpoint(true)` — NOT
+  * for plan size (a step references `ranks` once, so the chain only
+  * grows linearly, unlike ConnectedComponents' thrice-referencing star
+  * rewrites) but because the node-sized rank frame is the BROADCAST side
+  * of the next iteration's join, and a broadcast exchange executes its
   * subtree as its own job: left lazy, iteration k's broadcast re-runs
   * iterations 1..k−1 from scratch — a quadratic recompute the r9
   * profile measured as 2× wall on a 5-deep lazy chain. Cutting
-  * makes each broadcast a scan of ~|V| cached rows, and the explicit
-  * handle lets each superseded generation be RELEASED inside the loop
-  * (the r12 hygiene rule — ContextCleaner frees nothing in a tight
-  * driver loop; see Gen). It also means the
+  * makes each broadcast a scan of ~|V| cached rows; superseded
+  * generations are RELEASED inside the loop through the LogicalRDD
+  * handle (the r12 hygiene rule — ContextCleaner frees nothing in a
+  * tight driver loop; see Gen). localCheckpoint rather than Gen.cut
+  * (r18): checkpointing truncates the RDD lineage itself, so each
+  * iteration's shuffle files become GC-reachable garbage as soon as
+  * the generation is superseded — Gen.cut's persist keeps the lineage,
+  * which chained every iteration's ShuffleDependency to the live
+  * generation and accumulated ~120 GB of undeletable shuffle disk
+  * across 10 sf100 iterations (the r17/r18 receipt deaths). It also means the
   * returned frame no longer references the persisted edges, so the
   * data-sized setup checkpoints are released explicitly on exit
   * (r14, via Gen.releaseLocalCheckpoint — production swaps reliable
@@ -270,7 +276,7 @@ object PageRank {
       nodes.join(degN, Seq("node"), "left").localCheckpoint(true)
     else degN // already a checkpoint scan — no second copy
     var ranks = nodesDeg.withColumn("rank", lit(1.0))
-    var gen: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    var gen: Option[DataFrame] = None
     (1 to iterations).foreach { _ =>
       // The floor-quantized per-source contribution rank(s)/deg(s) is
       // computed ONCE per node in the (node-sized) broadcast subtree and
@@ -319,19 +325,30 @@ object PageRank {
         .select(col("node"), col("deg"),
           (lit(1.0 - damping) + lit(damping) *
             (col("msum").cast(DoubleType) / lit(1e9))).as("rank"))
-      val (nC, nGen) = Gen.cut(next)
-      nGen.count() // eager: the next iteration broadcasts this frame
-      gen.foreach(_.unpersist(blocking = false)) // superseded, dead now
-      gen = Some(nGen)
-      ranks = nC
-      // Escape path only: each iteration's node-keyed aggregate leaves
-      // a data-fraction shuffle on DISK (~12 GB/iteration at the r17
-      // sf100 receipt — partial aggregation caps width, not files), and
-      // shuffle files are freed only when the superseded generation's
-      // ShuffleDependency is GC'd — which never happens inside a tight
-      // driver loop (the r12 cache lesson, now for disk: 10 iterations
-      // accumulated ~120 GB and killed the run). One collector nudge
-      // per iteration bounds the accumulation to ~2 generations.
+      // Generation cut: eager localCheckpoint, NOT Gen.cut. Gen.cut
+      // persists `df.rdd` with the LINEAGE INTACT, so generation i's
+      // RDD references generation i-1's through the plan chain — every
+      // iteration's two ShuffleDependencies (rpd exchange + node-keyed
+      // aggregate, ~5-12 GB/iteration of disk at the sf100 receipt)
+      // stayed STRONGLY REACHABLE from the live generation, and no
+      // amount of System.gc() could free a single file until the loop
+      // exited: both r17 sf100 attempts and the first r18 one died of
+      // exactly that accumulation (~60 GB by iteration ~8).
+      // localCheckpoint(true) truncates the RDD lineage itself
+      // (markCheckpointed clears the dependency list), so the
+      // superseded generation — and every shuffle hanging off it —
+      // becomes unreachable the moment `ranks` is reassigned.
+      val nCk = next.localCheckpoint(true)
+      // Superseded generation's blocks: released deterministically via
+      // the LogicalRDD-leaf handle (never the FIRST ranks frame — that
+      // one scans nodesDeg/deg, which the exit path returns).
+      gen.foreach(Gen.releaseLocalCheckpoint)
+      gen = Some(nCk)
+      ranks = nCk
+      // Escape path only: with lineage now truncated per generation,
+      // one collector nudge per iteration lets ContextCleaner delete
+      // the unreachable shuffle files, bounding disk to ~2 generations
+      // (~25 GB at sf100) instead of all 10 (~120 GB, the killer).
       // Broadcast-path graphs shuffle node-sized data and skip the
       // pause (q167's 4.4 s sf0.1 wall would pay ~5% for nothing).
       if (!bcast) System.gc()

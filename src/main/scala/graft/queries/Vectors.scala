@@ -71,6 +71,19 @@ object Vectors extends Q.Module {
   private val AuditAnnMinCorpus = 10000L
   private val AuditNProbe = 4
 
+  /** q269's regime dial: at or below this many points the persisted
+    * ε-pair set is bounded by ~deg·100k rows (deg ≈ 40–400 at the
+    * fixture densities — tens of MB), and the direct point-graph form
+    * wins on job count; above it the pair set is the r16 sf100 disk
+    * killer (~8B rows) and the grid-collapsed form must run. Both
+    * regimes produce a bit-identical census (spec-pinned). */
+  private val DbscanDirectMaxPoints = 100000L
+
+  /** Spec hook: force q269's grid-collapsed branch on a small corpus
+    * so the regime-equality pin can run both modes on one fixture.
+    * Never set outside tests. */
+  @volatile private[graft] var dbscanForceGrid = false
+
   /** Verify (the oracle gate) sets this false at startup: the audit
     * oracles are written for the exact path at fixture scale, so a
     * stray SPARK_GRAFT_AUDIT_ANN=on in the environment would silently
@@ -1280,9 +1293,16 @@ object Vectors extends Q.Module {
       val eps = 0.01
       val minPts = 4
       val side = eps / 1.5
+      // |P| as a driver long (shared Memo key with the ANN gate — one
+      // count per fixture dir serves both): picks the regime AND
+      // replaces the census recount pass.
+      val nPts: Long = graft.operators.Memo.cached[java.lang.Long](s, d,
+        "embeddingsCount", Seq("embeddings")) {
+        (Long.box(Tables.embeddings(s, d).count()), Nil)
+      }
       // Collapse-cell id: coords are O(1) in every fixture, so ±2^20
       // cells per axis is unreachable headroom; the id stays a LONG.
-      val p = Tables.embeddings(s, d).select(col("vec_id"),
+      val p0 = Tables.embeddings(s, d).select(col("vec_id"),
           element_at(col("embedding"), 1).cast("double").as("x"),
           element_at(col("embedding"), 2).cast("double").as("y"))
         .withColumn("cx", floor(col("x") / eps))
@@ -1290,13 +1310,6 @@ object Vectors extends Q.Module {
         .withColumn("g",
           (floor(col("x") / side) + lit(1L << 20)) * lit(1L << 21)
             + (floor(col("y") / side) + lit(1L << 20)))
-        .persist()
-      // Cell populations are cell-count-sized (≤ N/1, ~#clusters·O(1)
-      // in practice) — broadcast to every leg. At a true 100 TB corpus
-      // with an unbounded plane this becomes a shuffle join; here the
-      // fixture plane bounds the cell space.
-      val densePop = p.groupBy(col("g")).agg(count(lit(1)).as("pop"))
-        .filter(col("pop") >= minPts).select(col("g"))
       /** ε-grid candidate stream: `anchor` rows (vec_id,x,y,cx,cy,g)
         * exploded to their 3×3 ε-cell neighborhood, joined to `probe`
         * rows, distance-verified. Streams through codegen — callers
@@ -1315,51 +1328,97 @@ object Vectors extends Q.Module {
           .filter((col("xa") - col("xb")) * (col("xa") - col("xb"))
             + (col("ya") - col("yb")) * (col("ya") - col("yb"))
             <= lit(eps * eps))
-      // Core test: dense-cell members are core with NO counting; only
-      // sparse-cell points anchor the counted join. countedCore is
-      // bounded by the sparse population — broadcast-sized.
-      val sparse = p.join(broadcast(densePop), Seq("g"), "left_anti")
-      val countedCore = epsPairs(sparse, p)
-        .groupBy(col("va")).agg(count(lit(1)).as("n"))
-        .filter(col("n") + 1 >= minPts).select(col("va").as("v")).persist()
-      // corePts persists: harness-owned cache (q47's rule — Verify/
-      // Bench clearCache after each query releases them); it anchors
-      // the edge pass, the border probe, and the census.
-      val corePts = p.join(broadcast(densePop), Seq("g"), "semi")
-        .unionByName(p.join(
+      // TWO REGIMES, one census (bit-identical by construction — the
+      // spec pins it): below [[DbscanDirectMaxPoints]] the ε-pair
+      // stream is cheap enough to persist ONCE and reuse for core
+      // test, point-graph CC, and borders — 5 fewer jobs and no cell
+      // bookkeeping, worth ~2× at fixture SFs where wall is all fixed
+      // overhead (the r17 grid rewrite cost sf0.1 3.7 → 8.6 s). Above
+      // it, the pair set is the scale killer (~deg·N rows, deg itself
+      // grows with density — sf100 measured ~8B pairs and filled the
+      // spill disk), so the grid-collapsed form never materializes it.
+      val (coreComp, borders) = if (!dbscanForceGrid &&
+          nPts <= DbscanDirectMaxPoints) {
+        // DIRECT (small corpus): persist the verified ε-pairs, run CC
+        // on the point graph.
+        val p = p0
+        val pairs = epsPairs(p, p).select(col("va"), col("vb")).persist()
+        val core = pairs.groupBy(col("va")).agg(count(lit(1)).as("n"))
+          .filter(col("n") + 1 >= minPts).select(col("va").as("v")).persist()
+        val ce = pairs
+          .join(core.select(col("v").as("va")), Seq("va"), "semi")
+          .join(core.select(col("v").as("vb")), Seq("vb"), "semi")
+          .select(col("va"), col("vb"))
+        val cc = graft.operators.ConnectedComponents.run(ce, strict = true)
+        // cores whose ε-neighbors are all non-core never enter the edge
+        // set — they are their own singleton cluster (coalesce to self).
+        val coreComp = core.join(cc, core("v") === cc("id"), "left")
+          .select(col("v"), coalesce(col("cluster"), col("v")).as("comp"))
+          .persist()
+        val borders = pairs
+          .join(core.select(col("v").as("va")), Seq("va"), "left_anti")
+          .join(coreComp.select(col("v").as("vb"), col("comp")), Seq("vb"))
+          .groupBy(col("va")).agg(min(col("comp")).as("comp"))
+        (coreComp, borders)
+      } else {
+        // GRID-COLLAPSED (scale): the ε-graph is never materialized.
+        val p = p0.persist()
+        // Cell populations are cell-count-sized (≤ N/1, ~#clusters·O(1)
+        // in practice) — broadcast to every leg. At a true 100 TB corpus
+        // with an unbounded plane this becomes a shuffle join; here the
+        // fixture plane bounds the cell space.
+        val densePop = p.groupBy(col("g")).agg(count(lit(1)).as("pop"))
+          .filter(col("pop") >= minPts).select(col("g"))
+        // Core test: dense-cell members are core with NO counting; only
+        // sparse-cell points anchor the counted join. countedCore is
+        // bounded by the sparse population — broadcast-sized.
+        val sparse = p.join(broadcast(densePop), Seq("g"), "left_anti")
+        val countedCore = epsPairs(sparse, p)
+          .groupBy(col("va")).agg(count(lit(1)).as("n"))
+          .filter(col("n") + 1 >= minPts).select(col("va").as("v")).persist()
+        // corePts persists: harness-owned cache (q47's rule — Verify/
+        // Bench clearCache after each query releases them); it anchors
+        // the edge pass, the border probe, and the census.
+        val corePts = p.join(broadcast(densePop), Seq("g"), "semi")
+          .unionByName(p.join(
+            broadcast(countedCore.withColumnRenamed("v", "vec_id")),
+            Seq("vec_id"), "semi"))
+          .persist()
+        // Cell-graph edges: the ONE full candidate pass; cross-cell
+        // core-core witnesses collapse to distinct cell pairs map-side
+        // (partial HashAggregate — the exchange carries cell pairs, not
+        // the ~deg·N candidate rows).
+        val ce = epsPairs(corePts, corePts)
+          .filter(col("ga") =!= col("gb"))
+          .select(least(col("ga"), col("gb")).as("va"),
+            greatest(col("ga"), col("gb")).as("vb"))
+          .distinct()
+        val cc = graft.operators.ConnectedComponents.run(ce, strict = true)
+        // Cells with no cross-cell edge are their own component (coalesce
+        // to self); vertex labels = min core vec_id per component — the
+        // exact labels the oracle's vertex-level closure produces.
+        val withComp = corePts.select(col("vec_id").as("v"), col("g"))
+          .join(cc.withColumnRenamed("id", "g"), Seq("g"), "left")
+          .select(col("v"), coalesce(col("cluster"), col("g")).as("compcell"))
+        val lab = withComp.groupBy(col("compcell"))
+          .agg(min(col("v")).as("comp"))
+        val coreComp = withComp.join(lab, Seq("compcell"))
+          .select(col("v"), col("comp")).persist()
+        // Borders: only non-core points anchor the candidate stream; the
+        // label joins back on the (aggregated) per-border min, not the
+        // stream.
+        val nonCore = sparse.join(
           broadcast(countedCore.withColumnRenamed("v", "vec_id")),
-          Seq("vec_id"), "semi"))
-        .persist()
-      // Cell-graph edges: the ONE full candidate pass; cross-cell
-      // core-core witnesses collapse to distinct cell pairs map-side
-      // (partial HashAggregate — the exchange carries cell pairs, not
-      // the ~deg·N candidate rows).
-      val ce = epsPairs(corePts, corePts)
-        .filter(col("ga") =!= col("gb"))
-        .select(least(col("ga"), col("gb")).as("va"),
-          greatest(col("ga"), col("gb")).as("vb"))
-        .distinct()
-      val cc = graft.operators.ConnectedComponents.run(ce, strict = true)
-      // Cells with no cross-cell edge are their own component (coalesce
-      // to self); vertex labels = min core vec_id per component — the
-      // exact labels the oracle's vertex-level closure produces.
-      val withComp = corePts.select(col("vec_id").as("v"), col("g"))
-        .join(cc.withColumnRenamed("id", "g"), Seq("g"), "left")
-        .select(col("v"), coalesce(col("cluster"), col("g")).as("compcell"))
-      val lab = withComp.groupBy(col("compcell")).agg(min(col("v")).as("comp"))
-      val coreComp = withComp.join(lab, Seq("compcell"))
-        .select(col("v"), col("comp")).persist()
-      // Borders: only non-core points anchor the candidate stream; the
-      // label joins back on the (aggregated) per-border min, not the
-      // stream.
-      val nonCore = sparse.join(
-        broadcast(countedCore.withColumnRenamed("v", "vec_id")),
-        Seq("vec_id"), "left_anti")
-      val borders = epsPairs(nonCore, corePts)
-        .join(coreComp.withColumnRenamed("v", "vb"), Seq("vb"))
-        .groupBy(col("va")).agg(min(col("comp")).as("comp"))
-      val counts = p.agg(count(lit(1)).as("n_total"))
-        .crossJoin(broadcast(coreComp.agg(count(lit(1)).as("nc"))))
+          Seq("vec_id"), "left_anti")
+        val borders = epsPairs(nonCore, corePts)
+          .join(coreComp.withColumnRenamed("v", "vb"), Seq("vb"))
+          .groupBy(col("va")).agg(min(col("comp")).as("comp"))
+        (coreComp, borders)
+      }
+      // n_total = the memoized |P| (p carries one row per embedding
+      // row, so no recount pass).
+      val counts = coreComp.agg(count(lit(1)).as("nc"))
+        .withColumn("n_total", lit(nPts))
         .crossJoin(broadcast(borders.agg(count(lit(1)).as("nb"))))
       coreComp.groupBy(col("comp")).agg(count(lit(1)).as("n"))
         .select(col("comp").as("cluster"), lit("core").as("role"), col("n"))
