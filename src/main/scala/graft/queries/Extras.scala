@@ -506,13 +506,31 @@ object Extras extends Q.Module {
     * count — 5-7 recomputes per query, 4 queries per registry run).
     * The distinct is deterministic set-wise and every consumer ends in
     * a fully tie-broken orderBy, so the memoized frame is bit-identical
-    * to per-query rebuilds: oracle SQL unchanged. */
+    * to per-query rebuilds: oracle SQL unchanged.
+    *
+    * Storage level is SERIALIZED (MEMORY_AND_DISK_SER), not the
+    * localCheckpoint default deserialized level: this frame is
+    * DATA-SIZED (distinct (o, p) over lineitem — ~600M rows at sf100),
+    * and the deserialized unroll path (`putIteratorAsValues`) holds one
+    * UnsafeRow object + backing array per row (~80 B actual vs ~24 B
+    * accounted), so 32 concurrent unroll tasks exhausted a 48 GB heap
+    * at sf100 before the store's size accounting triggered the disk
+    * spill — both r18 q332 receipt attempts died there
+    * (`tmp/r18/receipts{1,2}.err`: OOM in UnsafeRow.copy under
+    * MemoryStore.putIteratorAsValues computing rdd_8, GCLocker alloc
+    * retries from 32 threads). Serialized blocks unroll through the
+    * byte-buffer path with exact accounting (graceful per-block
+    * degrade to disk) and store at ~24 B/row before
+    * `spark.rdd.compress` — at fixture SFs the frame still lives in
+    * memory; at the decades it spills instead of OOMing. */
   private def basketItems(s: SparkSession, d: String): DataFrame =
     graft.operators.Memo.cached[DataFrame](s, d, "basketItems",
       Seq("lineitem")) {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct().localCheckpoint(true)
+        .distinct()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       (op, Seq(op))
     }
 
@@ -521,7 +539,11 @@ object Extras extends Q.Module {
     * (rule scoring) both build identically: one basket self-join +
     * map-combined count. Shared per dir via Memo, same determinism
     * argument as [[basketItems]]. q190 (minsup 25/3) and q332 (relative
-    * minsup) keep their own thresholds and share only [[basketItems]]. */
+    * minsup) keep their own thresholds and share only [[basketItems]].
+    * Serialized level for the same reason as [[basketItems]]: at
+    * absolute minsup 2 the pair set is density-sized (1.2M rows at
+    * sf1, growing with co-occurrence), so the deserialized unroll is
+    * the same OOM class one decade later. */
   private def l2PairsMin2(s: SparkSession, d: String): DataFrame =
     graft.operators.Memo.cached[DataFrame](s, d, "l2PairsMin2",
       Seq("lineitem")) {
@@ -534,7 +556,8 @@ object Extras extends Q.Module {
           col("o") === col("o2") && col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
         .filter(col("s2") >= 2)
-        .localCheckpoint(true)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       (l2, Seq(l2))
     }
 
