@@ -77,8 +77,11 @@ case class TopCells(emb: Expression, cids: Expression, ces: Expression,
     Option(cids.eval()).map(_.asInstanceOf[ArrayData].toLongArray())
       .getOrElse(Array.empty)
   @transient private lazy val cesArr: Array[Float] =
-    Option(ces.eval()).map(_.asInstanceOf[ArrayData].toFloatArray())
-      .getOrElse(Array.empty)
+    Option(ces.eval()).map { a =>
+      val ad = a.asInstanceOf[ArrayData]
+      TopCells.requireLiteralMatrixFits(ad.numElements().toLong)
+      ad.toFloatArray()
+    }.getOrElse(Array.empty)
 
   override def nullSafeEval(e: Any, cid: Any, ce: Any, kv: Any): Any = {
     val xe = e.asInstanceOf[ArrayData]
@@ -213,6 +216,28 @@ case class TopCells(emb: Expression, cids: Expression, ces: Expression,
 }
 
 object TopCells {
+  /** Hard cap on the folded centroid-matrix literal: 2^25 floats
+    * (128 MB of primitive floats riding EVERY task binary — the class
+    * comment's K ≈ 500k × 64-dim edge). Past it the flat-literal design
+    * is the wrong rung: assignment must go hierarchical (coarse cells
+    * over centroids, the standard IVF ladder). The check turns that
+    * design edge into a loud plan-time failure instead of a silently
+    * shipped nine-figure task binary (r17 verdict stretch #7); it is
+    * unreachable at any fixture decade (sf100 dial: 977 × 64 ≈ 62K
+    * elements, three orders under the cap). */
+  private[graft] val MaxLiteralMatrixElems: Long = 1L << 25
+
+  private[graft] def requireLiteralMatrixFits(elems: Long): Unit =
+    if (elems > MaxLiteralMatrixElems) {
+      throw new IllegalArgumentException(
+        s"top_cells: centroid matrix literal has $elems elements " +
+          s"(> $MaxLiteralMatrixElems = 128 MB of floats in every task " +
+          "binary). At this K the flat IVF assignment is past its design " +
+          "edge - go hierarchical: cluster the centroids into coarse " +
+          "cells, top_cells over the coarse matrix first, then rank " +
+          "only the selected cells' centroids.")
+    }
+
   /** Column-API entry point (requires [[register]] on the session once). */
   def topCells(emb: Column, cids: Column, ces: Column, k: Int): Column =
     call_function("top_cells", emb, cids, ces,

@@ -523,7 +523,7 @@ object Extras extends Q.Module {
     * degrade to disk) and store at ~24 B/row before
     * `spark.rdd.compress` — at fixture SFs the frame still lives in
     * memory; at the decades it spills instead of OOMing. */
-  private def basketItems(s: SparkSession, d: String): DataFrame =
+  private[graft] def basketItems(s: SparkSession, d: String): DataFrame =
     graft.operators.Memo.cached[DataFrame](s, d, "basketItems",
       Seq("lineitem")) {
       val op = Tables.lineitem(s, d)

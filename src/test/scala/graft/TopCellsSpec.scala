@@ -142,4 +142,20 @@ class TopCellsSpec extends SparkSuite {
     assert(arity.getCondition != null &&
       arity.getCondition.startsWith("WRONG_NUM_ARGS"))
   }
+
+  test("literal-matrix size guard: past the 128 MB design edge it fails " +
+      "with the go-hierarchical message, at the cap it passes") {
+    // The guard itself is a pure size check — exercising it directly
+    // avoids allocating a >128 MB boxed literal in the test JVM. Its
+    // wiring into the fold is exercised by every other case here (small
+    // matrices pass through it), plus the boundary values below.
+    import graft.functions.TopCells.{MaxLiteralMatrixElems,
+      requireLiteralMatrixFits}
+    requireLiteralMatrixFits(0L)
+    requireLiteralMatrixFits(MaxLiteralMatrixElems)
+    val ex = intercept[IllegalArgumentException] {
+      requireLiteralMatrixFits(MaxLiteralMatrixElems + 1)
+    }
+    assert(ex.getMessage.contains("hierarchical"), s"got: ${ex.getMessage}")
+  }
 }
