@@ -496,64 +496,102 @@ object Extras extends Q.Module {
     FROM sc GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 10"""))
 
-  /** Distinct (order, part) basket-item frame over lineitem — the
-    * starting frame every basket-mining query (q190 pairs, q226
-    * triples, q230 rules, q332 relative-minsup triples) derives from.
-    * Built ONCE per fixture dir via [[graft.operators.Memo]] as an
-    * eager localCheckpoint: without it each query's plan recomputes the
-    * lineitem scan + distinct shuffle for EVERY leg that references it
-    * (the frequent-item broadcast, both/all self-join sides, the basket
-    * count — 5-7 recomputes per query, 4 queries per registry run).
-    * The distinct is deterministic set-wise and every consumer ends in
-    * a fully tie-broken orderBy, so the memoized frame is bit-identical
-    * to per-query rebuilds: oracle SQL unchanged.
+  /** Baskets as SORTED DISTINCT item arrays — the one shared
+    * materialization every basket-mining query (q190 pairs, q226
+    * triples, q230 rules, q332 relative-minsup triples) derives from,
+    * built ONCE per fixture dir via [[graft.operators.Memo]] as an
+    * eager serialized localCheckpoint.
+    *
+    * WHY ARRAYS, not the flat distinct (o, p) frame the family used
+    * through r18's first receipts: with flat rows every A-priori level
+    * is a SELF-JOIN on the basket key — at the sf100 receipt the L2
+    * pair aggregation sort-merge-joined two 600M-row sides (223.7 s,
+    * `tmp/r18/prof332.log`) to produce TWO surviving pairs, and the
+    * basket count was a second full 600M-row distinct pass (71.4 s).
+    * With arrays the family needs exactly ONE data-sized shuffle ever
+    * (this groupBy(o)); each level is then builtin-generator explodes
+    * over the ≤7-item arrays (WholeStageCodegen, C(k, 2)/C(k, 3)
+    * rows per basket) feeding a map-combined aggregate — no join, no
+    * sort — and the basket count is a shuffle-free count of this
+    * frame. At a 1000-executor 100 TB run the same shape holds: the
+    * basket build is the only pass over the fact table, and level
+    * volume is bounded by pruned basket width, not by join planning.
+    *
+    * sort_array makes each row deterministic (collect_set order is
+    * not); set semantics equal the old DISTINCT, and every consumer
+    * ends in a fully tie-broken orderBy — oracle SQL unchanged.
     *
     * Storage level is SERIALIZED (MEMORY_AND_DISK_SER), not the
-    * localCheckpoint default deserialized level: this frame is
-    * DATA-SIZED (distinct (o, p) over lineitem — ~600M rows at sf100),
-    * and the deserialized unroll path (`putIteratorAsValues`) holds one
-    * UnsafeRow object + backing array per row (~80 B actual vs ~24 B
-    * accounted), so 32 concurrent unroll tasks exhausted a 48 GB heap
-    * at sf100 before the store's size accounting triggered the disk
-    * spill — both r18 q332 receipt attempts died there
-    * (`tmp/r18/receipts{1,2}.err`: OOM in UnsafeRow.copy under
-    * MemoryStore.putIteratorAsValues computing rdd_8, GCLocker alloc
-    * retries from 32 threads). Serialized blocks unroll through the
-    * byte-buffer path with exact accounting (graceful per-block
-    * degrade to disk) and store at ~24 B/row before
-    * `spark.rdd.compress` — at fixture SFs the frame still lives in
-    * memory; at the decades it spills instead of OOMing. */
-  private[graft] def basketItems(s: SparkSession, d: String): DataFrame =
-    graft.operators.Memo.cached[DataFrame](s, d, "basketItems",
+    * localCheckpoint default deserialized level: the frame is
+    * data-sized (~147M rows at sf100), and the deserialized unroll
+    * path (`putIteratorAsValues`) holds ~80 B of objects per ~24 B
+    * row, which exhausted a 48 GB heap at sf100 before the store's
+    * size accounting triggered the disk spill — both first r18 q332
+    * receipt attempts died there (`tmp/r18/receipts{1,2}.err`: OOM in
+    * UnsafeRow.copy under MemoryStore.putIteratorAsValues, GCLocker
+    * alloc retries from 32 threads). Serialized blocks unroll through
+    * the byte-buffer path with exact accounting and degrade per-block
+    * to disk. */
+  private[graft] def basketArrays(s: SparkSession, d: String): DataFrame =
+    graft.operators.Memo.cached[DataFrame](s, d, "basketArrays",
       Seq("lineitem")) {
-      val op = Tables.lineitem(s, d)
+      val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("items"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      (op, Seq(op))
+      (b, Seq(b))
     }
+
+  /** Flat distinct (o, p) view — a zero-shuffle explode of the
+    * memoized [[basketArrays]]; the per-item support (L1) aggregates
+    * read this. */
+  private[graft] def basketItems(s: SparkSession, d: String): DataFrame =
+    basketArrays(s, d).select(col("o"), explode(col("items")).as("p"))
+
+  /** Within-basket ordered item pairs (o, pa, pb), pa < pb — generated
+    * PER ROW from the sorted items array by two builtin generators
+    * (posexplode + explode-of-slice), so pair volume is C(k, 2) per
+    * basket inside WholeStageCodegen and there is NO self-join and no
+    * basket-key shuffle anywhere in the level. */
+  private def basketPairs(b: DataFrame): DataFrame =
+    b.select(col("o"), col("items"),
+        posexplode(col("items")).as(Seq("i", "pa")))
+      .select(col("o"), col("pa"),
+        explode(slice(col("items"), col("i") + lit(2),
+          size(col("items")))).as("pb"))
+
+  /** Within-basket ordered pairs WITH the generation state carried
+    * (items array + positions), so a level-3 consumer can extend a
+    * surviving pair to its candidate third items — `explode(slice(
+    * items, i + j + 3, …))` — AFTER an A-priori prune between the
+    * levels, without re-joining the basket frame. */
+  private def basketPairsWithTail(b: DataFrame): DataFrame =
+    b.select(col("o"), col("items"),
+        posexplode(col("items")).as(Seq("i", "pa")))
+      .select(col("o"), col("pa"), col("items"), col("i"),
+        posexplode(slice(col("items"), col("i") + lit(2),
+          size(col("items")))).as(Seq("j", "pb")))
 
   /** L2-frequent pairs at the ABSOLUTE minsup 2 with their support —
     * the (pa, pb, s2) frame q226 (triple-candidate closure) and q230
-    * (rule scoring) both build identically: one basket self-join +
+    * (rule scoring) both build identically: generated pairs + one
     * map-combined count. Shared per dir via Memo, same determinism
-    * argument as [[basketItems]]. q190 (minsup 25/3) and q332 (relative
-    * minsup) keep their own thresholds and share only [[basketItems]].
-    * Serialized level for the same reason as [[basketItems]]: at
-    * absolute minsup 2 the pair set is density-sized (1.2M rows at
-    * sf1, growing with co-occurrence), so the deserialized unroll is
-    * the same OOM class one decade later. */
+    * argument as [[basketArrays]]. q190 (minsup 25/3) and q332
+    * (relative minsup) keep their own thresholds and share only the
+    * basket frame. Serialized level for the same reason as
+    * [[basketArrays]]: at absolute minsup 2 the pair set is
+    * density-sized (1.2M rows at sf1, growing with co-occurrence). */
   private def l2PairsMin2(s: SparkSession, d: String): DataFrame =
     graft.operators.Memo.cached[DataFrame](s, d, "l2PairsMin2",
       Seq("lineitem")) {
       val op = basketItems(s, d)
       val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
         .filter(col("s1") >= 2)
-      val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
-      val l2 = pr.select(col("o"), col("p").as("pa")).as("a")
-        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("b"),
-          col("o") === col("o2") && col("pa") < col("pb"))
+      val l2 = basketPairs(basketArrays(s, d))
+        .join(broadcast(f1.select(col("p").as("pa"))), Seq("pa"), "semi")
+        .join(broadcast(f1.select(col("p").as("pb"))), Seq("pb"), "semi")
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
         .filter(col("s2") >= 2)
         .localCheckpoint(true,
@@ -563,32 +601,35 @@ object Extras extends Q.Module {
 
   // --- q190: FREQUENT-PAIR MINING (A-priori) — market-basket pair
   //     support + lift over order baskets, the classic distributed
-  //     frequent-itemset shape. The scale design is the A-PRIORI PRUNE:
-  //     only items whose single-item support clears the threshold may
-  //     appear in a pair (downward closure), enforced as a broadcast
-  //     join BEFORE the pair self-join — so pair generation runs on the
-  //     pruned basket stream and its volume is Σ_baskets k'² with k'
-  //     the pruned basket width, not raw width. Pair support is one
-  //     map-combined aggregate; lift = sup·N/(sa·sb) is a single IEEE
-  //     division of exact integer products (fpTrunc presents). The
-  //     top-20 compiles to TakeOrderedAndProject with a deterministic
-  //     (sup desc, pa, pb) tie-break. At 100 TB you'd iterate the same
-  //     prune for triples (A-priori level-wise); the pair level here is
-  //     the canonical one-pass demonstration.
+  //     frequent-itemset shape. Two scale designs: pair GENERATION is
+  //     per-row explodes over the memoized basket arrays (C(k, 2) rows
+  //     per basket, WholeStageCodegen, no self-join — see
+  //     [[basketArrays]] for the receipt that killed the join form),
+  //     and the A-PRIORI PRUNE — only items whose single-item support
+  //     clears the threshold may appear in a pair (downward closure) —
+  //     is a broadcast semi-join on the generated stream BEFORE the
+  //     aggregate, so infrequent items never pollute the count hash
+  //     tables. Pair support is one map-combined aggregate; lift =
+  //     sup·N/(sa·sb) is a single IEEE division of exact integer
+  //     products (fpTrunc presents). The top-20 compiles to
+  //     TakeOrderedAndProject with a deterministic (sup desc, pa, pb)
+  //     tie-break. At 100 TB you'd iterate the same prune for triples
+  //     (A-priori level-wise — q226/q332 do); the pair level here is
+  //     the canonical demonstration.
   private val q190 = Q(
     "q190_frequent_pairs",
     "✦ basket mining: A-priori pruned frequent pairs with support + lift, top-20",
     (s, d) => {
+      val ba = basketArrays(s, d)
       val op = basketItems(s, d)
       val freq = op.groupBy(col("p")).agg(count(lit(1)).as("sup1"))
         .filter(col("sup1") >= 25)
-      val pruned = op.join(broadcast(freq.select(col("p"))), Seq("p"))
-      val pairs = pruned.select(col("o"), col("p").as("pa")).as("a")
-        .join(pruned.select(col("o").as("o2"), col("p").as("pb")).as("b"),
-          col("o") === col("o2") && col("pa") < col("pb"))
+      val pairs = basketPairs(ba)
+        .join(broadcast(freq.select(col("p").as("pa"))), Seq("pa"), "semi")
+        .join(broadcast(freq.select(col("p").as("pb"))), Seq("pb"), "semi")
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 3)
-      val no = op.agg(count_distinct(col("o")).as("no"))
+      val no = ba.agg(count(lit(1)).as("no"))
       pairs
         .join(broadcast(freq.select(col("p").as("pa"), col("sup1").as("sa"))),
           Seq("pa"))
@@ -675,40 +716,36 @@ object Extras extends Q.Module {
 
   // --- q226: FREQUENT TRIPLES (A-priori level 3) — q190's level-wise
   //     mining taken one level deeper, the part that makes A-priori
-  //     A-priori: candidate (a,b,c) triples are generated ONLY from the
-  //     L2-frequent pair set (downward closure — a frequent triple's
-  //     every pair is frequent). Scale shape (r17, retiring the
-  //     scale-gate allowlist row): the L2 set is DENSITY-sized, not
-  //     catalog-sized — at absolute minsup 2 it measures 3.5k pairs at
-  //     sf0.1 but 1.2M at sf1 (the part catalog is fixed across decades
-  //     while supports inflate), so it must never be a forced
-  //     broadcast; its three semi-joins are left size-adaptive (AQE
-  //     promotes them back to broadcasts exactly while L2 is actually
-  //     small), and the (pa,pb) closure prunes the PAIR stream before
-  //     the third basket join, so the 3-way volume is bounded by
-  //     frequent-pair co-occurrence, not C(k,3) per basket. The
-  //     frequent-ITEM prune keeps its broadcast: f1 is bounded by the
-  //     fixed part catalog. All thresholds are counts (min-support 2 at
-  //     every level); the top-20 compiles to TakeOrderedAndProject with
-  //     the full (sup desc, a, b, c) deterministic tiebreak.
+  //     A-priori: candidate (a,b,c) triples are extended ONLY from
+  //     pairs in the L2-frequent set (downward closure — a frequent
+  //     triple's every pair is frequent). Shape: pairs are generated
+  //     per row from the basket arrays WITH their generation state
+  //     carried ([[basketPairsWithTail]]); the L2 semi-join prunes that
+  //     pair stream BETWEEN the levels; survivors extend to third items
+  //     by exploding the rest of their own carried array — so the
+  //     3-way volume is bounded by frequent-pair co-occurrence × basket
+  //     tail, with no basket self-join at any level (see
+  //     [[basketArrays]] for the sf100 receipt that killed the join
+  //     form). The L2 set is DENSITY-sized, not catalog-sized — 3.5k
+  //     pairs at sf0.1 but 1.2M at sf1 (the part catalog is fixed
+  //     across decades while supports inflate), so its three
+  //     semi-joins stay size-adaptive (AQE promotes them to broadcasts
+  //     exactly while L2 is actually small), never a forced broadcast.
+  //     All thresholds are counts (min-support 2 at every level); the
+  //     top-20 compiles to TakeOrderedAndProject with the full
+  //     (sup desc, a, b, c) deterministic tiebreak.
   private val q226 = Q(
     "q226_frequent_triples",
-    "✦ basket mining: A-priori frequent triples (L2-closure prune before the 3-way join)",
+    "✦ basket mining: A-priori frequent triples (L2-closure prune between generated levels)",
     (s, d) => {
-      val op = basketItems(s, d)
-      val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
-        .filter(col("s1") >= 2)
-      val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
+      val ba = basketArrays(s, d)
       val l2 = l2PairsMin2(s, d).select(col("pa"), col("pb"))
-      val xy = pr.select(col("o"), col("p").as("pa")).as("x")
-        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("y"),
-          col("o") === col("o2") && col("pa") < col("pb"))
-        .select(col("o"), col("pa"), col("pb"))
+      val xy = basketPairsWithTail(ba)
         .join(l2, Seq("pa", "pb"), "semi")
       val cand = xy
-        .join(pr.select(col("o").as("o3"), col("p").as("pc")).as("z"),
-          col("o") === col("o3") && col("pb") < col("pc"))
-        .select(col("o"), col("pa"), col("pb"), col("pc"))
+        .select(col("o"), col("pa"), col("pb"),
+          explode(slice(col("items"), col("i") + col("j") + lit(3),
+            size(col("items")))).as("pc"))
         .join(l2.select(col("pa"), col("pb").as("pc")),
           Seq("pa", "pc"), "semi")
         .join(l2.select(col("pa").as("pb"), col("pb").as("pc")),
@@ -758,8 +795,9 @@ object Extras extends Q.Module {
     "✦ basket mining: association rules from frequent pairs — support/confidence/lift top-25",
     (s, d) => {
       val op = basketItems(s, d)
-      val nB = op.select(col("o")).distinct()
-        .agg(count(lit(1)).as("nb"))
+      // Basket count = row count of the memoized array frame: no
+      // second distinct pass over the item stream (71.4 s at sf100).
+      val nB = basketArrays(s, d).agg(count(lit(1)).as("nb"))
       val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
         .filter(col("s1") >= 2)
       val l2 = l2PairsMin2(s, d)
@@ -813,34 +851,37 @@ object Extras extends Q.Module {
   //     thresholds equal q226's and the oracle exercises the same
   //     arithmetic; the relative term takes over exactly at the
   //     density decades (sf1: minsup 29, sf10: 294) where q226's
-  //     absolute form blows up. The basket count rides as a broadcast
-  //     1-row frame into every threshold filter — no driver-side
-  //     action, no second scan (`no` derives from the same distinct
-  //     basket frame the mining uses).
+  //     absolute form blows up. The basket count is a shuffle-free
+  //     count of the memoized array frame riding as a broadcast 1-row
+  //     frame into every threshold filter — no driver-side action, no
+  //     second pass. Levels are per-row generated from the basket
+  //     arrays (see [[basketArrays]] — the self-join form's sf100
+  //     receipt spent 223.7 s sorting 2×600M rows to keep 2 pairs);
+  //     because the relative threshold keeps f1 and l2 scale-stable,
+  //     every prune here is a BROADCAST semi — the only shuffles in
+  //     the whole query are the one basket build and the bounded
+  //     aggregate exchanges.
   private val q332 = Q(
     "q332_frequent_triples_relative",
     "✦ basket mining: A-priori triples with relative minsup (greatest(2, baskets div 50000))",
     (s, d) => {
+      val ba = basketArrays(s, d)
       val op = basketItems(s, d)
-      val no = op.select(col("o")).distinct()
-        .agg(count(lit(1)).as("no"))
+      val no = ba.agg(count(lit(1)).as("no"))
       val ms = greatest(lit(2L), expr("no div 50000"))
       val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
         .crossJoin(broadcast(no)).filter(col("s1") >= ms)
-      val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
-      val l2 = pr.select(col("o"), col("p").as("pa")).as("a")
-        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("b"),
-          col("o") === col("o2") && col("pa") < col("pb"))
+      val l2 = basketPairs(ba)
+        .join(broadcast(f1.select(col("p").as("pa"))), Seq("pa"), "semi")
+        .join(broadcast(f1.select(col("p").as("pb"))), Seq("pb"), "semi")
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
         .crossJoin(broadcast(no)).filter(col("s2") >= ms)
         .select(col("pa"), col("pb"))
-      val cand = pr.select(col("o"), col("p").as("pa")).as("x")
-        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("y"),
-          col("o") === col("o2") && col("pa") < col("pb"))
-        .join(pr.select(col("o").as("o3"), col("p").as("pc")).as("z"),
-          col("o") === col("o3") && col("pb") < col("pc"))
-        .select(col("o"), col("pa"), col("pb"), col("pc"))
+      val cand = basketPairsWithTail(ba)
         .join(broadcast(l2), Seq("pa", "pb"), "semi")
+        .select(col("o"), col("pa"), col("pb"),
+          explode(slice(col("items"), col("i") + col("j") + lit(3),
+            size(col("items")))).as("pc"))
         .join(broadcast(l2.select(col("pa"), col("pb").as("pc"))),
           Seq("pa", "pc"), "semi")
         .join(broadcast(l2.select(col("pa").as("pb"), col("pb").as("pc"))),

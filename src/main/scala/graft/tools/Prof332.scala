@@ -29,27 +29,31 @@ object Prof332 {
         f"[prof332] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val op = t("basketItems (distinct (o,p) + SER checkpoint)") {
-      val op = graft.queries.Extras.basketItems(s, d)
-      System.err.println("[prof332] op rows=" + op.count())
-      op
+    val ba = t("basketArrays (groupBy(o) collect_set + SER checkpoint)") {
+      val ba = graft.queries.Extras.basketArrays(s, d)
+      System.err.println("[prof332] baskets=" + ba.count())
+      ba
     }
-    val no = t("basket count") {
-      op.select(col("o")).distinct().count()
+    val no = t("basket count (count of the checkpointed frame)") {
+      ba.count()
     }
     val ms = math.max(2L, no / 50000L)
     System.err.println(s"[prof332] baskets=$no minsup=$ms")
-    val f1 = t("L1 prune (item supports >= ms)") {
-      val f1 = op.groupBy(col("p")).agg(count(lit(1)).as("s1"))
+    val f1 = t("L1 prune (explode + item supports >= ms)") {
+      val f1 = graft.queries.Extras.basketItems(s, d)
+        .groupBy(col("p")).agg(count(lit(1)).as("s1"))
         .filter(col("s1") >= ms)
       System.err.println("[prof332] f1 rows=" + f1.count())
       f1
     }
-    t("L2 pair aggregation (pruned self-join + count >= ms)") {
-      val pr = op.join(broadcast(f1.select(col("p"))), Seq("p"))
-      val l2 = pr.select(col("o"), col("p").as("pa")).as("a")
-        .join(pr.select(col("o").as("o2"), col("p").as("pb")).as("b"),
-          col("o") === col("o2") && col("pa") < col("pb"))
+    t("L2 pair aggregation (generated pairs + count >= ms)") {
+      val l2 = ba.select(col("o"), col("items"),
+          posexplode(col("items")).as(Seq("i", "pa")))
+        .select(col("o"), col("pa"),
+          explode(slice(col("items"), col("i") + lit(2),
+            size(col("items")))).as("pb"))
+        .join(broadcast(f1.select(col("p").as("pa"))), Seq("pa"), "semi")
+        .join(broadcast(f1.select(col("p").as("pb"))), Seq("pb"), "semi")
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("s2"))
         .filter(col("s2") >= ms)
       System.err.println("[prof332] l2 rows=" + l2.count())
