@@ -55,12 +55,15 @@ FLOOR_S = 1.0
 # regression WITHIN the allowlist stays visible.
 ALLOWLIST = {
     "226": (30.0, "A-priori triples at ABSOLUTE minsup=2: the answer set "
-                  "itself grows with density (output-sensitive by design; "
-                  "r18 isolated receipts measured 20.0x at the sf0.1->sf1 "
-                  "knee and 5.4x the decade after — the r17 size-adaptive "
-                  "semi-joins did not move the knee because the knee IS "
-                  "the answer-set inflation, so the row stays; q332 is "
-                  "the relative-minsup production form, ~7x flat)"),
+                  "itself grows with density (output-sensitive by design "
+                  "— the L2 pair set inflates 3.5k -> 1.2M across the "
+                  "sf0.1->sf1 knee). The r18 basket-array rewrite removed "
+                  "every self-join and halved the absolute walls "
+                  "(isolated receipts 0.53 s -> 19.6 s -> 46.2 s, i.e. "
+                  "19.6x floored at the knee and 2.4x the decade after) "
+                  "but the knee IS the answer-set inflation, so the row "
+                  "stays; q332 is the relative-minsup production form, "
+                  "receipted 9.8x/2.3x/7.2x through sf100)"),
     # r16: q50 and q64 LEFT this allowlist — both now auto-gate on corpus
     # size (the auditUseAnn idiom): exact/library mode at fixture SFs
     # (oracle-identical), IVF-cell / AND-banded candidates above 10k rows
