@@ -76,6 +76,25 @@ class BasketPlanSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("the basket checkpoint is SERIALIZED (the sf100 OOM class)") {
+    // The deserialized localCheckpoint unroll OOM'd a 48 GB heap at
+    // sf100 (putIteratorAsValues holds ~80 B of objects per 24 B row
+    // ahead of the store's accounting) — invisible at fixture scale,
+    // so the storage level is pinned here: a refactor that drops the
+    // MEMORY_AND_DISK_SER argument fails this test, not a receipt run.
+    val ba = graft.queries.Extras.basketArrays(spark, sfDir)
+    val levels = ba.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getStorageLevel
+    }
+    assert(levels.nonEmpty, "basketArrays is not a checkpointed frame")
+    levels.foreach { lvl =>
+      assert(!lvl.deserialized && lvl.useDisk,
+        s"basket checkpoint level is $lvl — must be serialized with a " +
+          "disk tier (MEMORY_AND_DISK_SER) or the sf100 unroll OOMs")
+    }
+  }
+
   test("negative control: the removed self-join shape IS detected") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
