@@ -9,7 +9,7 @@ Reads each Spark-written parquet under <outdir>/<query>/ and compares it,
 column-names-sorted, exact-value, against the DuckDB run of the matching
 oracle SQL over the same fixture parquet.
 """
-import sys, json, math, datetime
+import sys, json, math, datetime, os
 import duckdb
 import pandas as pd
 
@@ -59,8 +59,14 @@ def compare(got, exp):
 def main(sfdir, outdir, names=()):
     con = duckdb.connect()
     for t in TABLES:
+        # Driver fixtures are single files; GenSf1 decades are Spark
+        # directory-layout parquet — glob the parts in that case so the
+        # oracle can run at any generated scale.
+        path = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(f"CREATE OR REPLACE VIEW {t} AS "
-                    f"SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+                    f"SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if names:
         # A typo'd name would otherwise filter to zero queries and exit
