@@ -104,8 +104,16 @@ object ConnectedComponents {
         .select(col("b").as("u"), col("m").as("v")).distinct()
       // ls is referenced twice by small-star (min aggregate + join);
       // cutting it keeps each leg single-execution AND bounds the plan.
+      // The cut cache is materialized LAZILY (r18): the round's one
+      // fingerprint action computes it as a side effect — its two
+      // consumer stages run inside that same job, and the block
+      // manager's per-partition loading locks make whichever task
+      // arrives second wait for (not recompute) the partition — so the
+      // former eager `lsGen.count()` was one whole scheduling
+      // round-trip per CC round that bought nothing. At ~0.1-0.3 s of
+      // driver/dispatch latency per job on the bench host, dropping it
+      // is worth ~1 job × rounds × every CC caller (q76/q269).
       val (lsC, lsGen) = cut(ls)
-      lsGen.count() // eager: both small-star legs then scan the cache
       // ---- small-star: u > all of N⁻(u), so m = min(N⁻(u)) directly;
       // re-attach the smaller neighbors and u itself, dropping the
       // (m, m) self-loop. Output stays child-larger by construction.

@@ -221,7 +221,6 @@ object PageRank {
       (pinned, degOf(pinned), false)
     } else {
       val eRaw = e0.localCheckpoint(true)
-      val nEdgeRows = eRaw.count()
       def pinToDisk(): DataFrame = {
         val pinned = eRaw.repartition(col("src"))
           .localCheckpoint(true, diskLevel)
@@ -229,12 +228,27 @@ object PageRank {
         pinned
       }
       if (broadcastRanks.contains(true)) (eRaw, degOf(eRaw), true)
-      else if (broadcastRanks.contains(false) || nEdgeRows > EdgeCacheMaxRows) {
+      else if (broadcastRanks.contains(false)) {
         val pinned = pinToDisk(); (pinned, degOf(pinned), false)
-      } else {
+      } else if (edgeCountHint.exists(_ <= EdgeCacheMaxRows)) {
+        // A hint UNDER the cache ceiling answers the first strategy
+        // signal by itself (nEdgeRows <= hint <= EdgeCacheMaxRows), so
+        // the edge-count action is a whole job spent re-measuring what
+        // the caller already proved from row-group metadata (r18 —
+        // q167's hint is 2x the fact row count). Only the node count
+        // remains to resolve.
         val dg = degOf(eRaw)
         if (chooseBroadcast(dg.count())) (eRaw, dg, true)
         else (pinToDisk(), dg, false)
+      } else {
+        val nEdgeRows = eRaw.count()
+        if (nEdgeRows > EdgeCacheMaxRows) {
+          val pinned = pinToDisk(); (pinned, degOf(pinned), false)
+        } else {
+          val dg = degOf(eRaw)
+          if (chooseBroadcast(dg.count())) (eRaw, dg, true)
+          else (pinToDisk(), dg, false)
+        }
       }
     }
     // Without sinks, the src side of `deg` IS the node set; with the

@@ -55,17 +55,22 @@ object Dedup extends Q.Module {
     * needs df per row, and recomputing it would be a second full
     * shuffle-by-shingle over the corpus. */
   private def shinglesWithDfOf(corpus: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    // size(w) >= 3 guard: Spark's sequence(1, size-2) counts DOWN when
-    // size-2 < 1 (sequence(1,0) = [1,0]) and slice(w, 0, 3) throws, while
-    // the oracle's generate_series(1, 0) is empty. Filtering <3-word docs
-    // out up front gives both engines the same "no shingles" semantics.
+    // Shingle construction is the fused codegen'd kernel (r18): the old
+    // HOF chain — transform(sequence)/slice/concat_ws under an
+    // interpreted evaluator — cost ~2-4 ms/doc and was the single
+    // heaviest stage of every family query's profile; word_ngrams emits
+    // the byte-identical stream as zero-copy spans inside
+    // WholeStageCodegen (WordNgramsSpec pins the equivalence, including
+    // the space pathologies). The old size(w) >= 3 guard (sequence
+    // counts DOWN below 1) is subsumed: the kernel returns an EMPTY
+    // array below n words and explode drops the doc — the same "no
+    // shingles" semantics the filter enforced, one split() cheaper.
+    graft.functions.WordNgrams.register(corpus.sparkSession)
     val sh0 = corpus
-      .filter(size(w) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(
-          transform(sequence(lit(1), size(w) - 2),
-            i => concat_ws(" ", slice(w, i, lit(3)))))).as("shingle"))
+          graft.functions.WordNgrams.wordNgrams(col("text"), 3)))
+          .as("shingle"))
     // Hot-shingle cutoff enforced IN the plan, not just documented: one
     // count-over-window pass — the same shuffle-by-shingle a separate df
     // table would need, without scanning the shingle projection twice.
@@ -1671,19 +1676,27 @@ object Dedup extends Q.Module {
       val corpus = Tables.fanOut(base.unionByName(
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 10000).as("doc_id"), col("text"))))
-      val w = split(col("text"), " ")
-      val hs = transform(sequence(lit(1), size(w) - 2), i =>
-        conv(substring(md5(concat_ws(" ", slice(w, i, lit(3)))), 1, 8),
-          16, 10).cast("long"))
-      // ≥ 6 words ⇒ ≥ 4 3-gram hashes ⇒ ≥ 1 window of 4.
+      // 3-gram stream from the fused kernel (r18 — same swap as
+      // shinglesWithDfOf; WordNgramsSpec pins byte-identity), hashed by
+      // a transform whose lambda is now just the md5 chain: the
+      // slice/concat_ws interpreted work is gone, the md5 — the
+      // irreducible per-element cost — stays.
+      graft.functions.WordNgrams.register(s)
+      val hs = transform(
+        graft.functions.WordNgrams.wordNgrams(col("text"), 3), g =>
+          conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+      // ≥ 6 words ⇒ ≥ 4 3-gram hashes ⇒ ≥ 1 window of 4 (the kernel
+      // yields size(w) − 2 grams, so the old size(w) >= 6 guard is
+      // exactly size(hs) >= 4).
       // `hs` MUST be materialized as a column before the window
       // transform references it: an array-valued expression inlined
       // inside a lambda is re-evaluated per element, turning the
       // per-doc cost from L md5s into L² (the r13 sf1 sweep measured
       // the inline shape at 124 s vs 2.6 s materialized — the whole
       // q313 blowup). size(hs) − 3 ≡ size(w) − 5.
-      val fps = corpus.filter(size(w) >= 6)
+      val fps = corpus
         .withColumn("hs", hs)
+        .filter(size(col("hs")) >= 4)
         .select(col("doc_id"),
           explode(array_distinct(
             transform(sequence(lit(1), size(col("hs")) - 3), j =>

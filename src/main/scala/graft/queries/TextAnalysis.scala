@@ -249,16 +249,19 @@ object TextAnalysis extends Q.Module {
     "q97_decontamination",
     "✦ decontamination: eval 8-gram broadcast semi-join flags training docs",
     (s, d) => {
-      val w = split(col("text"), " ")
       val base = docs(s, d).select(col("doc_id"), col("text"))
       val corpus = base.unionByName(
         base.filter(col("doc_id") < 20)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      val grams = corpus.filter(size(w) >= 8)
+      // Fused codegen'd 8-gram kernel (r18, Dedup.shinglesWithDfOf's
+      // swap): byte-identical stream, and the old size(w) >= 8 guard is
+      // subsumed by the kernel's empty-array-below-n contract.
+      graft.functions.WordNgrams.register(s)
+      val grams = corpus
         .select(col("doc_id"),
           explode(array_distinct(
-            transform(sequence(lit(1), size(w) - 7),
-              i => concat_ws(" ", slice(w, i, lit(8)))))).as("gram"))
+            graft.functions.WordNgrams.wordNgrams(col("text"), 8)))
+            .as("gram"))
       val evalGrams = grams.filter(col("doc_id") < 20)
         .select(xxhash64(col("gram")).as("gid")).distinct()
       grams.filter(col("doc_id") >= 20)
@@ -1994,11 +1997,14 @@ object TextAnalysis extends Q.Module {
     "q289_vocab_richness",
     "✦ corpus stats: Chao1 richness bound, Good–Turing unseen mass, TTR over 3-gram types",
     (s, d) => {
-      val w = split(col("text"), " ")
-      // size >= 3 guard: q47's rule (sequence counts DOWN below 1).
-      val tf = docs(s, d).filter(size(w) >= 3)
-        .select(explode(transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", slice(w, i, lit(3))))).as("shingle"))
+      // Fused codegen'd 3-gram kernel (r18): duplicates kept (type
+      // frequencies are the point here); the old size >= 3 guard is
+      // subsumed by the kernel's empty-array-below-n contract.
+      graft.functions.WordNgrams.register(s)
+      val tf = docs(s, d)
+        .select(explode(
+          graft.functions.WordNgrams.wordNgrams(col("text"), 3))
+          .as("shingle"))
         .groupBy(col("shingle")).agg(count(lit(1)).as("c"))
       tf.agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
           sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
@@ -2061,12 +2067,27 @@ object TextAnalysis extends Q.Module {
     "q292_kneser_ney_bigram",
     "✦ quality: interpolated Kneser–Ney bigram LM mean neg log-prob per doc",
     (s, d) => {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      // Bigrams straight from the fused kernel (r18): the old shape —
+      // posexplode tokens, then a per-doc lag() window — paid one full
+      // Exchange(doc_id) + Sort of the token stream just to pair
+      // adjacent words; word_ngrams(text, 2) emits the identical
+      // (prev, word) pairs in document order from the projection
+      // itself, so the corpus pass is now shuffle-free (guide §2.4).
+      // substring_index splits the 2-gram back on its single interior
+      // space (words are space-free by construction of split(" "), so
+      // both halves — including empty words from doubled spaces — come
+      // back byte-identically). pos (the generator ordinal) carries the
+      // same per-doc ORDER the old token pos did, which is all the
+      // downstream ordered fold reads from it; docs with < 2 words
+      // yield no rows, exactly like the old prev-IS-NULL filter.
+      graft.functions.WordNgrams.register(s)
       val big = docs(s, d)
         .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .withColumn("prev", lag(col("word"), 1).over(w))
-        .filter(col("prev").isNotNull)
+          posexplode(graft.functions.WordNgrams.wordNgrams(col("text"), 2))
+            .as(Seq("pos", "bg")))
+        .select(col("doc_id"), col("pos"),
+          substring_index(col("bg"), " ", 1).as("prev"),
+          substring_index(col("bg"), " ", -1).as("word"))
         .persist()
       // big persist: the type table AND the score join both read it —
       // harness-owned cache (q47's rule).
@@ -2145,11 +2166,14 @@ object TextAnalysis extends Q.Module {
     "q293_heaps_law",
     "✦ corpus stats: Heaps'-law vocab-growth fit V=k·N^β over doc-prefix checkpoints",
     (s, d) => {
-      val w = split(col("text"), " ")
-      val sh = docs(s, d).filter(size(w) >= 3)
+      // Fused codegen'd 3-gram kernel (r18): duplicates kept (token
+      // counts feed N(cp)); old size >= 3 guard subsumed by the
+      // kernel's empty-array-below-n contract.
+      graft.functions.WordNgrams.register(s)
+      val sh = docs(s, d)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(w) - 2),
-            i => concat_ws(" ", slice(w, i, lit(3))))).as("shingle"))
+          explode(graft.functions.WordNgrams.wordNgrams(col("text"), 3))
+            .as("shingle"))
         .persist()
       // sh persist: checkpoints + both curve legs re-read it —
       // harness-owned cache (q47's rule).

@@ -1045,7 +1045,9 @@ object Vectors extends Q.Module {
     * the memoized triple is bit-identical to a per-query rebuild. */
   private def kmeansLloydBuild(s: SparkSession, d: String)
       : ((DataFrame, DataFrame, DataFrame), Seq[DataFrame]) = {
-    val ve = Tables.embeddings(s, d)
+    // fanOut (r18): one fixture split otherwise runs every Lloyd pass's
+    // map side on one core (identity on a multi-split lake).
+    val ve = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), posexplode(col("embedding"))
         .as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
@@ -1499,7 +1501,12 @@ object Vectors extends Q.Module {
     "q277_product_quantization",
     "✦ ANN: product quantization — 8×(k=16) codebooks, integer Lloyd, ADC shortlist-60 + exact re-rank top-15",
     (s, d) => {
-      val ve = Tables.embeddings(s, d)
+      // fanOut (r18): the one-file fixture scan is a single split, and
+      // every per-row pass of this query (4 assign passes, the encode,
+      // the exact-d² audit) otherwise runs its map side on ONE core —
+      // the r18 stage profile measured 4 × 0.28 s single-task stages.
+      // On a multi-split lake fanOut is the identity (Tables scaladoc).
+      val ve = Tables.fanOut(Tables.embeddings(s, d))
         .select(col("vec_id"), posexplode(col("embedding"))
           .as(Seq("dim", "x")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
@@ -1532,9 +1539,14 @@ object Vectors extends Q.Module {
         .select(col("sub"), col("vec_id").as("cid"), col("dim"),
           col("xu").as("cu"))
         .localCheckpoint(true)
+      // One checkpoint per Lloyd round (r18): asg is consumed exactly
+      // once (by update), so materializing it bought no reuse — only a
+      // whole extra job's scheduling latency per round. cent keeps its
+      // eager cut: it is the BROADCAST side of the next round's assign,
+      // and a lazy broadcast subtree re-executes the entire chain
+      // (PageRank scaladoc has the same rule).
       for (_ <- 1 to 3) {
-        val asg = assign(cent).localCheckpoint(true)
-        cent = update(asg).localCheckpoint(true)
+        cent = update(assign(cent)).localCheckpoint(true)
       }
       // Encode the corpus against the TRAINED codebook (iteration 3's),
       // the same pass a production encoder ships.
