@@ -2209,9 +2209,17 @@ object Aggs extends Q.Module {
         (col("l_extendedprice").cast("decimal(18,2)")
           * (lit(1) - col("l_discount").cast("decimal(4,2)")) * 10000)
           .as("ru"))
+      // ONE lineitem pass (r18): the r18 stage profile showed the fact
+      // table scanned three times (pm, rev, mTot) at ~0.9 s of
+      // decimal-projection CPU each — the monthly grain subsumes all
+      // three readouts (revenue per part = exact decimal sum of its
+      // monthly sums; distinct months ride the same frame), so the
+      // scan+shuffle happens once and the (part × month) cache serves
+      // the rest. persist is harness-owned (q47's rule).
       val pm = li.groupBy(col("l_partkey"), col("m"))
-        .agg(sum(col("qc")).as("x"))
-      val mTot = li.select(col("m")).distinct()
+        .agg(sum(col("qc")).as("x"), sum(col("ru")).as("rum"))
+        .persist()
+      val mTot = pm.select(col("m")).distinct()
         .agg(count(lit(1)).as("mm"))
       val xyz = pm.groupBy(col("l_partkey"))
         .agg(sum(col("x")).as("sx"),
@@ -2224,8 +2232,8 @@ object Aggs extends Q.Module {
               <= col("sx").cast("decimal(38,0)") * col("sx") * 2, "Y")
             .otherwise("Z"))
         .select(col("l_partkey"), col("xyz"))
-      val rev = li.groupBy(col("l_partkey"))
-        .agg(sum(col("ru")).cast("long").as("u"))
+      val rev = pm.groupBy(col("l_partkey"))
+        .agg(sum(col("rum")).cast("long").as("u"))
         .withColumn("block", expr("u div 1073741824"))
       val wB = Window.orderBy(col("block").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2309,10 +2317,19 @@ object Aggs extends Q.Module {
           expr("(ts div 1000) div 86400000000").as("dd"),
           (col("value").cast("decimal(18,2)") * 100).cast("long")
             .as("cents"))
+      // agg persists (r18): five subplans read it (three score5 ranks,
+      // the final join, dmax's sibling) and each un-cached reference
+      // re-ran the events scan + filter + user aggregate — the r18
+      // profile showed four redundant single-split event scans at
+      // ~0.3 s each. User-grain rows are corpus-bounded; the cache is
+      // harness-owned (q47's rule). dmax reads agg too: the max of
+      // per-user maxima is the corpus max, one cache read instead of a
+      // fifth scan.
       val agg = p.groupBy(col("user_id"))
         .agg(max(col("dd")).as("last_dd"), count(lit(1)).as("f"),
           sum(col("cents")).as("m"))
-      val dmax = p.agg(max(col("dd")).as("dmax"))
+        .persist()
+      val dmax = agg.agg(max(col("last_dd")).as("dmax"))
       // score5: two-phase rank of (user_id, v) asc; quintile from rank.
       def score5(vals: DataFrame, blockDiv: Long, hi: Boolean,
           name: String): DataFrame = {

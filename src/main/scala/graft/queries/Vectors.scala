@@ -122,7 +122,14 @@ object Vectors extends Q.Module {
       forceAnn: Option[Boolean] = None): DataFrame =
     if (forceAnn.getOrElse(auditUseAnn(s, d)))
       annAuditPairs(s, d, probes, cands)
-    else broadcast(probes).join(cands, col("pid") =!= col("cid"))
+    else
+      // fanOut (r18): the exact branch is a broadcast nested-loop over
+      // the candidate scan, and the one-file fixture scan is a single
+      // split — every caller's |probes|×|cands| cosine loop ran on ONE
+      // core (the r18 profile: a 1.2 s single-task stage inside
+      // q287/q305). Identity on a multi-split lake (Tables scaladoc);
+      // results are row-order-free (callers rank with tie-breaks).
+      broadcast(probes).join(Tables.fanOut(cands), col("pid") =!= col("cid"))
 
   private def annAuditPairs(s: SparkSession, d: String,
       probes: DataFrame, cands: DataFrame): DataFrame = {
@@ -229,7 +236,10 @@ object Vectors extends Q.Module {
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cid"))
-      broadcast(q).join(c, col("qid") =!= col("cid"))
+      // fanOut (r18): auditPairs' rule — the broadcast nested-loop's
+      // streamed side is the one-split fixture scan, so the 20×|corpus|
+      // cosine loop otherwise runs on one core.
+      broadcast(q).join(Tables.fanOut(c), col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
           graft.functions.CosineSimilarity.cosineSim(col("qe"), col("ce")).as("score"))
         .withColumn("rank", row_number().over(w))
@@ -468,7 +478,9 @@ object Vectors extends Q.Module {
       val c = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cid"))
-      broadcast(q).join(c, Seq("label"))
+      // fanOut (r18): auditPairs' rule — broadcast-hash probe over the
+      // one-split scan otherwise runs the cosine loop on one core.
+      broadcast(q).join(Tables.fanOut(c), Seq("label"))
         .filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("label"), col("cid"),
           graft.functions.CosineSimilarity.cosineSim(col("qe"), col("ce")).as("score"))
@@ -525,7 +537,9 @@ object Vectors extends Q.Module {
       // diverge from the HOF form (IntDotProduct scaladoc lists them;
       // IntDotExpressionSpec pins both the parity and the divergences).
       graft.functions.IntDotProduct.register(s)
-      broadcast(q).join(c, col("qid") =!= col("cid"))
+      // fanOut (r18): auditPairs' rule — one-split scan would run the
+      // pair loop on one core.
+      broadcast(q).join(Tables.fanOut(c), col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
           graft.functions.IntDotProduct.intDot(col("qq"), col("cq"))
             .as("dot_q"))
@@ -581,7 +595,8 @@ object Vectors extends Q.Module {
         col("label").as("cl"))
       val w = Window.partitionBy(col("aid"), col("side"))
         .orderBy(col("ord"), col("cid"))
-      broadcast(a).join(c, col("aid") =!= col("cid"))
+      // fanOut (r18): auditPairs' rule.
+      broadcast(a).join(Tables.fanOut(c), col("aid") =!= col("cid"))
         .select(col("aid"),
           when(col("al") === col("cl"), lit("pos")).otherwise(lit("neg"))
             .as("side"),
