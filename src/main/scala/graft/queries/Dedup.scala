@@ -1121,14 +1121,34 @@ object Dedup extends Q.Module {
         .withColumn("n", count(lit(1)).over(wDoc))
         .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
         .select(col("doc_id"), col("sid"), col("n"))
-      val cand = pref.as("a")
-        .join(pref.as("b").hint("shuffle_hash"),
+      // REPARTITION_BY_NUM by sid (r18): pref reaches the self-join
+      // through two window exchanges whose few-MB reads AQE coalesces
+      // to ~2 partitions — correct for the bytes, fatal for the join,
+      // whose output FANS OUT (df² pair rows per sid): the r18 profile
+      // measured the candidate join + distinct map side as a 2-task
+      // stage with 7.4 s of CPU writing a 244 MB exchange. A
+      // fixed-number keyed repartition is exempt from AQE coalescing
+      // (the q50 receipt-hunt rule), both aliases share the one
+      // exchange, and the count follows the session's core dial, not a
+      // constant.
+      val prefRep = pref.repartition(
+        s.sparkContext.defaultParallelism, col("sid"))
+      val cand = prefRep.as("a")
+        .join(prefRep.as("b").hint("shuffle_hash"),
           col("a.sid") === col("b.sid")
             && col("a.doc_id") < col("b.doc_id")
             && lit(5) * least(col("a.n"), col("b.n"))
               >= lit(3) * greatest(col("a.n"), col("b.n")))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
+        // …and the same exemption on the verify side (r18): the
+        // distinct's few-MB exchange AQE-coalesces to ~2 partitions,
+        // and the da-side verify join FANS OUT to one row per
+        // (candidate pair, da-shingle) — the profile's 244 MB exchange
+        // written by a 2-task stage at 5.5 s of CPU. Keyed
+        // REPARTITION_BY_NUM restores the core-dial width where the
+        // bytes alone under-provision it.
+        .repartition(s.sparkContext.defaultParallelism, col("da"))
       val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.select(col("doc_id").as("da"), col("sid")), Seq("da"))
