@@ -134,7 +134,32 @@ object Bench {
         case _ => ""
       }
     } catch { case _: Throwable => "" }
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"n":${results.size},"mode":"min-of-runs;sink-once","queries":{},"queries_file":"$qFile","sf":"$sfName"$isolated}"""
+    // Inline per-query map, restored under a byte budget (r18 verdict
+    // item 2): PERF's per-query/geomean/scaling sections have been empty
+    // since r10 because the inline map was sacrificed whole to the
+    // driver's 2000-byte stdout tail. Instead of all-or-nothing, emit the
+    // SLOWEST queries first (they carry the round-over-round perf signal)
+    // with 2-decimal values and the qFile's bare-number keys, stopping at
+    // the first entry that would push the record line past ~1.5 kB —
+    // safely inside the tail even with sbt's trailer line and shutdown
+    // noise. The full 3-decimal map still goes to queries_file + stderr;
+    // nothing is removed or renamed, entries are only added.
+    def r2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val inlineBudget = 1250
+    val inline = new StringBuilder
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    var full = true
+    bySlowest.foreach { case (k, v) =>
+      if (full) {
+        val e = "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + r2(v)
+        if (inline.length + e.length + 1 <= inlineBudget) {
+          if (inline.nonEmpty) inline.append(',')
+          inline.append(e)
+        } else full = false
+      }
+    }
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","failed":$failed,"runs":$runs,"n":${results.size},"mode":"min-of-runs;sink-once","queries":{$inline},"queries_file":"$qFile","sf":"$sfName"$isolated}"""
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getClass.getSimpleName}")

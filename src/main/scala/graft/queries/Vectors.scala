@@ -117,9 +117,21 @@ object Vectors extends Q.Module {
   private[queries] def auditUseAnn(s: SparkSession, d: String): Boolean =
     corpusExceedsAnnGate(s, d, "embeddings", Tables.embeddings)
 
+  /** @param spreadExact fan the exact branch's candidate scan out to the
+    *        core dial. The exact branch only runs below
+    *        [[AuditAnnMinCorpus]] (10k rows — above it the ANN shortlist
+    *        is the scale path), so this is a bounded-regime tuning: at
+    *        400 probes (q287/q305/q320) the single-split pair loop costs
+    *        ~1 s of single-core kernel time and the spread wins
+    *        (r18 driver c32: q287 1.03→0.82, q305 1.08→0.75,
+    *        q320 1.02→0.89); q311's loop is ~4× cheaper (its rank filter
+    *        rides inside the aggregate, no map-side sort) and the added
+    *        round-robin exchange + 32-wide sub-second stages LOST
+    *        (driver c32 0.25→0.64, VERDICT r18 item 3) — it opts out. */
   private[graft] def auditPairs(s: SparkSession, d: String,
       probes: DataFrame, cands: DataFrame,
-      forceAnn: Option[Boolean] = None): DataFrame =
+      forceAnn: Option[Boolean] = None,
+      spreadExact: Boolean = true): DataFrame =
     if (forceAnn.getOrElse(auditUseAnn(s, d)))
       annAuditPairs(s, d, probes, cands)
     else
@@ -129,7 +141,9 @@ object Vectors extends Q.Module {
       // core (the r18 profile: a 1.2 s single-task stage inside
       // q287/q305). Identity on a multi-split lake (Tables scaladoc);
       // results are row-order-free (callers rank with tie-breaks).
-      broadcast(probes).join(Tables.fanOut(cands), col("pid") =!= col("cid"))
+      broadcast(probes).join(
+        if (spreadExact) Tables.fanOut(cands) else cands,
+        col("pid") =!= col("cid"))
 
   private def annAuditPairs(s: SparkSession, d: String,
       probes: DataFrame, cands: DataFrame): DataFrame = {
@@ -236,10 +250,12 @@ object Vectors extends Q.Module {
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cid"))
-      // fanOut (r18): auditPairs' rule — the broadcast nested-loop's
-      // streamed side is the one-split fixture scan, so the 20×|corpus|
-      // cosine loop otherwise runs on one core.
-      broadcast(q).join(Tables.fanOut(c), col("qid") =!= col("cid"))
+      // No fanOut (r19; added r18, reverted): at 20 probes the pair loop
+      // is 40k fused cosines — well under the round-robin exchange plus
+      // 32-wide-stage dispatch it bought (driver c32: 0.19 r17 → 0.37
+      // r18). auditPairs' 400-probe callers keep the spread; this
+      // bounded-probe loop does not need it.
+      broadcast(q).join(c, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
           graft.functions.CosineSimilarity.cosineSim(col("qe"), col("ce")).as("score"))
         .withColumn("rank", row_number().over(w))
@@ -478,9 +494,12 @@ object Vectors extends Q.Module {
       val c = e.select(col("vec_id").as("cid"), col("label"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cid"))
-      // fanOut (r18): auditPairs' rule — broadcast-hash probe over the
-      // one-split scan otherwise runs the cosine loop on one core.
-      broadcast(q).join(Tables.fanOut(c), Seq("label"))
+      // No fanOut (r19; added r18, reverted): the label equi-join hash-
+      // prunes candidates before any cosine — 20 probes × label-matched
+      // candidates is far too little work to repay the added exchange
+      // and 32-wide stages (q44's measurement, same bounded-probe
+      // class).
+      broadcast(q).join(c, Seq("label"))
         .filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("label"), col("cid"),
           graft.functions.CosineSimilarity.cosineSim(col("qe"), col("ce")).as("score"))
@@ -516,7 +535,16 @@ object Vectors extends Q.Module {
     "q129_quantized_knn",
     "✦ similarity: top-3 neighbors by int8 quantized dot product",
     (s, d) => {
-      val quant = Tables.embeddings(s, d)
+      // fanOut BEFORE the quantization projection (r19; r18 had it on
+      // the candidate side of the join, AFTER quant): the r19 profile
+      // showed q129's hot stage is the interpreted HOF quant itself
+      // (norm2 fold + transform per row — 0.5 s single-task CPU on the
+      // one-split fixture scan), not the pair loop the r18 fanOut
+      // spread. Fanning the scan out runs quant at the core dial and
+      // the pair join then needs NO second exchange (both q and c read
+      // the same fanned frame — one shared exchange). Identity on a
+      // multi-split lake (Tables scaladoc); quant arithmetic unchanged.
+      val quant = Tables.fanOut(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           sqrt(norm2(col("embedding"))).as("n"))
         .select(col("vec_id"),
@@ -537,9 +565,7 @@ object Vectors extends Q.Module {
       // diverge from the HOF form (IntDotProduct scaladoc lists them;
       // IntDotExpressionSpec pins both the parity and the divergences).
       graft.functions.IntDotProduct.register(s)
-      // fanOut (r18): auditPairs' rule — one-split scan would run the
-      // pair loop on one core.
-      broadcast(q).join(Tables.fanOut(c), col("qid") =!= col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
           graft.functions.IntDotProduct.intDot(col("qq"), col("cq"))
             .as("dot_q"))
@@ -595,8 +621,9 @@ object Vectors extends Q.Module {
         col("label").as("cl"))
       val w = Window.partitionBy(col("aid"), col("side"))
         .orderBy(col("ord"), col("cid"))
-      // fanOut (r18): auditPairs' rule.
-      broadcast(a).join(Tables.fanOut(c), col("aid") =!= col("cid"))
+      // No fanOut (r19; added r18, reverted): 20 anchors — q44's
+      // bounded-probe measurement applies unchanged.
+      broadcast(a).join(c, col("aid") =!= col("cid"))
         .select(col("aid"),
           when(col("al") === col("cl"), lit("pos")).otherwise(lit("neg"))
             .as("side"),
@@ -1060,16 +1087,33 @@ object Vectors extends Q.Module {
     * the memoized triple is bit-identical to a per-query rebuild. */
   private def kmeansLloydBuild(s: SparkSession, d: String)
       : ((DataFrame, DataFrame, DataFrame), Seq[DataFrame]) = {
-    // fanOut (r18): one fixture split otherwise runs every Lloyd pass's
-    // map side on one core (identity on a multi-split lake).
-    val ve = Tables.fanOut(Tables.embeddings(s, d))
+    // Keyed repartition by vec_id (r19; was round-robin fanOut in r18):
+    // assign's two aggregates and update's join ALL key on vec_id, so
+    // one hash exchange makes HashPartitioning(vec_id) satisfy every
+    // in-loop ClusteredDistribution (subset rule) and the per-round
+    // exchanges vanish — see q277's comment for the full argument. The
+    // r18 round-robin left RoundRobinPartitioning and every pass
+    // re-shuffled (q317's c32 0.27→0.57 s regression, VERDICT item 3).
+    //
+    // TWO handles on the same frame, deliberately: `veLoop` is a persist
+    // of the LIVE plan — its exchange stays visible to the planner, so
+    // the loop's passes are exchange-free (a localCheckpoint would
+    // erase the partitioning: its LogicalRDD reports
+    // UnknownPartitioning under AQE — measured in the r19 q317 dump).
+    // `ve`, the MEMOIZED handle, is the localCheckpoint of that cache:
+    // Memo outlives the harness's per-query clearCache, which would
+    // empty a CacheManager persist and silently recompute (the r14
+    // lesson recorded above).
+    val veLoop = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding"))
         .as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         floor(col("x").cast("double") * 1e6).as("xu"))
-      .localCheckpoint(true)
+      .persist()
+    val ve = veLoop.localCheckpoint(true) // also warms veLoop's cache
     def assign(cent: DataFrame) =
-      ve.join(broadcast(cent), Seq("dim"))
+      veLoop.join(broadcast(cent), Seq("dim"))
         .withColumn("dd",
           (col("xu") - col("cu")) * (col("xu") - col("cu")))
         .groupBy(col("vec_id"), col("cid")).agg(sum(col("dd")).as("d2"))
@@ -1077,27 +1121,47 @@ object Vectors extends Q.Module {
         .agg(min(col("d2") * 8 + col("cid")).as("key"))
         .select(col("vec_id"), pmod(col("key"), lit(8L)).as("cid"))
     def update(asg: DataFrame) =
-      ve.join(asg, Seq("vec_id"))
+      veLoop.join(asg, Seq("vec_id"))
         .groupBy(col("cid"), col("dim"))
         .agg(sum(col("xu")).as("ss"), count(lit(1)).as("n"))
         .select(col("cid"), col("dim"),
           floor(col("ss").cast("double") / col("n").cast("double"))
             .as("cu"))
-    val c0 = ve.filter(col("vec_id") < 4)
+    val c0 = veLoop.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("dim"), col("xu").as("cu"))
       .localCheckpoint(true)
     var cent = c0
-    var asg: DataFrame = null
-    for (_ <- 1 to 3) {
-      val a = assign(cent).localCheckpoint(true)
-      // The incoming centroids (c0..c2; never iteration 3's result) are
-      // dead once `a` is materialized, as is the previous assignment.
+    // Rounds 1-2 fuse assign+update into ONE materializing checkpoint
+    // per round (the r18 q277 rule: an assignment consumed exactly once
+    // buys nothing from its own checkpoint — only a scheduling
+    // round-trip). Round 3's assignment IS the memoized asg, so it
+    // keeps its eager cut; c3 = update(a3) still ends the loop.
+    for (_ <- 1 to 2) {
+      val next = update(assign(cent)).localCheckpoint(true)
+      // The incoming centroids (c0, c1) are dead once `next` is
+      // materialized.
       graft.operators.Memo.release(cent)
-      if (asg != null) graft.operators.Memo.release(asg)
-      asg = a
-      cent = update(asg).localCheckpoint(true)
+      cent = next
     }
-    ((ve, cent, asg), Seq(ve, cent, asg))
+    val asg = assign(cent).localCheckpoint(true)
+    graft.operators.Memo.release(cent)
+    cent = update(asg).localCheckpoint(true)
+    // The loop is done: the memoized triple survives on its own
+    // checkpoints; the live-plan cache can go (the harness clearCache
+    // would reclaim it between queries anyway).
+    veLoop.unpersist(blocking = false)
+    // The vec-grain outputs hand the CONSUMERS (q214's sizes, q286's
+    // contingency join, q317's margin join) narrow coalesced views: the
+    // in-loop core-dial width exists for the heavy corpus passes, but a
+    // checkpoint inherits it, and 32 near-empty partitions cost every
+    // later readout a full stage of task dispatch (q286 paired
+    // 0.42→0.71 s before this). coalesce back to the SCAN's split count
+    // is shuffle-free, data-proportional (the fanOut rule in reverse),
+    // and a no-op on a multi-split lake where the scan width already
+    // matches the data. `ve` stays wide — q317's distance pass is the
+    // one genuinely compute-heavy consumer.
+    val w = math.max(1, Tables.embeddings(s, d).rdd.getNumPartitions)
+    ((ve, cent.coalesce(w), asg.coalesce(w)), Seq(ve, cent, asg))
   }
 
   // --- q214: DISTRIBUTED K-MEANS (Lloyd, k=4, 3 iterations) — the
@@ -1516,12 +1580,23 @@ object Vectors extends Q.Module {
     "q277_product_quantization",
     "✦ ANN: product quantization — 8×(k=16) codebooks, integer Lloyd, ADC shortlist-60 + exact re-rank top-15",
     (s, d) => {
-      // fanOut (r18): the one-file fixture scan is a single split, and
-      // every per-row pass of this query (4 assign passes, the encode,
-      // the exact-d² audit) otherwise runs its map side on ONE core —
-      // the r18 stage profile measured 4 × 0.28 s single-task stages.
-      // On a multi-split lake fanOut is the identity (Tables scaladoc).
-      val ve = Tables.fanOut(Tables.embeddings(s, d))
+      // Keyed repartition by vec_id (r19; was round-robin fanOut in
+      // r18): every downstream pass groups or joins on vec_id — the 4
+      // assign passes (groupBy(vec_id, sub, cid) then (vec_id, sub)),
+      // the update join (vec_id, sub), the ADC aggregate (vec_id), and
+      // the exact-d² audit (vec_id) — so ONE hash exchange here makes
+      // the persisted frame's HashPartitioning(vec_id) satisfy all of
+      // them (ClusteredDistribution subset rule) and the per-round
+      // exchanges disappear from the plan. Round-robin spread the same
+      // rows but left RoundRobinPartitioning, so every one of those
+      // aggregates re-shuffled the long-format corpus: at fixture SF
+      // that was ~2 extra AQE shuffle jobs per assign (the r18 c32
+      // 3.16→9.58 s regression, VERDICT item 1); at 100 TB each was a
+      // full corpus shuffle per Lloyd round. Width = the session core
+      // dial (REPARTITION_BY_NUM, AQE-coalesce-exempt — the q228 rule),
+      // never a constant.
+      val ve = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), posexplode(col("embedding"))
           .as(Seq("dim", "x")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
@@ -2104,7 +2179,7 @@ object Vectors extends Q.Module {
           quant(col("embedding")).as("qp"))
       val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
         quant(col("embedding")).as("qc"))
-      val scored = auditPairs(s, d, probes, cands)
+      val scored = auditPairs(s, d, probes, cands, spreadExact = false)
         .select(col("pid"), col("cid"),
           graft.functions.CosineSimilarity
             .cosineSim(col("pe"), col("ce")).as("sx"),
@@ -2188,10 +2263,22 @@ object Vectors extends Q.Module {
           (col("xu") - col("cu")) * (col("xu") - col("cu")))
         .groupBy(col("vec_id"), col("cid")).agg(sum(col("dd")).as("d2"))
         .select(col("vec_id"), (col("d2") * 8 + col("cid")).as("key"))
-      val m1 = keys.groupBy(col("vec_id")).agg(min(col("key")).as("k1"))
-      val m2 = keys.join(m1, Seq("vec_id"))
-        .filter(col("key") > col("k1"))
-        .groupBy(col("vec_id"), col("k1")).agg(min(col("key")).as("k2"))
+      // One sorted-keys aggregate instead of the old m1 (min) + self-join
+      // + m2 (min above the min) pair (r19): the join form re-computed
+      // the WHOLE ve⋈cent⋈aggregate subtree on both sides (the memoized
+      // ve checkpoint reports UnknownPartitioning, so each side also
+      // paid its own exchanges — 4 in the r19 before-dump). Keys are
+      // distinct within a vec_id (the composite d²·8+cid embeds the
+      // distinct cid), so the two smallest sorted keys ARE m1's min and
+      // m2's strictly-greater min — bit-identical, and vec_ids with a
+      // single key row drop exactly like the old inner join dropped
+      // them. `get()` (0-based) stays NULL-safe under ANSI where
+      // element_at would throw on a short array.
+      val m2 = keys.groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(col("key"))).as("ks"))
+        .select(col("vec_id"), get(col("ks"), lit(0)).as("k1"),
+          get(col("ks"), lit(1)).as("k2"))
+        .filter(col("k2").isNotNull)
       m2.select(col("vec_id"),
           pmod(col("k1"), lit(8L)).as("cid"),
           expr("k1 div 8").as("d2_best"),
